@@ -1,0 +1,64 @@
+"""Scalar helpers shared across the query surface.
+
+Everything here is built-in pyspark.sql.functions composition (JVM-side,
+codegen'd) — no Python UDFs in hot paths. The helpers exist to keep
+results bit-identical with the DuckDB oracle:
+
+- money/double aggregates go through ``dec()`` (cast to decimal(18,4))
+  so sums are exact and order-independent in both engines;
+- ``md5_bigint`` derives a portable 60-bit integer hash from md5 (md5 is
+  identical in Spark and DuckDB, unlike their native hash functions);
+- tokenization uses a shared regex kept to constructs RE2 (DuckDB) and
+  Java regex interpret identically.
+
+Reference parity notes cite /root/reference (e.g. the IK tokenizer UDTF
+RT/app/func/KeywordUDTF.java:12-22 maps to ``tokenize``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Decimal type used for all money-ish aggregation inputs. 14 integer
+# digits is enough for sf100's sums; raise precision, not double, at
+# larger scale (reference uses BigDecimal everywhere: RT/bean/OrderInfo.java:18-22).
+DEC = "decimal(18,4)"
+
+
+def dec(col: Column | str) -> Column:
+    """Cast a double column to exact decimal before aggregation so SUM is
+    order-independent (float sums differ run-to-run under parallelism)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def md5_bigint(col: Column, salt: str = "") -> Column:
+    """Portable 60-bit positive integer hash: first 15 hex chars of
+    md5(salt || value). DuckDB twin:
+    CAST(from_hex(substr(md5(salt || v),1,15)) AS BIGINT) — but simpler
+    and fully portable is conv(); DuckDB does the same via
+    ('0x' || substr(md5(...),1,15))::BIGINT.
+    """
+    salted = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+# Tokenizer: lowercase word extraction. Kept to `[a-z0-9]+` on the
+# lowered string so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+# Maps the reference's IK-segmentation UDTF (RT/utils/KeywordUtil.java:15-34)
+# to a latin-token world; a CJK segmenter would slot in as a pandas_udf.
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """text -> array<string> of lowercase tokens (the U1 UDTF surface,
+    RT/app/func/KeywordUDTF.java:12-22, as a built-in expression)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def age_years(birthday: Column, asof: Column) -> Column:
+    """Age in whole years using the reference's 365-day-year arithmetic
+    (RT/app/dwm2/OrderWideApp2.java:199-219): floor(days_diff / 365)."""
+    return F.floor(F.datediff(asof, birthday) / 365).cast("long")

@@ -1,0 +1,189 @@
+"""Text analysis operators over the documents table.
+
+Training-data curation staples, all expressed with built-in (codegen'd)
+expressions — no Python in the hot path:
+
+- token counting (whitespace + BPE-ish regex classes)
+- quality scoring (length / punctuation / stopword ratios)
+- language-ID (character-range + stopword-vote heuristic)
+- document fingerprinting (normalized md5 + polynomial rolling hash)
+
+Each has a DuckDB oracle replaying the identical arithmetic. Ratios are
+computed in decimal and rounded to fixed scale so hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokenize
+from ..io import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# non-alnum-non-space marks. Kept to constructs Java regex and RE2
+# interpret identically.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens vs BPE-ish tokens per document, plus corpus
+    token totals — the cheap token-budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    ws_tokens = F.size(F.filter(F.split(F.trim(low), r"\s+"), lambda t: t != F.lit("")))
+    bpe_tokens = F.size(F.regexp_extract_all(low, F.lit(BPE_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_token_ct"),
+        bpe_tokens.alias("bpe_token_ct"),
+        F.length("text").alias("char_ct"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean token length, alpha ratio —
+    combined into a 0-100 score. All ratios decimal-rounded (scale 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_toks = F.size(toks)
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    alpha_ct = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    char_ct = F.length("text")
+    stop_ratio = F.round(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1)), 4).cast("decimal(9,4)")
+    alpha_ratio = F.round(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1)), 4).cast("decimal(9,4)")
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
+        / F.greatest(n_toks, F.lit(1)), 4,
+    ).cast("decimal(9,4)")
+    return docs.select(
+        "doc_id",
+        n_toks.alias("token_ct"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: CJK character presence → zh, else the
+    stopword-vote winner among {en, de, fr, es}; ties/no-votes → en.
+    Deterministic, fully SQL-expressible — a learned identifier would
+    slot in as a pandas_udf with this as fallback."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    votes = {
+        "en": ("the", "and", "of", "is"),
+        "de": ("der", "und", "die", "ist"),
+        "fr": ("le", "et", "les", "est"),
+        "es": ("el", "y", "los", "es"),
+    }
+    toks = tokenize("text")
+
+    def vote(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    has_cjk = F.regexp_count(F.col("text"), F.lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    en, de, fr, es = (vote(w) for w in votes.values())
+    best = (
+        F.when(has_cjk, "zh")
+        .when((de > en) & (de >= fr) & (de >= es), "de")
+        .when((fr > en) & (fr >= es), "fr")
+        .when(es > en, "es")
+        .otherwise("en")
+    )
+    return docs.select("doc_id", F.col("lang").alias("declared_lang"), best.alias("predicted_lang"))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text plus a 32-bit
+    polynomial rolling hash (base 31, mod 2^31-1) over the token stream —
+    the building block for shift-resistant near-dup candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = tokenize("text")
+    MOD = 2147483647
+    poly = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.length(t) * 7 + F.ascii(t)) % MOD,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5_fp"),
+        poly.alias("poly_fp"),
+    )
+
+
+QUERIES = {
+    "token_count": token_count,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
+
+ORACLES = {
+    "token_count": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS INTEGER) AS ws_token_ct,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_token_ct,
+               CAST(length(text) AS INTEGER) AS char_ct
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_ct,
+                   length(text) AS char_ct
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS token_ct,
+               CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stopword_ratio,
+               CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DECIMAL(9,4)) AS alpha_ratio,
+               CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_token_len
+        FROM t
+    """,
+    "lang_id": """
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ), v AS (
+            SELECT doc_id, lang,
+                   regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+                   len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS en,
+                   len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS de,
+                   len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS fr,
+                   len(list_filter(toks, x -> list_contains(['el','y','los','es'], x))) AS es
+            FROM t
+        )
+        SELECT doc_id, lang AS declared_lang,
+               CASE WHEN has_cjk THEN 'zh'
+                    WHEN de > en AND de >= fr AND de >= es THEN 'de'
+                    WHEN fr > en AND fr >= es THEN 'fr'
+                    WHEN es > en THEN 'es'
+                    ELSE 'en' END AS predicted_lang
+        FROM v
+    """,
+    "doc_fingerprint": """
+        WITH t AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(norm) AS md5_fp,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) * 7 + ascii(x) AS BIGINT))),
+                           (acc, v) -> (acc * 31 + v) % 2147483647) AS poly_fp
+        FROM t
+    """,
+}

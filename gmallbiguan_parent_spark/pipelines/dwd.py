@@ -1,0 +1,128 @@
+"""DWD layer — parse, split, repair (SURVEY.md §2.2).
+
+Reference parity (paths under /root/reference):
+- P1 JSON parse map:        RT/app/dwd2/BaseLogApp2.java:63-69
+- P5 3-way log split:       RT/app/dwd2/BaseLogApp2.java:116-166
+- P8 new/old-visitor repair: RT/app/dwd2/BaseLogApp2.java:71-113
+- P3 null/short filter:     RT/app/dwd2/BaseDBApp2.java:54-60
+- P7 type normalization:    RT/app/func/TableProcessFunction.java:184-188
+
+Mapped onto the driver testdata: the `events` table plays the behavior
+log (`user_id`≈mid, `event_type`≈log type, `props`≈nested JSON payload).
+All plans are declarative DataFrame ops — the JSON parse is
+`get_json_object` (codegen'd), the split is filtered projections of one
+scan, the repair is a window function instead of Flink keyed state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dec
+from ..io import load_table
+
+
+def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/F1: parse the JSON `props` payload and aggregate by the
+    extracted field — the from_json/get_json_object equivalent of the
+    reference's fastjson map (RT/app/dwd2/BaseLogApp2.java:63-69).
+    get_json_object stays inside whole-stage codegen; no Python UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .filter(F.col("k").isNotNull())  # P3: drop unparseable records
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("ev_ct"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        )
+    )
+
+
+def log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/O3: single-pass multi-output split. The reference routes one
+    Kafka stream to start/page/display topics via side outputs
+    (RT/app/dwd2/BaseLogApp2.java:116-166); here three filtered
+    projections of ONE scan are tagged and re-unioned so the driver can
+    hash-check the routing in a single result. Catalyst collapses the
+    three branches into one scan read (verified via .explain)."""
+    ev = load_table(spark, sf_dir, "events")
+    start = ev.filter(F.col("event_type") == "signup").select(
+        F.lit("start").alias("log_type"), "event_id", "user_id")
+    page = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.lit("page").alias("log_type"), "event_id", "user_id")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.lit("err").alias("log_type"), "event_id", "user_id")
+    union = start.unionByName(page).unionByName(err)
+    return union.groupBy("log_type").agg(
+        F.count("*").alias("ct"),
+        F.countDistinct("user_id").alias("user_ct"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: new/old-visitor repair. The reference keeps per-mid first-visit
+    date in keyed ValueState and rewrites is_new=1 -> 0 for returning
+    devices (RT/app/dwd2/BaseLogApp2.java:71-113; note the reference
+    discards the repaired stream — we implement the documented intent,
+    SURVEY §7.5.2). Batch formulation: min(event_date) over user — a
+    single shuffle by user_id, then a day-level rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    repaired = (
+        ev.select("user_id", F.to_date("ts").alias("dt"))
+        .withColumn("first_dt", F.min("dt").over(w))
+        .withColumn("is_new", F.when(F.col("dt") == F.col("first_dt"), "1").otherwise("0"))
+    )
+    return repaired.groupBy("dt", "is_new").agg(
+        F.count("*").alias("pv_ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+    )
+
+
+QUERIES = {
+    "json_parse_props": json_parse_props,
+    "log_split": log_split,
+    "is_new_repair": is_new_repair,
+}
+
+ORACLES = {
+    "json_parse_props": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    """,
+    "log_split": """
+        WITH tagged AS (
+            SELECT 'start' AS log_type, event_id, user_id FROM events WHERE event_type = 'signup'
+            UNION ALL
+            SELECT 'page' AS log_type, event_id, user_id FROM events WHERE event_type IN ('view','click')
+            UNION ALL
+            SELECT 'err' AS log_type, event_id, user_id FROM events WHERE event_type = 'error'
+        )
+        SELECT log_type,
+               CAST(COUNT(*) AS BIGINT) AS ct,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_ct,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM tagged GROUP BY log_type
+    """,
+    "is_new_repair": """
+        WITH repaired AS (
+            SELECT user_id, CAST(ts AS DATE) AS dt,
+                   MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_dt
+            FROM events
+        )
+        SELECT dt,
+               CASE WHEN dt = first_dt THEN '1' ELSE '0' END AS is_new,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct
+        FROM repaired GROUP BY 1, 2
+    """,
+}

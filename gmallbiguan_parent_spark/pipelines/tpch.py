@@ -1,0 +1,144 @@
+"""Headline analytical queries over the star schema (benchmark drivers).
+
+These exercise the same operator classes as the reference's DWS/serving
+surface (multi-way joins, grouped exact aggregation, top-N) at the
+largest table sizes, so they anchor bench.py. Shapes follow the classic
+pricing-summary / shipping-priority / local-supplier-volume patterns
+re-expressed on the driver testdata schema.
+
+Scale notes (100 TB): lineitem-side scans carry pushed filters; every
+dim join is broadcast; the aggregates are partial/final hash aggs with a
+single shuffle on the group keys; top-N plans as TakeOrderedAndProject
+(no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec
+from ..io import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape: grouped pricing summary with decimal-exact sums and
+    rounded averages over a shipdate-filtered lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    charge = (dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,4)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape: segment-filtered customer ⋈ orders ⋈ lineitem, top 10
+    orders by discounted revenue. Customer dim broadcasts; the orders ⋈
+    lineitem join shuffles on the order key (at 100 TB both sides would
+    be bucketed on the key to make this co-located)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_id"))
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape: six-way join (lineitem⋈orders⋈customer⋈supplier⋈nation
+    ⋈region) where supplier and customer share a nation; revenue per
+    nation. All dims broadcast; one shuffle for the orders join + one
+    for the final groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum((dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)"))
+            .cast("decimal(18,6)").alias("revenue")
+        )
+    )
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "shipping_priority": shipping_priority,
+    "local_supplier_volume": local_supplier_volume,
+}
+
+ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "shipping_priority": """
+        SELECT l.l_orderkey AS order_id,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               o.o_orderpriority AS priority,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        WHERE l.l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, order_id ASC
+        LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n.n_name AS nation_name,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same settings are the ones we would
+ship to a 1000-executor cluster: AQE on (runtime coalesce + skew-join
+handling), broadcast threshold sized for dimension tables, shuffle
+partitions right-sized rather than the 200 default, UTC session timezone
+so results are bit-stable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "gmallbiguan_parent_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    The configs mirror what we would set cluster-side at 100 TB:
+    - AQE enabled: runtime partition coalescing, skew-join splitting,
+      broadcast-join demotion/promotion based on observed sizes.
+    - autoBroadcastJoinThreshold 64m: every dim table in the reference
+      (user/province/sku/spu/category/trademark — SURVEY.md §2.3 J3) is
+      far below this, so dim enrichment is a map-side join, never a shuffle.
+    - shuffle.partitions sized to cores locally; on a real cluster AQE
+      coalesces from a deliberately high initial number.
+    - UTC timezone: deterministic timestamps vs the oracle.
+    """
+    n = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in io.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

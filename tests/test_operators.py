@@ -1,0 +1,117 @@
+"""Unit tests for operator semantics on tiny in-memory DataFrames —
+the reference-documented behaviors (SURVEY.md §5, §7.5) asserted
+exactly: UV dedup picks the first event per (user, day); jump detection
+treats end-of-data as timeout; dim-join misses keep the row; minhash
+finds a planted near-duplicate; exact dedup groups normalized text."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_uv_dedup_first_event_per_day(spark):
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 10, _ts("2024-01-01T00:00:00")),
+        (1, 11, _ts("2024-01-01T05:00:00")),  # same day revisit — dropped
+        (1, 12, _ts("2024-01-02T00:00:00")),  # next day — kept
+        (2, 13, _ts("2024-01-01T01:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    kept = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assert sorted(r.event_id for r in kept.collect()) == [10, 12, 13]
+
+
+def test_jump_detection_timeout_and_eod(spark):
+    from gmallbiguan_parent_spark.pipelines.dwm import JUMP_TIMEOUT_S
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 1, _ts("2024-01-01T00:00:00")),  # followed within timeout → not jump
+        (1, 2, _ts("2024-01-01T00:05:00")),  # next is > timeout later → jump
+        (1, 3, _ts("2024-01-01T01:00:00")),  # last event (end-of-data) → jump
+        (2, 4, _ts("2024-01-01T00:00:00")),  # only event → jump
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = (
+        df.withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn(
+            "is_jump",
+            F.col("next_ts").isNull()
+            | (F.unix_micros("next_ts") - F.unix_micros("ts") > JUMP_TIMEOUT_S * 1_000_000),
+        )
+    )
+    jumps = {r.event_id for r in out.collect() if r.is_jump}
+    assert jumps == {2, 3, 4}
+
+
+def test_dim_join_miss_keeps_row(spark):
+    fact = spark.createDataFrame([(1, 100), (2, 999)], "id long, dim_id long")
+    dim = spark.createDataFrame([(100, "known")], "id long, name string")
+    out = fact.join(F.broadcast(dim), fact.dim_id == dim.id, "left").select(
+        fact.id, dim.name
+    )
+    got = {r.id: r.name for r in out.collect()}
+    assert got == {1: "known", 2: None}  # RT/app/func/DimAsyncFunction.java:75-78
+
+
+def test_is_new_repair_rewrites_returning_visitor(spark):
+    from pyspark.sql import Window
+
+    rows = [(1, _ts("2024-01-01T00:00:00")), (1, _ts("2024-01-02T00:00:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    w = Window.partitionBy("user_id")
+    out = (
+        df.select("user_id", F.to_date("ts").alias("dt"))
+        .withColumn("first_dt", F.min("dt").over(w))
+        .withColumn("is_new", F.when(F.col("dt") == F.col("first_dt"), "1").otherwise("0"))
+    )
+    got = sorted((str(r.dt), r.is_new) for r in out.collect())
+    assert got == [("2024-01-01", "1"), ("2024-01-02", "0")]
+
+
+def test_minhash_finds_planted_near_duplicate(spark, tmp_path):
+    from gmallbiguan_parent_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "spark query engine shuffles data across the cluster for joins and aggregations every day"
+    near = base + " indeed"
+    far = "completely different words about cooking pasta with tomatoes basil and olive oil tonight"
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, near, "en", "s", len(near)), (3, far, "en", "s", len(far))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "documents.parquet")
+    docs.write.parquet(d)
+    # minimal sf_dir layout: only documents is read by this operator
+    pairs = minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_dedup_exact_normalizes_whitespace_and_case(spark, tmp_path):
+    from gmallbiguan_parent_spark.operators.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World", "en", "s", 12), (2, "hello world", "en", "s", 11), (3, "other", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = dedup_exact(spark, str(tmp_path)).collect()
+    by_keeper = {r.keeper_doc_id: r.dup_ct for r in out}
+    assert by_keeper == {1: 2, 3: 1}
+
+
+def test_tokenize_builtin(spark):
+    from gmallbiguan_parent_spark.functions import tokenize
+
+    df = spark.createDataFrame([("Hello, World 42!",)], "text string")
+    toks = df.select(tokenize("text").alias("t")).collect()[0].t
+    assert toks == ["hello", "world", "42"]
