@@ -40,6 +40,75 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_partition_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Idempotent gold-table write: overwrite ONLY the partitions present
+    in df (dynamic partition overwrite), leaving other partitions
+    untouched. This is the Spark equivalent of the reference's
+    ReplacingMergeTree idempotency (ClickHouseUtil.java:18-21 — re-runs
+    replace rather than duplicate) for batch/foreachBatch sinks.
+
+    At 100 TB the partition columns are the date/window keys, so a
+    replayed day overwrites exactly that day."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def merge_dim_snapshot(spark: SparkSession, updates: DataFrame, path: str, key: str) -> None:
+    """Dim upsert (the Phoenix `upsert into DIM_*` sink, DimSink.java:78-93):
+    latest record per key wins. Without a transactional table format the
+    merge is snapshot-rebuild: read current, anti-join out updated keys,
+    union the updates, overwrite. At scale this becomes a Delta/Iceberg
+    MERGE INTO; the call-site contract (idempotent upsert by key) is the
+    same."""
+    try:
+        current = spark.read.parquet(path)
+        merged = current.join(updates, on=key, how="left_anti").unionByName(updates)
+    except Exception:  # first write — no snapshot yet
+        merged = updates
+    # Rebuild snapshot via a temp dir to avoid reading+overwriting the
+    # same files in one job.
+    tmp = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm_fs_rename(spark, tmp, path)
+
+
+def jvm_fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-ish directory swap via the Hadoop FileSystem API."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    if fs.exists(dst_p):
+        fs.delete(dst_p, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p)
+
+
+def route_to_sinks(df: DataFrame, base_path: str, sink_col: str = "sink_table") -> None:
+    """Dynamic-topic sink (MyKafkaUtil.getKafkaSinkBySchema,
+    MyKafkaUtil.java:38-44): every record lands under its sink_table.
+    One partitioned write — Spark splits by the routing column without N
+    separate jobs; a Kafka sink would instead map sink_col to the
+    per-row `topic` column."""
+    df.write.mode("overwrite").partitionBy(sink_col).parquet(base_path)
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + round-robin repartition to the session parallelism.
+
+    The testdata tables are single parquet files, so a plain scan yields
+    ONE partition; operators that do heavy per-row expression work
+    (shingling, hashing, vector math) would run single-threaded. The
+    repartition shuffles only the raw rows (cheap) and unlocks full
+    parallelism. On a real multi-file/100 TB table the scan is already
+    split — callers still benefit when a filter collapses it."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return load_table(spark, sf_dir, name).repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:

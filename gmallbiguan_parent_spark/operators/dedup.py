@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, load_table_spread
 
 # MinHash configuration: 9 permutations in 3 bands of 3 rows.
 # P(candidate | jaccard=j) = 1-(1-j^3)^3 — ~0.06 at j=0.3, ~0.58 at j=0.7.
@@ -30,6 +30,13 @@ BAND_ROWS = 3
 N_BANDS = N_PERM // BAND_ROWS
 SHINGLE_K = 3          # 3-token shingles
 JACCARD_THRESHOLD = 0.5
+
+# Shingles are hashed ONCE with md5 (portable), reduced to 60 bits, then
+# the N_PERM permutations are affine maps (A*h+B) mod P — integer
+# arithmetic instead of N_PERM md5 calls per shingle (~6× cheaper).
+MERSENNE_P = 2147483647          # 2^31-1; A*h < 2^62 stays in int64
+PERM_A = (2, 3, 5, 7, 11, 13, 17, 19, 23)
+PERM_B = (1, 2, 3, 4, 5, 6, 7, 8, 9)
 
 
 def _norm_text(col):
@@ -67,67 +74,83 @@ def _shingles(col):
     )
 
 
-def _minhash_sig(shingle_col, perm: int):
-    """One minhash value: min over shingles of md5(perm || shingle),
-    compared as hex strings (md5 is uniform; string-min ≡ numeric-min
-    on the fixed-width hex)."""
-    return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"p{perm}:"), s)))
+def _shingle_hashes(shingle_col):
+    """md5 each shingle once → 60-bit int → reduce mod 2^31-1."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P,
     )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact Jaccard confirm.
 
-    Plan: one pass computes shingles + N_PERM minhashes per doc (no
-    shuffle — all expressions), explode into N_BANDS band keys, self-join
-    on band key (the only shuffle, on high-cardinality md5 band keys),
-    dedupe candidate pairs, then confirm with exact Jaccard on the
-    shingle arrays. Output: (doc_a, doc_b, jaccard) with a < b and
-    jaccard >= 0.5. A 100 TB run would salt any mega-band and cap band
-    bucket sizes; bands here are md5-derived so skew is structural only
-    (true duplicate clusters), which is exactly what AQE skew-join splits.
+    Plan: one pass computes shingle hashes + N_PERM affine-permutation
+    minhashes per doc (all expressions, no shuffle), explodes into a
+    SLIM (doc_id, band_id, band_key) table, self-joins on band key (the
+    only wide shuffle — no arrays travel through it), dedupes candidate
+    pairs, then re-derives shingle sets for just the candidates to
+    confirm exact Jaccard. Output: (doc_a, doc_b, jaccard) with a < b
+    and jaccard >= 0.5.
+
+    Scale: band keys are hash-derived so the join partitions evenly;
+    skew only appears for true mega-duplicate clusters, which AQE
+    skew-join splits. The confirm re-join touches only candidate docs —
+    at 100 TB that is orders of magnitude smaller than the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
+
+    def mh(p):
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (PERM_A[p] * h + PERM_B[p]) % MERSENNE_P)
+        ).alias(f"mh{p}")
+
     sig = docs.select(
-        "doc_id",
-        _shingles(F.col("text")).alias("shingles"),
-    )
-    for p in range(N_PERM):
-        sig = sig.withColumn(f"mh{p}", _minhash_sig(F.col("shingles"), p))
+        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hs")
+    ).select("doc_id", *[mh(p) for p in range(N_PERM)])
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])).alias("band_key"),
+            F.concat_ws(":", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias("band_key"),
         )
         for b in range(N_BANDS)
     ]
-    banded = sig.select(
-        "doc_id", "shingles", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Bucket by band (ONE shuffle, sig evaluated once) and generate the
+    # intra-bucket pairs in-array — equivalent to a band self-join but
+    # without evaluating the signature subtree twice.
+    groups = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(F.col("ids"), lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+            )
+        ),
+        lambda p: p.doc_a < p.doc_b,
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = (inter.cast("decimal(18,6)") / union).cast("decimal(9,6)")
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -136,7 +159,7 @@ def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document shingle stats (the n-gram Jaccard building block):
     distinct shingle count and a stable sample shingle. Verifies the
     shingling transform itself against the oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     return sh.select(
         "doc_id",
@@ -178,13 +201,19 @@ ORACLES = {
         GROUP BY 1
     """,
     "minhash_lsh_pairs": _DUCK_SHINGLES + """
-    , sig AS (
-        SELECT doc_id, shingles,
-               [list_min([md5('p' || p || ':' || s) for s in shingles]) for p in range(0, 9)] AS mh
+    , hsig AS (
+        SELECT doc_id,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
         FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(hs, h -> ([2,3,5,7,11,13,17,19,23][p+1] * h
+                    + [1,2,3,4,5,6,7,8,9][p+1]) % 2147483647)) for p in range(0, 9)] AS mh
+        FROM hsig
     ), banded AS (
-        SELECT doc_id, shingles, b AS band_id,
-               md5(mh[b*3+1] || '|' || mh[b*3+2] || '|' || mh[b*3+3]) AS band_key
+        SELECT doc_id, b AS band_id,
+               mh[b*3+1] || ':' || mh[b*3+2] || ':' || mh[b*3+3] AS band_key
         FROM sig, (SELECT unnest(range(0, 3)) AS b)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, load_table_spread
 
 N_QUERIES = 8     # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -39,7 +39,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: score+rank pushes into one shuffle-free stage per corpus
     partition followed by a tiny shuffle of TOP_K rows per (query,
     partition) — Spark's TakeOrderedAndProject pattern per group."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_spread(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),

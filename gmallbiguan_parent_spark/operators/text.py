@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import tokenize
-from ..io import load_table
+from ..io import load_table, load_table_spread
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
@@ -31,7 +31,7 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens vs BPE-ish tokens per document, plus corpus
     token totals — the cheap token-budget estimator."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
     ws_tokens = F.size(F.filter(F.split(F.trim(low), r"\s+"), lambda t: t != F.lit("")))
     bpe_tokens = F.size(F.regexp_extract_all(low, F.lit(BPE_RE), 0))
@@ -46,7 +46,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, mean token length, alpha ratio —
     combined into a 0-100 score. All ratios decimal-rounded (scale 4)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     toks = tokenize("text")
     n_toks = F.size(toks)
     stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -72,7 +72,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-vote winner among {en, de, fr, es}; ties/no-votes → en.
     Deterministic, fully SQL-expressible — a learned identifier would
     slot in as a pandas_udf with this as fallback."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     low = F.lower(F.col("text"))
     votes = {
         "en": ("the", "and", "of", "is"),
@@ -101,7 +101,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text plus a 32-bit
     polynomial rolling hash (base 31, mod 2^31-1) over the token stream —
     the building block for shift-resistant near-dup candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     toks = tokenize("text")
     MOD = 2147483647

@@ -21,9 +21,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup, similarity, text
-from . import dwd, dwm, dws, serving, tpch
+from . import analytics, cdc, dwd, dwm, dws, serving, tpch
 
-_MODULES = (dwd, dwm, dws, serving, tpch, dedup, similarity, text)
+_MODULES = (dwd, dwm, dws, serving, tpch, cdc, analytics, dedup, similarity, text)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

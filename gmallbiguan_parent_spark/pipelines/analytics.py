@@ -1,0 +1,131 @@
+"""OVER-window and multidimensional rollup queries (SURVEY.md §2.5-2.6).
+
+The reference has no SQL OVER-window functions — its ranking is
+`order by ... limit` in ClickHouse and its stateful per-key firsts are
+Flink keyed state (SURVEY §2.5). This module is the Spark-native
+expression of that surface plus the multidimensional rollups a serving
+layer adds on top (cube/rollup — "not present in the reference",
+SURVEY §2.4, provided here as engine capability):
+
+- top-N per group (row_number) — per-priority best orders
+- running totals (sum over rows-between) — cumulative daily GMV
+- lag deltas — day-over-day GMV change
+- ROLLUP — region/nation hierarchy totals with grouping ids
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dec
+from ..io import load_table
+
+
+def topn_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice within each order priority —
+    row_number over (partition by priority order by price desc, key).
+    One shuffle on the partition key; Spark runs it as a WindowExec
+    after a sort within partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("rn"),
+            F.col("o_orderkey").alias("order_id"),
+            dec("o_totalprice").alias("total_amount"),
+        )
+    )
+
+
+def running_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative GMV by day over one quarter — sum over
+    rows between unbounded preceding and current row, plus a lag()
+    day-over-day delta. The daily pre-aggregate keeps the window input
+    tiny (days, not orders) — aggregate first, window after."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+    )
+    w = Window.orderBy("dt")
+    return daily.select(
+        "dt",
+        "gmv",
+        F.sum("gmv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(18,4)").alias("running_gmv"),
+        (F.col("gmv") - F.lag("gmv").over(w)).cast("decimal(18,4)").alias("gmv_delta"),
+    )
+
+
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy: per-nation, per-region
+    subtotal, and grand total in one pass (Spark expands grouping sets
+    into a single shuffle with grouping-id tagging)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+    )
+    return (
+        base.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"),
+            F.count("*").alias("order_ct"),
+        )
+    )
+
+
+QUERIES = {
+    "topn_orders_per_priority": topn_orders_per_priority,
+    "running_gmv": running_gmv,
+    "region_rollup": region_rollup,
+}
+
+ORACLES = {
+    "topn_orders_per_priority": """
+        WITH r AS (
+            SELECT o_orderpriority AS priority, o_orderkey AS order_id,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS total_amount,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        )
+        SELECT priority, CAST(rn AS INTEGER) AS rn, order_id, total_amount
+        FROM r WHERE rn <= 3
+    """,
+    "running_gmv": """
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT dt, gmv,
+               CAST(SUM(gmv) OVER (ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,4)) AS running_gmv,
+               CAST(gmv - LAG(gmv) OVER (ORDER BY dt) AS DECIMAL(18,4)) AS gmv_delta
+        FROM daily
+    """,
+    "region_rollup": """
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount,
+               CAST(COUNT(*) AS BIGINT) AS order_ct
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+}

@@ -1,0 +1,163 @@
+"""CDC routing layer — config-driven fact/dim routing (SURVEY.md §2.2).
+
+Reference parity (paths under /root/reference):
+- S6 config table scan:      RT/utils/MySQLUtil.java:33-103 (table_process)
+- P6 dynamic fact/dim route: RT/app/func/TableProcessFunction.java:179-217
+- P7 bootstrap-insert norm:  RT/app/func/TableProcessFunction.java:184-188
+- P4 column pruning by cfg:  RT/app/func/TableProcessFunction.java:220-237
+- P3 null/short filter:      RT/app/dwd2/BaseDBApp2.java:54-60
+
+The reference polls MySQL every 5 s into a map and routes per record
+with keyed lookups. Spark-first: the config is a small DataFrame
+broadcast-joined against the CDC stream — one map-side join replaces
+the lookup map, and unknown (table, type) keys drop out of the join
+exactly like the reference's "No this Key" branch
+(TableProcessFunction.java:204-206). In streaming, the config re-read
+happens per microbatch inside foreachBatch (the 5 s poll equivalent).
+
+The CDC stream here is synthesized from `events` (event_type plays the
+source table, a modulo of event_id plays the operation type) so the
+oracle can replay the identical routing in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# (source_table, operate_type, sink_type, sink_table) — the table_process
+# config rows (FIXTURES.md §3). 'error' events are deliberately absent:
+# unknown keys must be dropped.
+ROUTING_CONFIG = [
+    ("view", "insert", "kafka", "dwd_view"),
+    ("view", "bootstrap-insert", "kafka", "dwd_view"),
+    ("click", "insert", "kafka", "dwd_click"),
+    ("purchase", "insert", "kafka", "dwd_purchase"),
+    ("purchase", "update", "kafka", "dwd_purchase_upd"),
+    ("signup", "insert", "hbase", "dim_signup"),
+]
+
+CONFIG_SCHEMA = "source_table string, operate_type string, sink_type string, sink_table string"
+
+
+def config_df(spark: SparkSession) -> DataFrame:
+    """The table_process config as a (broadcastable) DataFrame — the
+    S6 MySQL poll becomes a small in-memory/JDBC read per batch."""
+    return spark.createDataFrame(ROUTING_CONFIG, CONFIG_SCHEMA)
+
+
+def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a Maxwell-like CDC envelope from events:
+    table = event_type, type = insert/update/bootstrap-insert by a
+    deterministic modulo of event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_id") % 10 == 0, "bootstrap-insert")
+        .when(F.col("event_id") % 10 == 1, "update")
+        .when(F.col("event_id") % 10 == 2, "delete")
+        .otherwise("insert")
+    )
+    return ev.select(
+        F.col("event_type").alias("table"),
+        op.alias("type"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("value"),
+    )
+
+
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7+P3: normalize bootstrap-insert → insert, drop null/short
+    records, broadcast-join the routing config on (table, type); rows
+    with no config entry are dropped. Output: per-(sink_type,
+    sink_table) routed record counts — the router's observable effect.
+    """
+    cdc = _cdc_stream(spark, sf_dir)
+    cfg = config_df(spark)
+    normalized = cdc.filter(F.col("table").isNotNull()).withColumn(
+        "type", F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type"))
+    )
+    # NOTE: normalization happens BEFORE the config match in the
+    # reference (TableProcessFunction.java:184-188), so a config row for
+    # 'bootstrap-insert' never matches post-normalization — replicated.
+    routed = normalized.join(
+        F.broadcast(cfg),
+        (normalized.table == cfg.source_table) & (normalized.type == cfg.operate_type),
+        "inner",
+    )
+    return routed.groupBy("sink_type", "sink_table").agg(
+        F.count("*").alias("record_ct"),
+        F.countDistinct("user_id").alias("user_ct"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
+def cdc_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: config-driven column pruning. The reference drops data.* keys
+    not in sink_columns (TableProcessFunction.java:220-237); here the
+    pruned projection for the dim route keeps only (event_id, user_id) —
+    the select list is generated from config, not hard-coded downstream.
+    Output: the pruned dim rows for sink 'dim_signup'."""
+    cdc = _cdc_stream(spark, sf_dir)
+    cfg = config_df(spark)
+    sink_columns = {"dim_signup": ["event_id", "user_id"]}
+    normalized = cdc.withColumn(
+        "type", F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type"))
+    )
+    dim = normalized.join(
+        F.broadcast(cfg.filter(F.col("sink_type") == "hbase")),
+        (normalized.table == cfg.source_table) & (normalized.type == cfg.operate_type),
+        "inner",
+    )
+    cols = sink_columns["dim_signup"]
+    return dim.select("sink_table", *cols)
+
+
+QUERIES = {
+    "cdc_route": cdc_route,
+    "cdc_column_prune": cdc_column_prune,
+}
+
+_DUCK_CDC = """
+    WITH cdc AS (
+        SELECT event_type AS "table",
+               CASE WHEN event_id % 10 = 0 THEN 'bootstrap-insert'
+                    WHEN event_id % 10 = 1 THEN 'update'
+                    WHEN event_id % 10 = 2 THEN 'delete'
+                    ELSE 'insert' END AS "type",
+               event_id, user_id, value
+        FROM events
+    ), cfg(source_table, operate_type, sink_type, sink_table) AS (
+        VALUES ('view','insert','kafka','dwd_view'),
+               ('view','bootstrap-insert','kafka','dwd_view'),
+               ('click','insert','kafka','dwd_click'),
+               ('purchase','insert','kafka','dwd_purchase'),
+               ('purchase','update','kafka','dwd_purchase_upd'),
+               ('signup','insert','hbase','dim_signup')
+    ), normalized AS (
+        SELECT "table",
+               CASE WHEN "type" = 'bootstrap-insert' THEN 'insert' ELSE "type" END AS "type",
+               event_id, user_id, value
+        FROM cdc WHERE "table" IS NOT NULL
+    )
+"""
+
+ORACLES = {
+    "cdc_route": _DUCK_CDC + """
+    SELECT c.sink_type, c.sink_table,
+           CAST(COUNT(*) AS BIGINT) AS record_ct,
+           CAST(COUNT(DISTINCT n.user_id) AS BIGINT) AS user_ct,
+           CAST(MIN(n.event_id) AS BIGINT) AS min_event_id
+    FROM normalized n
+    JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
+    GROUP BY 1, 2
+    """,
+    "cdc_column_prune": _DUCK_CDC + """
+    SELECT c.sink_table, n.event_id, n.user_id
+    FROM normalized n
+    JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
+    WHERE c.sink_type = 'hbase'
+    """,
+}

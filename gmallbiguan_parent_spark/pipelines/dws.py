@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec, tokenize
-from ..io import load_table
+from ..io import load_table, load_table_spread
 
 WINDOW = "10 minutes"
 
@@ -113,7 +113,7 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table. tokenize is regexp_extract_all (codegen'd), not a
     Python UDF; `source` is the doc source, mirroring the constant
     source='SEARCH' column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_spread(spark, sf_dir, "documents")
     return (
         docs.select("source", F.explode(tokenize("text")).alias("keyword"))
         .filter(F.length("keyword") >= 2)

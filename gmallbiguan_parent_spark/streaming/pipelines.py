@@ -1,0 +1,170 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8).
+
+Reference parity (paths under /root/reference):
+- ST1 bounded out-of-orderness watermark: RT/app/dwm2/OrderWideApp2.java:144-167
+- ST5 tumbling event-time windows:        RT/app/dws2/VisitorStatsApp.java:213
+- ST6 keyed state + TTL (UV dedup):       RT/app/dwm2/UV2.java:61-112
+- ST4 CEP jump timeout:                   RT/app/dwm2/UJump2.java:88-137
+- ST7 checkpointing:                      RT/app/dwd2/BaseLogApp2.java:49-53
+
+Streams replay the events parquet as a file source (the Kafka topic
+equivalent — swap `readStream.parquet` for `readStream.format("kafka")`
++ from_json in production; the downstream plan is identical). Every
+query runs with Trigger.availableNow against a checkpoint dir, so runs
+are resumable and sinks idempotent — the Structured Streaming analogue
+of the reference's 5 s checkpoint + transactional producer.
+
+The batch twins in pipelines/ are the semantics oracle: a bounded
+replay through the streaming plan must produce exactly the batch
+answer (asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import dec
+from ..io import load_table
+from ..pipelines.dwm import JUMP_TIMEOUT_S
+
+WINDOW = "10 minutes"
+WATERMARK = "3 seconds"     # ST1: bounded out-of-orderness, 3 s
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream. Schema comes from a batch peek
+    (file sources need an explicit schema); the ns→µs conversion mirrors
+    io.load_table."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file stream sources need a directory: stream the sf_dir filtered
+    # down to the events file.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_visitor_stats(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """ST1+ST5: watermarked tumbling-window visitor stats — the
+    streaming twin of dws.visitor_stats_window. Append-mode parquet
+    sink; windows finalize when the watermark passes their end
+    (exactly the reference's window + bounded-out-of-orderness)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.approx_count_distinct("user_id").alias("uv_approx"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("stt"),
+            F.col("w.end").alias("edt"),
+            "event_type", "pv_ct", "uv_approx", "value_sum",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
+def stream_uv_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """ST6: streaming UV dedup — dropDuplicates on (user_id, day) with a
+    watermark bounding state, the declarative form of the reference's
+    keyed last-visit-date ValueState with 1-day TTL (UV2.java:61-112).
+    State for closed days is evicted by the watermark, exactly like the
+    StateTtlConfig."""
+    ev = _events_stream(spark, sf_dir)
+    firsts = (
+        ev.select("user_id", "event_id", "ts", F.to_date("ts").alias("dt"))
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicates(["user_id", "dt"])
+    )
+    (
+        firsts.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
+def _jump_state_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState body for jump detection: keep the latest
+    pending event per user; when the next event arrives, emit the
+    pending one as a jump iff the gap exceeded the timeout; on
+    event-time timeout (watermark passed pending_ts + timeout), emit as
+    jump. Mirrors the CEP timeout branch (UJump2.java:114-137)."""
+    timeout_us = JUMP_TIMEOUT_S * 1_000_000
+    if state.hasTimedOut:
+        (pending_us, pending_id) = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [key[0]], "event_id": [pending_id], "jump_ts_us": [pending_us]})
+        return
+    rows = pd.concat(list(pdf_iter))
+    rows = rows.sort_values(["ts", "event_id"])
+    out_ids, out_ts = [], []
+    pending = state.get if state.exists else None
+    for ts_val, ev_id in zip(rows["ts"], rows["event_id"]):
+        ts_us = int(ts_val.value // 1000)  # pandas ns → µs
+        if pending is not None:
+            if ts_us - pending[0] > timeout_us:
+                out_ids.append(pending[1])
+                out_ts.append(pending[0])
+            pending = None
+        pending = (ts_us, int(ev_id))
+    if pending is not None:
+        state.update(pending)
+        state.setTimeoutTimestamp(pending[0] // 1000 + JUMP_TIMEOUT_S * 1000)
+    if out_ids:
+        yield pd.DataFrame({"user_id": [key[0]] * len(out_ids), "event_id": out_ids, "jump_ts_us": out_ts})
+
+
+def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """ST4: stateful jump (bounce) detection with event-time timeout via
+    applyInPandasWithState — the custom-stateful-operator escape hatch
+    for semantics plain watermark/window ops can't express. Keyed by
+    user; state = the pending candidate event; timeout = watermark
+    passing candidate_ts + JUMP_TIMEOUT_S."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "event_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _jump_state_fn,
+            outputStructType="user_id long, event_id long, jump_ts_us long",
+            stateStructType="pending_ts_us long, pending_id long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
+def run_stream_to_df(spark: SparkSession, sf_dir: str, runner, out_dir: str | None = None) -> DataFrame:
+    """Run a bounded streaming replay and read the sink back as a batch
+    DataFrame (how tests and the driver consume streaming results)."""
+    out = out_dir or tempfile.mkdtemp(prefix="stream_out_")
+    runner(spark, sf_dir, out)
+    return spark.read.parquet(f"{out}/data")

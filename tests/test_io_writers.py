@@ -1,0 +1,48 @@
+"""Sink-layer semantics (SURVEY.md §2.1 S9/S10): idempotent partition
+overwrite, dim snapshot merge, dynamic sink routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmallbiguan_parent_spark.io import (
+    merge_dim_snapshot,
+    route_to_sinks,
+    write_partition_overwrite,
+)
+
+
+def test_partition_overwrite_is_idempotent_and_partial(spark, tmp_path):
+    path = str(tmp_path / "gold")
+    day1 = spark.createDataFrame([("2024-01-01", 1, 10.0)], "dt string, k long, v double")
+    day2 = spark.createDataFrame([("2024-01-02", 2, 20.0)], "dt string, k long, v double")
+    write_partition_overwrite(day1, path, ["dt"])
+    write_partition_overwrite(day2, path, ["dt"])
+    # replay day1 with corrected value — must replace ONLY day1
+    day1_fixed = spark.createDataFrame([("2024-01-01", 1, 11.0)], "dt string, k long, v double")
+    write_partition_overwrite(day1_fixed, path, ["dt"])
+    # partition columns come back type-inferred (DateType here)
+    got = {(str(r.dt), r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 11.0), ("2024-01-02", 20.0)}
+
+
+def test_merge_dim_snapshot_upserts_by_key(spark, tmp_path):
+    path = str(tmp_path / "dim_user")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    merge_dim_snapshot(spark, v1, path, "id")
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, name string")
+    merge_dim_snapshot(spark, v2, path, "id")
+    got = {(r.id, r.name) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}  # latest-wins per key
+
+
+def test_route_to_sinks_splits_by_sink_table(spark, tmp_path):
+    base = str(tmp_path / "routed")
+    df = spark.createDataFrame(
+        [("dwd_a", 1), ("dwd_a", 2), ("dwd_b", 3)], "sink_table string, payload long"
+    )
+    route_to_sinks(df, base)
+    a = spark.read.parquet(f"{base}/sink_table=dwd_a")
+    b = spark.read.parquet(f"{base}/sink_table=dwd_b")
+    assert sorted(r.payload for r in a.collect()) == [1, 2]
+    assert [r.payload for r in b.collect()] == [3]

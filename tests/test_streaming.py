@@ -1,0 +1,86 @@
+"""Streaming-vs-batch parity (SURVEY.md §2.8): a bounded replay through
+the Structured Streaming plans must reproduce the batch answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmallbiguan_parent_spark.streaming.pipelines import (
+    run_stream_to_df,
+    stream_jump_detect,
+    stream_uv_dedup,
+    stream_visitor_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_visitor_stats_matches_batch(spark, tmp_path):
+    from gmallbiguan_parent_spark.pipelines.dws import visitor_stats_window
+
+    got = run_stream_to_df(spark, SF, stream_visitor_stats, str(tmp_path / "vs"))
+    batch = visitor_stats_window(spark, SF)
+    # Append mode only emits windows the final watermark (max_ts - delay)
+    # has passed — trailing unfinalized windows are legitimately absent.
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    max_us = ev.select(F.max(F.expr("ts div 1000")).alias("m")).collect()[0].m
+    import datetime
+    cutoff = datetime.datetime.utcfromtimestamp(max_us / 1e6) - datetime.timedelta(seconds=3)
+    g = {(r.stt, r.event_type): (r.pv_ct, str(r.value_sum)) for r in got.collect()}
+    b = {
+        (r.stt, r.event_type): (r.pv_ct, str(r.value_sum))
+        for r in batch.collect()
+        if r.edt <= cutoff
+    }
+    assert b.items() <= g.items()
+    extra = set(g) - set(b)
+    assert all(stt > cutoff - datetime.timedelta(minutes=10) for stt, _ in extra)
+
+
+def test_stream_uv_dedup_matches_batch(spark, tmp_path):
+    got = run_stream_to_df(spark, SF, stream_uv_dedup, str(tmp_path / "uv"))
+    # batch twin: one first event per (user, day)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_expected = (
+        ev.select("user_id", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("dt"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_expected
+    assert got.select("user_id", "dt").distinct().count() == n_expected
+
+
+def test_stream_jump_detect_subset_of_batch(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from gmallbiguan_parent_spark.pipelines.dwm import JUMP_TIMEOUT_S
+
+    got = run_stream_to_df(spark, SF, stream_jump_detect, str(tmp_path / "jd"))
+    stream_jumps = {(r.user_id, r.event_id) for r in got.collect()}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn(
+            "is_jump",
+            F.col("next_ts").isNull()
+            | (F.unix_micros("next_ts") - F.unix_micros("ts") > JUMP_TIMEOUT_S * 1_000_000),
+        )
+    )
+    batch_jumps = {(r.user_id, r.event_id) for r in marked.collect() if r.is_jump}
+    # mid-stream jumps must match exactly; each user's LAST event is a
+    # batch-only jump (end-of-data timeout) that an unbounded stream
+    # cannot emit until its watermark passes — allowed to be absent.
+    last_events = {
+        (r.user_id, r.event_id)
+        for r in marked.withColumn("is_last", F.col("next_ts").isNull()).collect()
+        if r.is_last
+    }
+    assert stream_jumps <= batch_jumps
+    assert batch_jumps - stream_jumps <= last_events
+    mid_stream_batch = batch_jumps - last_events
+    assert mid_stream_batch <= stream_jumps
