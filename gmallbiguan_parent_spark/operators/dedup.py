@@ -155,6 +155,86 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 32
+SIMHASH_BUCKET_SHIFT = 24      # bucket = top 8 bits
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per token-hash bit, vote ±1 across
+    the document's distinct tokens; the sign vector packs into a 32-bit
+    fingerprint. Near-identical token multisets land within a few bits
+    of each other, so candidate pairing is hamming distance inside a
+    16-bit prefix bucket — no pairwise scan of the corpus.
+
+    All arithmetic is int64 shifts/masks on the same md5-derived token
+    hashes the minhash path uses, so the DuckDB oracle replays it
+    bit-for-bit."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    )
+    hs = F.transform(
+        toks, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    base = docs.select("doc_id", hs.alias("hs"))
+
+    def bit_vote(i: int):
+        # closure (not a default arg: pyspark builds one lambda variable
+        # per declared parameter, so extra params would break arity)
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    simhash = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        simhash = simhash + (
+            F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return base.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftright(simhash, SIMHASH_BUCKET_SHIFT).alias("bucket"),
+    )
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: same 8-bit simhash prefix bucket AND
+    hamming distance <= 3 (bit_count of xor). The bucket groupBy bounds
+    the pair generation exactly like the minhash band join; at scale
+    multiple rotated prefixes would be unioned to cover all hamming-3
+    splits."""
+    sim = simhash_fingerprint(spark, sf_dir)
+    groups = (
+        sim.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x: F.transform(
+                    F.col("members"),
+                    lambda y: F.struct(
+                        x.doc_id.alias("doc_a"),
+                        y.doc_id.alias("doc_b"),
+                        F.bit_count(x.simhash.bitwiseXOR(y.simhash)).alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.doc_a < p.doc_b,
+    )
+    return (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
 def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document shingle stats (the n-gram Jaccard building block):
     distinct shingle count and a stable sample shingle. Verifies the
@@ -173,7 +253,32 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
+    "simhash_fingerprint": simhash_fingerprint,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
 }
+
+# 32 per-bit ±1 votes over the distinct-token hashes, packed little-endian.
+_DUCK_SIMHASH = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                   t -> t <> '')) AS toks
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+        FROM toks
+    ), sim AS (
+        SELECT doc_id, (%s) AS simhash FROM hashed
+    ), s AS (
+        SELECT doc_id, simhash, simhash >> 24 AS bucket FROM sim
+    )
+""" % " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(32)
+)
 
 # DuckDB replicas of the same algorithms (same md5 hashing, same
 # shingling), so the driver's hash-compare validates the full pipeline.
@@ -238,5 +343,14 @@ ORACLES = {
            list_min(shingles) AS min_shingle,
            list_max(shingles) AS max_shingle
     FROM sh
+    """,
+    "simhash_fingerprint": _DUCK_SIMHASH + """
+    SELECT doc_id, simhash, bucket FROM s
+    """,
+    "simhash_neardup_pairs": _DUCK_SIMHASH + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 }

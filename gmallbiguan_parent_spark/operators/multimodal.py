@@ -1,0 +1,145 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(NotImplementedError, or a deterministic fake for tests) — but all the
+Spark-side plumbing is real and tested: the binary column schema, the
+Arrow-batched mapInPandas operators, the batch shapes, and the
+partitioning strategy.
+
+Design for 100 TB of media:
+- content is an opaque `binary` column rides next to typed metadata
+  (media_type, byte_ct, meta struct) so filters/pruning never touch
+  the payload bytes;
+- feature extraction is mapInPandas (per-partition Arrow batches into
+  pandas) — the only sane shape for Python codec libraries; batch size
+  is governed by spark.sql.execution.arrow.maxRecordsPerBatch;
+- derived features land in narrow sidecar tables keyed by doc_id so
+  downstream joins don't drag blobs through shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table_spread
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, content binary, "
+    "meta struct<char_ct: long, lang: string>"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table from documents: content = UTF-8 bytes
+    of the text (deterministic stand-in for image/audio payloads),
+    media_type derived from the source, meta carries typed metadata."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("text/"), F.col("source")).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.col("n_chars").alias("char_ct"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: per Arrow batch, hash + size the payloads.
+    Pure-python but vectorized per batch — the exact shape a real
+    decoder (PIL/librosa/ffmpeg) would slot into."""
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_ct": content.map(len).astype("int64"),
+                "content_md5": content.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+            }
+        )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction through the real Arrow/pandas path:
+    media table → mapInPandas → narrow (doc_id, byte_ct, md5) sidecar.
+    The oracle recomputes both features from the source text (the
+    payload IS utf-8 text here), validating the full binary round-trip
+    through Arrow."""
+    media = media_table(spark, sf_dir)
+    out = media.mapInPandas(
+        _feature_batches,
+        schema="doc_id long, media_type string, byte_ct long, content_md5 string",
+    )
+    return out
+
+
+def decode_image(content: bytes, *, fake: bool = False) -> dict:
+    """STUB: image decode. Real implementation requires PIL/opencv
+    (absent in this container). fake=True returns a deterministic
+    pseudo-decode used by tests: dimensions derived from the payload
+    hash — stable, content-dependent, codec-free."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not available in this environment"
+        )
+    h = hashlib.md5(content).digest()
+    return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "channels": 3}
+
+
+def frame_sample(content: bytes, n_frames: int, *, fake: bool = False) -> list[bytes]:
+    """STUB: video frame sampling. fake=True slices the payload into
+    n_frames deterministic chunks (stand-ins for decoded frames)."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires ffmpeg bindings; not available in this environment"
+        )
+    if n_frames <= 0 or not content:
+        return []
+    step = max(1, len(content) // n_frames)
+    return [content[i * step : (i + 1) * step] for i in range(min(n_frames, len(content)))]
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str, *, fake: bool = True) -> DataFrame:
+    """Decode-stage plumbing: mapInPandas invoking the (stubbed) decoder
+    per payload, emitting typed image-ish features. Runs with the
+    deterministic fake decoder; a real codec drops in without touching
+    the Spark plan."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = pdf["content"].map(lambda b: decode_image(bytes(b), fake=fake))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda d: d["width"]).astype("int64"),
+                    "height": decoded.map(lambda d: d["height"]).astype("int64"),
+                    "channels": decoded.map(lambda d: d["channels"]).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema="doc_id long, width long, height long, channels long")
+
+
+QUERIES = {
+    "media_features": media_features,
+}
+
+ORACLES = {
+    # payload is utf-8 text, so the oracle recomputes the binary features
+    # from the text itself (md5(text) == md5(utf8 bytes)).
+    "media_features": """
+        SELECT doc_id,
+               'text/' || source AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_ct,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+}

@@ -82,9 +82,76 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the 100 TB scale path): corpus vectors are
+    clustered into inverted lists (here: the label column plays the
+    coarse quantizer's cell id; a real build would k-means it), each
+    list summarized by its centroid. A query probes ONLY its nearest
+    centroid's list — at scale the corpus is partitioned/sorted by cell
+    id, so the probe is a partition-pruned read of ~1/nlist of the data
+    instead of a full scan.
+
+    Centroids are element-wise SUMS in exact decimal (cosine is
+    scale-invariant, so sum ≡ mean — and decimal sums are
+    order-independent, keeping the oracle hash-stable)."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+        F.col("label").alias("cell"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    cent = (
+        corpus.select("cell", F.posexplode("c_emb"))
+        .groupBy("cell", "pos")
+        .agg(F.sum(F.col("col").cast("decimal(18,9)")).alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x.s.cast("double")
+            ).alias("cvec")
+        )
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "cell",
+        F.round(
+            _dot(F.col("q_emb"), F.col("cvec"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cell_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probed = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_emb", F.col("cell").alias("probe_cell"))
+    )
+    scored = corpus.join(
+        F.broadcast(probed), corpus.cell == probed.probe_cell, "inner"
+    ).select(
+        "query_id", "probe_cell", "corpus_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "probe_cell", "rank", "corpus_id", "cosine")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 _DUCK_SCORED = f"""
@@ -109,6 +176,45 @@ _DUCK_SCORED = f"""
 ORACLES = {
     "ann_cosine_topk": _DUCK_SCORED + f"""
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_ivf_topk": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS cell
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cent_e AS (
+        SELECT cell, i.range AS pos,
+               SUM(CAST(c_emb[CAST(i.range AS INTEGER) + 1] AS DECIMAL(18,9))) AS s
+        FROM corpus, range(64) i
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+        FROM cent_e GROUP BY cell
+    ), probe_scored AS (
+        SELECT q.query_id, q.q_emb, c.cell,
+               ROUND(list_dot_product(q.q_emb, c.cvec)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cell_cos,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ROUND(list_dot_product(q.q_emb, c.cvec)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                   c.cell ASC) AS rn
+        FROM queries q CROSS JOIN cent c
+    ), probed AS (
+        SELECT query_id, q_emb, cell AS probe_cell FROM probe_scored WHERE rn = 1
+    ), scored AS (
+        SELECT p.query_id, p.probe_cell, c.corpus_id,
+               ROUND(list_dot_product(p.q_emb, c.c_emb)
+                     / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cosine
+        FROM corpus c JOIN probed p ON c.cell = p.probe_cell
+    ), ranked AS (
+        SELECT query_id, probe_cell, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "knn_label_vote": _DUCK_SCORED + f"""

@@ -20,10 +20,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, multimodal, similarity, text
 from . import analytics, cdc, dwd, dwm, dws, serving, tpch
 
-_MODULES = (dwd, dwm, dws, serving, tpch, cdc, analytics, dedup, similarity, text)
+_MODULES = (dwd, dwm, dws, serving, tpch, cdc, analytics, dedup, similarity, text, multimodal)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,51 @@
+"""Multimodal plumbing: binary schema, Arrow round-trip, decode stubs."""
+
+from __future__ import annotations
+
+import pytest
+
+from gmallbiguan_parent_spark.operators.multimodal import (
+    decode_image,
+    frame_sample,
+    media_decode_features,
+    media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_table_schema(spark):
+    mt = media_table(spark, SF)
+    kinds = dict(mt.dtypes)
+    assert kinds["content"] == "binary"
+    assert kinds["meta"].startswith("struct<")
+    row = mt.filter(mt.doc_id == 0).collect()[0]
+    assert isinstance(bytes(row.content), bytes)
+    assert row.meta.char_ct > 0
+
+
+def test_decode_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    with pytest.raises(NotImplementedError):
+        frame_sample(b"xx", 3)
+
+
+def test_fake_decode_is_deterministic_and_content_dependent():
+    a = decode_image(b"payload-a", fake=True)
+    b = decode_image(b"payload-b", fake=True)
+    assert a == decode_image(b"payload-a", fake=True)
+    assert a != b
+    assert 64 <= a["width"] < 256 and 64 <= a["height"] < 256
+
+    frames = frame_sample(b"0123456789", 3, fake=True)
+    assert len(frames) == 3
+    assert frames[0] == b"012"
+    assert frame_sample(b"", 3, fake=True) == []
+
+
+def test_media_decode_features_through_arrow(spark):
+    feats = media_decode_features(spark, SF)
+    rows = feats.collect()
+    assert len(rows) == spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert all(64 <= r.width < 256 and r.channels == 3 for r in rows)
