@@ -18,22 +18,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # analytical core
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
     "order_wide",
     "product_stats",
     "province_stats",
+    "region_rollup",
+    "topn_orders_per_priority",
+    "running_gmv",
+    # behavior-log / streaming-shaped
     "visitor_stats_window",
     "uv_daily",
     "user_jump",
     "payment_wide",
+    "cdc_route",
     "keyword_stats",
     "keyword_score",
+    # training-data operators
     "minhash_lsh_pairs",
-    "ann_cosine_topk",
-    "text_quality",
+    "simhash_neardup_pairs",
     "dedup_exact",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "token_count",
+    "media_features",
 ]
 
 

@@ -86,10 +86,73 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag() marks session starts, a running sum over the marks assigns
+    session ids — the batch formulation of a streaming session window
+    (F.session_window in the streaming variant). One shuffle on
+    user_id; both window functions reuse the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_S * 1_000_000)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_session = marked.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("ev_ct"),
+        F.min("event_id").alias("entry_event_id"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("session_ct"),
+        F.max("ev_ct").alias("max_session_events"),
+        F.sum("ev_ct").alias("total_events"),
+        F.min("entry_event_id").alias("first_entry_event"),
+    )
+
+
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface (absent in the reference — SURVEY §2.3
+    'no semi/anti joins'; provided as engine capability): customers with
+    no orders via left_anti, rolled up per nation alongside the
+    left_semi active count. Both plan as broadcast joins with the
+    orders key-set as the build side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    keys = orders.select("o_custkey")
+    inactive = cust.join(keys, cust.c_custkey == keys.o_custkey, "left_anti")
+    active = cust.join(keys, cust.c_custkey == keys.o_custkey, "left_semi")
+    merged = (
+        inactive.select("c_nationkey", F.lit(0).alias("is_active"))
+        .unionByName(active.select("c_nationkey", F.lit(1).alias("is_active")))
+    )
+    return (
+        merged.join(F.broadcast(nation), merged.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(F.when(F.col("is_active") == 0, 1).otherwise(0)).alias("inactive_ct"),
+            F.sum(F.when(F.col("is_active") == 1, 1).otherwise(0)).alias("active_ct"),
+        )
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "running_gmv": running_gmv,
     "region_rollup": region_rollup,
+    "sessionize": sessionize,
+    "inactive_customers": inactive_customers,
 }
 
 ORACLES = {
@@ -127,5 +190,47 @@ ORACLES = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "sessionize": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM marked
+        ), sessions AS (
+            SELECT user_id, event_id,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS ev_ct,
+                   CAST(MIN(event_id) AS BIGINT) AS entry_event_id
+            FROM sessions GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS session_ct,
+               CAST(MAX(ev_ct) AS BIGINT) AS max_session_events,
+               CAST(SUM(ev_ct) AS BIGINT) AS total_events,
+               CAST(MIN(entry_event_id) AS BIGINT) AS first_entry_event
+        FROM per_session GROUP BY user_id
+    """,
+    "inactive_customers": """
+        WITH tagged AS (
+            SELECT c_nationkey,
+                   CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                        THEN 1 ELSE 0 END AS is_active
+            FROM customer c
+        )
+        SELECT n.n_name AS nation_name,
+               CAST(SUM(CASE WHEN is_active = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inactive_ct,
+               CAST(SUM(CASE WHEN is_active = 1 THEN 1 ELSE 0 END) AS BIGINT) AS active_ct
+        FROM tagged t JOIN nation n ON t.c_nationkey = n.n_nationkey
+        GROUP BY 1
     """,
 }

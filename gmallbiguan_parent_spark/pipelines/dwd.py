@@ -83,10 +83,69 @@ def is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11+P2+F4: re-serialize / re-parse. The reference formats beans
+    back to JSON strings before Kafka (to_json of struct,
+    RT/app/dwm2/OrderWideApp2.java:328-332) and parses datetime strings
+    into epoch + derived date/hour columns on ingest (OrderInfo bean,
+    RT/app/dwm2/OrderWideApp2.java:104-139). Round-trip: order →
+    formatted create_time string → to_json → from_json → re-parse with
+    to_timestamp → derive create_date / create_hour / create_ts."""
+    orders = load_table(spark, sf_dir, "orders")
+    serialized = orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+                F.col("o_totalprice").alias("total_amount"),
+            )
+        ).alias("payload"),
+    )
+    schema = "id bigint, create_time string, total_amount double"
+    parsed = serialized.select(
+        F.from_json("payload", schema).alias("j")
+    ).select("j.id", "j.create_time", "j.total_amount")
+    enriched = parsed.select(
+        F.col("id").alias("order_id"),
+        F.col("create_time"),
+        F.date_format(F.to_timestamp("create_time"), "yyyy-MM-dd").alias("create_date"),
+        F.hour(F.to_timestamp("create_time")).alias("create_hour"),
+        (F.unix_timestamp(F.to_timestamp("create_time")) * 1000).alias("create_ts"),
+        dec("total_amount").alias("total_amount"),
+    )
+    return enriched.groupBy("create_date").agg(
+        F.count("*").alias("order_ct"),
+        F.min("create_ts").alias("min_ts"),
+        F.sum("total_amount").cast("decimal(18,4)").alias("amount_sum"),
+    )
+
+
+def order_age_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: the reference's 365-day-year age arithmetic
+    (RT/app/dwm2/OrderWideApp2.java:199-219), applied to order age as of
+    a fixed date (wall-clock pinned for determinism, SURVEY §7.5.7):
+    floor(datediff(asof, o_orderdate)/365)."""
+    from ..functions import age_years
+
+    orders = load_table(spark, sf_dir, "orders")
+    asof = F.lit("2026-01-01").cast("date")
+    return (
+        orders.withColumn("age_years", age_years(F.col("o_orderdate"), asof))
+        .groupBy("age_years")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("amount_sum"),
+        )
+    )
+
+
 QUERIES = {
     "json_parse_props": json_parse_props,
     "log_split": log_split,
     "is_new_repair": is_new_repair,
+    "json_roundtrip": json_roundtrip,
+    "order_age_summary": order_age_summary,
 }
 
 ORACLES = {
@@ -124,5 +183,30 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS pv_ct,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct
         FROM repaired GROUP BY 1, 2
+    """,
+    "json_roundtrip": """
+        WITH parsed AS (
+            SELECT o_orderkey AS order_id,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+                   o_totalprice AS total_amount
+            FROM orders
+        ), enriched AS (
+            SELECT order_id,
+                   strftime(strptime(create_time, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS create_date,
+                   CAST(epoch(strptime(create_time, '%Y-%m-%d %H:%M:%S')) * 1000 AS BIGINT) AS create_ts,
+                   CAST(total_amount AS DECIMAL(18,4)) AS total_amount
+            FROM parsed
+        )
+        SELECT create_date,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               CAST(MIN(create_ts) AS BIGINT) AS min_ts,
+               CAST(SUM(total_amount) AS DECIMAL(18,4)) AS amount_sum
+        FROM enriched GROUP BY 1
+    """,
+    "order_age_summary": """
+        SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') / 365.0) AS BIGINT) AS age_years,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS amount_sum
+        FROM orders GROUP BY 1
     """,
 }
