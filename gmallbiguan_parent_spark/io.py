@@ -34,6 +34,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     see identical values."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive: results are oracle-compared against DuckDB's naive
+    # timestamps — a non-UTC session would shift every date/hour
+    # derivation. Runtime-settable, so pin it on every load.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # Defensive: the driver may pass a session built without this
+        # config; it is settable at runtime and required to read the
+        # TIMESTAMP(NANOS) column at all.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
