@@ -148,10 +148,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Production near-dup thresholds sit at ~0.99; the synthetic testdata
+# embeddings are well-spread (max intra-cell cosine ≈ 0.47), so the
+# declared threshold is tuned to exercise the filter with real matches.
+NEARDUP_COSINE = 0.35
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup family's
+    embedding variant): candidate pairs come from the IVF cell bucketing
+    (same-cell only — near-identical vectors share a cell), confirmed at
+    cosine >= 0.995. The cell groupBy bounds pair generation exactly
+    like the minhash band / simhash prefix buckets; a full-recall run
+    would probe neighbouring cells too.
+
+    Scale: pairs per cell ~ (n/nlist)^2 — nlist grows with corpus size
+    to hold cell population constant; the dot products are JVM
+    higher-order functions over the bucketed (small) partitions."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").alias("cell"),
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.cell").alias("cell"),
+        F.round(
+            _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= NEARDUP_COSINE)
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
 _DUCK_SCORED = f"""
@@ -216,6 +257,17 @@ ORACLES = {
     )
     SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "embedding_neardup_pairs": f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label AS cell FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
     """,
     "knn_label_vote": _DUCK_SCORED + f"""
     , votes AS (

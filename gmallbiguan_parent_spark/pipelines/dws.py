@@ -142,12 +142,26 @@ def keyword_c2r_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-to-column pivot (the inverse of the U2 unpivot): daily event
+    counts pivoted into one column per event type. Explicit pivot values
+    keep the plan single-pass (no distinct-values pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("dt"))
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
 QUERIES = {
     "visitor_stats_window": visitor_stats_window,
     "province_stats": province_stats,
     "product_stats": product_stats,
     "keyword_stats": keyword_stats,
     "keyword_c2r_stack": keyword_c2r_stack,
+    "event_type_pivot": event_type_pivot,
 }
 
 ORACLES = {
@@ -196,6 +210,15 @@ ORACLES = {
         )
         WHERE length(keyword) >= 2
         GROUP BY keyword, source
+    """,
+    "event_type_pivot": """
+        SELECT CAST(ts AS DATE) AS dt,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        FROM events GROUP BY 1
     """,
     "keyword_c2r_stack": """
         WITH daily AS (
