@@ -162,6 +162,48 @@ def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """ST1+J2 streaming twin: watermarked stream-stream interval join —
+    purchases join the same user's preceding view/click within 30 min
+    (the reference's payment⋈order_wide intervalJoin,
+    RT/app/dwm2/PaymentWideApp2.java:70-82). The time-range condition
+    bounds both sides' state exactly like Flink's interval bounds; the
+    watermark evicts expired state."""
+    ev = _events_stream(spark, sf_dir)
+    pay = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pay_id"),
+            F.col("user_id").alias("pay_user"),
+            F.col("ts").alias("pay_ts"),
+        )
+        .withWatermark("pay_ts", WATERMARK)
+    )
+    act = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("event_id").alias("act_id"),
+            F.col("user_id").alias("act_user"),
+            F.col("ts").alias("act_ts"),
+        )
+        .withWatermark("act_ts", "1801 seconds")
+    )
+    joined = pay.join(
+        act,
+        (F.col("pay_user") == F.col("act_user"))
+        & (F.col("act_ts") <= F.col("pay_ts"))
+        & (F.col("act_ts") >= F.col("pay_ts") - F.expr("INTERVAL 30 MINUTES") + F.expr("INTERVAL 1 MICROSECOND")),
+        "inner",
+    ).select("pay_id", "pay_user", "pay_ts", "act_id", "act_ts")
+    (
+        joined.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
 def run_stream_to_df(spark: SparkSession, sf_dir: str, runner, out_dir: str | None = None) -> DataFrame:
     """Run a bounded streaming replay and read the sink back as a batch
     DataFrame (how tests and the driver consume streaming results)."""

@@ -50,6 +50,31 @@ def test_stream_uv_dedup_matches_batch(spark, tmp_path):
     assert got.select("user_id", "dt").distinct().count() == n_expected
 
 
+def test_stream_payment_wide_matches_batch_join(spark, tmp_path):
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_payment_wide
+
+    got = run_stream_to_df(spark, SF, stream_payment_wide, str(tmp_path / "pw"))
+    stream_pairs = {(r.pay_id, r.act_id) for r in got.collect()}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    pay = ev.filter(ev.event_type == "purchase").select(
+        F.col("event_id").alias("pay_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    act = ev.filter(ev.event_type.isin("view", "click")).select(
+        F.col("event_id").alias("act_id"), F.col("user_id").alias("au"), F.col("ts").alias("ats")
+    )
+    batch = pay.join(
+        act,
+        (F.col("pu") == F.col("au"))
+        & (F.col("ats") <= F.col("pts"))
+        & (F.unix_micros("ats") > F.unix_micros("pts") - 1800 * 1_000_000),
+    )
+    batch_pairs = {(r.pay_id, r.act_id) for r in batch.collect()}
+    assert stream_pairs == batch_pairs
+
+
 def test_stream_jump_detect_subset_of_batch(spark, tmp_path):
     from pyspark.sql import Window
 
