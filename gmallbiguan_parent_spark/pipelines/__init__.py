@@ -20,10 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, similarity, sketches, text
 from . import analytics, cdc, dwd, dwm, dws, serving, tpch
 
-_MODULES = (dwd, dwm, dws, serving, tpch, cdc, analytics, dedup, similarity, text, multimodal)
+_MODULES = (
+    dwd, dwm, dws, serving, tpch, cdc, analytics,
+    dedup, similarity, text, multimodal, sketches,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
