@@ -30,10 +30,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions import dec
 from ..io import load_table
-from ..pipelines.dwm import JUMP_TIMEOUT_S
 
 WINDOW = "10 minutes"
 WATERMARK = "3 seconds"     # ST1: bounded out-of-orderness, 3 s
+# Same timeout as pipelines.dwm.JUMP_TIMEOUT_S; duplicated literal
+# because this module is unpickled on Python workers, where importing
+# the pipelines package would recurse back into streaming (circular).
+JUMP_TIMEOUT_S = 600
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

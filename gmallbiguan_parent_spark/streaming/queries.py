@@ -1,0 +1,100 @@
+"""Streaming queries exposed through the driver contract: each runs a
+bounded Structured Streaming replay inside the call and returns the
+materialized result as a batch DataFrame, so the driver's oracle gate
+hash-checks STREAMING semantics, not just batch twins.
+
+- stream_visitor_stats_q: complete-mode windowed aggregation → memory
+  sink. Complete mode re-emits every window, so a bounded replay equals
+  the batch answer exactly (oracle-checked). Distinct counts are not
+  legal inside streaming aggs — pv/value measures only.
+- stream_uv_dedup_q: watermarked dropDuplicates on (user, day) → the
+  distinct key set (oracle-checked).
+- stream_jump_detect_q: applyInPandasWithState with event-time timeout —
+  genuinely non-SQL-expressible custom stateful operator (rows-only
+  driver check; exact-parity assertions live in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec
+from .pipelines import WINDOW, _events_stream, run_stream_to_df, stream_jump_detect
+
+
+def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "3 seconds")
+        .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("stt"),
+            F.col("w.end").alias("edt"),
+            "event_type", "pv_ct", "value_sum",
+        )
+    )
+    name = f"vsq_{uuid.uuid4().hex[:10]}"
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_vsq_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
+def stream_uv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    firsts = (
+        ev.select("user_id", F.to_date("ts").alias("dt"), "ts")
+        .withWatermark("ts", "3 seconds")
+        .dropDuplicates(["user_id", "dt"])
+        .select("user_id", "dt")
+    )
+    out = tempfile.mkdtemp(prefix="uvq_")
+    (
+        firsts.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_chk")
+        .start(f"{out}/data")
+        .awaitTermination()
+    )
+    return spark.read.parquet(f"{out}/data")
+
+
+def stream_jump_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_df(spark, sf_dir, stream_jump_detect)
+
+
+QUERIES = {
+    "stream_visitor_stats": stream_visitor_stats_q,
+    "stream_uv_dedup": stream_uv_dedup_q,
+    "stream_jump_detect": stream_jump_detect_q,
+}
+
+ORACLES = {
+    "stream_visitor_stats": """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS edt,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "stream_uv_dedup": """
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events
+    """,
+    # stream_jump_detect: intentionally no oracle (custom stateful
+    # operator with event-time timeout; rows-only check).
+}
