@@ -155,13 +155,125 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def visitor_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1's complete DAG (SURVEY §3): the reference unions FOUR
+    differently-shaped streams — page views (pv + dwell), unique
+    visitors (uv), session entries (sv), jumps (uj) — into one
+    VisitorStats schema, then windows and sums
+    (RT/app/dws2/VisitorStatsApp.java:91-240). Here each source is a
+    projection of one cached events scan (uv/sv/uj derive from window
+    functions over user,ts), zero-filled to the common schema,
+    unionByName'd, and aggregated per 10-minute tumble. Two shuffles
+    total: the user_id window partition and the final window groupBy."""
+    from pyspark.sql import Window
+
+    from .dwm import JUMP_TIMEOUT_S
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", F.to_date("ts").alias("dt")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wday = Window.partitionBy("user_id", "dt").orderBy("ts", "event_id")
+    marked = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .withColumn("rn_day", F.row_number().over(wday))
+    )
+
+    def z(pv, uv, sv, uj, dur):
+        return [
+            F.lit(pv).alias("pv_ct") if isinstance(pv, int) else pv.alias("pv_ct"),
+            F.lit(uv).alias("uv_ct") if isinstance(uv, int) else uv.alias("uv_ct"),
+            F.lit(sv).alias("sv_ct") if isinstance(sv, int) else sv.alias("sv_ct"),
+            F.lit(uj).alias("uj_ct") if isinstance(uj, int) else uj.alias("uj_ct"),
+            F.lit(dur).alias("dur_sum") if isinstance(dur, int) else dur.alias("dur_sum"),
+        ]
+
+    pv = marked.select("ts", *z(1, 0, 0, 0, dec("value")))
+    uv = marked.filter(F.col("rn_day") == 1).select("ts", *z(0, 1, 0, 0, F.lit(0).cast(
+        "decimal(18,4)")))
+    sv = marked.filter(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > JUMP_TIMEOUT_S * 1_000_000)
+    ).select("ts", *z(0, 0, 1, 0, F.lit(0).cast("decimal(18,4)")))
+    uj = marked.filter(
+        F.col("next_ts").isNull()
+        | (F.unix_micros("next_ts") - F.unix_micros("ts") > JUMP_TIMEOUT_S * 1_000_000)
+    ).select("ts", *z(0, 0, 0, 1, F.lit(0).cast("decimal(18,4)")))
+
+    union = pv.unionByName(uv).unionByName(sv).unionByName(uj)
+    return (
+        union.groupBy(F.window("ts", WINDOW).alias("w"))
+        .agg(
+            F.sum("pv_ct").alias("pv_ct"),
+            F.sum("uv_ct").alias("uv_ct"),
+            F.sum("sv_ct").alias("sv_ct"),
+            F.sum("uj_ct").alias("uj_ct"),
+            F.sum("dur_sum").cast("decimal(18,4)").alias("dur_sum"),
+        )
+        .select(
+            F.col("w.start").alias("stt"),
+            F.col("w.end").alias("edt"),
+            "pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum",
+        )
+    )
+
+
+def keyword_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1×U2 composition — the keyword-4-product pipeline
+    (RT/app/dws2/KeywordStats4ProductApp.java:51-62): per-product
+    measures are unpivoted into (source, ct) rows (the C2R UDTF), the
+    product NAME is tokenized and exploded (the ik_analyze UDTF), and
+    the double lateral yields per-(keyword, source) totals. Aggregate
+    runs BEFORE the explode so the generators operate on the small
+    per-part aggregate, not raw lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("order_ct"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))).alias("refund_ct"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_ct"),
+    )
+    named = per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey, "inner")
+    stacked = named.select(
+        "p_name",
+        F.expr("stack(3, 'ORDER', order_ct, 'REFUND', refund_ct, 'QTY', qty_ct) AS (source, ct)"),
+    ).filter(F.col("ct") > 0)
+    exploded = stacked.select(F.explode(tokenize("p_name")).alias("keyword"), "source", "ct")
+    return exploded.groupBy("keyword", "source").agg(F.sum("ct").alias("ct"))
+
+
+def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3's SQL entry path: the reference's province stats is literally
+    Flink SQL (RT/app/dws2/ProvinceStatsSqlApp.java:65-80); here the
+    same statement runs through spark.sql over registered views —
+    Catalyst produces the identical plan to the DataFrame form
+    (province_stats), demonstrating the dual API surface."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_nationkey AS province_id,
+               n.n_name AS province_name,
+               COUNT(DISTINCT o.o_orderkey) AS order_count,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_nationkey, n.n_name
+    """)
+
+
 QUERIES = {
     "visitor_stats_window": visitor_stats_window,
+    "province_stats_sql": province_stats_sql,
     "province_stats": province_stats,
     "product_stats": product_stats,
     "keyword_stats": keyword_stats,
     "keyword_c2r_stack": keyword_c2r_stack,
     "event_type_pivot": event_type_pivot,
+    "visitor_stats_full": visitor_stats_full,
+    "keyword_product_stats": keyword_product_stats,
 }
 
 ORACLES = {
@@ -173,6 +285,16 @@ ORACLES = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
         FROM events GROUP BY 1, 2, 3
+    """,
+    "province_stats_sql": """
+        SELECT n.n_nationkey AS province_id,
+               n.n_name AS province_name,
+               CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_count,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount
+        FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
     """,
     "province_stats": """
         SELECT n.n_nationkey AS province_id,
@@ -210,6 +332,58 @@ ORACLES = {
         )
         WHERE length(keyword) >= 2
         GROUP BY keyword, source
+    """,
+    "visitor_stats_full": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts, value, CAST(ts AS DATE) AS dt,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn_day
+            FROM events
+        ), unioned AS (
+            SELECT ts, 1 AS pv_ct, 0 AS uv_ct, 0 AS sv_ct, 0 AS uj_ct,
+                   CAST(value AS DECIMAL(18,4)) AS dur_sum
+            FROM marked
+            UNION ALL
+            SELECT ts, 0, 1, 0, 0, CAST(0 AS DECIMAL(18,4)) FROM marked WHERE rn_day = 1
+            UNION ALL
+            SELECT ts, 0, 0, 1, 0, CAST(0 AS DECIMAL(18,4)) FROM marked
+            WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600 * 1000000
+            UNION ALL
+            SELECT ts, 0, 0, 0, 1, CAST(0 AS DECIMAL(18,4)) FROM marked
+            WHERE next_ts IS NULL OR epoch_us(next_ts) - epoch_us(ts) > 600 * 1000000
+        )
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS edt,
+               CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+               CAST(SUM(uv_ct) AS BIGINT) AS uv_ct,
+               CAST(SUM(sv_ct) AS BIGINT) AS sv_ct,
+               CAST(SUM(uj_ct) AS BIGINT) AS uj_ct,
+               CAST(SUM(dur_sum) AS DECIMAL(18,4)) AS dur_sum
+        FROM unioned GROUP BY 1, 2
+    """,
+    "keyword_product_stats": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS order_ct,
+                   CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END) AS BIGINT) AS refund_ct,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_ct
+            FROM lineitem GROUP BY 1
+        ), named AS (
+            SELECT p.p_name, a.order_ct, a.refund_ct, a.qty_ct
+            FROM per_part a JOIN part p ON a.l_partkey = p.p_partkey
+        ), stacked AS (
+            SELECT p_name, 'ORDER' AS source, order_ct AS ct FROM named
+            UNION ALL SELECT p_name, 'REFUND', refund_ct FROM named
+            UNION ALL SELECT p_name, 'QTY', qty_ct FROM named
+        ), exploded AS (
+            SELECT unnest(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> '')) AS keyword,
+                   source, ct
+            FROM stacked WHERE ct > 0
+        )
+        SELECT keyword, source, CAST(SUM(ct) AS BIGINT) AS ct
+        FROM exploded GROUP BY 1, 2
     """,
     "event_type_pivot": """
         SELECT CAST(ts AS DATE) AS dt,
