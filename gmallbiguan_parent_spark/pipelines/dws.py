@@ -264,8 +264,30 @@ def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def visitor_stats_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the fine-grained 10-minute
+    gold windows re-aggregate into hourly buckets — the continuous-
+    aggregate coarsening a serving layer runs on a windowed store.
+    Additive measures (pv, value_sum) roll up exactly; distinct counts
+    intentionally do NOT (uv is re-derived, matching the reference
+    re-querying ClickHouse per granularity)."""
+    fine = visitor_stats_window(spark, sf_dir)
+    return (
+        fine.groupBy(
+            F.date_trunc("hour", F.col("stt")).alias("hr"),
+            "event_type",
+        )
+        .agg(
+            F.sum("pv_ct").alias("pv_ct"),
+            F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
+            F.count("*").alias("window_ct"),
+        )
+    )
+
+
 QUERIES = {
     "visitor_stats_window": visitor_stats_window,
+    "visitor_stats_rollup_hour": visitor_stats_rollup_hour,
     "province_stats_sql": province_stats_sql,
     "province_stats": province_stats,
     "product_stats": product_stats,
@@ -285,6 +307,20 @@ ORACLES = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
         FROM events GROUP BY 1, 2, 3
+    """,
+    "visitor_stats_rollup_hour": """
+        WITH fine AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS pv_ct,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
+            FROM events GROUP BY 1, 2
+        )
+        SELECT date_trunc('hour', stt) AS hr, event_type,
+               CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+               CAST(SUM(value_sum) AS DECIMAL(18,4)) AS value_sum,
+               CAST(COUNT(*) AS BIGINT) AS window_ct
+        FROM fine GROUP BY 1, 2
     """,
     "province_stats_sql": """
         SELECT n.n_nationkey AS province_id,
