@@ -1,0 +1,118 @@
+"""Scale probe: replicate the sf0.1 testdata 10x (shifted keys, written
+as multi-file splittable parquet under /tmp) and measure headline
+queries at both scales. Writes SCALE.md with the sf0.1 -> ~sf1 scaling
+factors — the empirical leg of the 100 TB design argument.
+
+Replication shifts every key (event/order/doc/vec ids, users) so
+cardinalities grow 10x too — aggregation/join/dedup state scales, not
+just row counts. Dims (region/nation/customer/supplier/part) stay
+as-is, matching how dims grow far slower than facts in production.
+
+Usage: python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_sf1"
+COPIES = 10
+
+PROBE_QUERIES = [
+    "pricing_summary",
+    "order_wide",
+    "province_stats",
+    "visitor_stats_window",
+    "uv_daily",
+    "payment_wide",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "text_quality",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.io import TABLES, load_table
+
+    shutil.rmtree(DST, ignore_errors=True)
+    shifts = {
+        "events": {"event_id": 10_000_000, "user_id": 10_000},
+        "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
+        "lineitem": {"l_orderkey": 10_000_000},
+        "documents": {"doc_id": 1_000_000},
+        "embeddings": {"vec_id": 1_000_000},
+    }
+    for name in TABLES:
+        df = load_table(spark, SRC, name)
+        if name in shifts:
+            copies = []
+            for i in range(COPIES):
+                c = df
+                for col, step in shifts[name].items():
+                    if step:
+                        c = c.withColumn(col, F.col(col) + F.lit(i * step))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            # multi-file, splittable — unlike the single-row-group source
+            out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        else:
+            df.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from gmallbiguan_parent_spark.pipelines import all_queries
+
+    qs = all_queries()
+    times = {}
+    for name in PROBE_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 2)
+        print(f"# {sf_dir} {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    return times
+
+
+def main() -> None:
+    from gmallbiguan_parent_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.range(1000).count()
+    t0 = time.time()
+    build(spark)
+    build_s = round(time.time() - t0, 1)
+
+    small = run(spark, SRC)
+    big = run(spark, DST)
+
+    lines = [
+        "# SCALE — 10x scale probe",
+        "",
+        f"10x-replicated sf0.1 (shifted keys, 32-file splittable parquet; built in {build_s}s)",
+        "vs the single-file sf0.1 source. A factor near (or below) 10 means the",
+        "operator scales linearly with full parallelism engaged; factors well under",
+        "10 reflect the single-row-group source file serializing the small run.",
+        "",
+        "| query | sf0.1 s | 10x s | factor |",
+        "|---|---|---|---|",
+    ]
+    for name in PROBE_QUERIES:
+        f = round(big[name] / small[name], 1) if small[name] > 0 else float("nan")
+        lines.append(f"| {name} | {small[name]} | {big[name]} | {f}x |")
+    with open("/root/repo/SCALE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({"sf0.1": small, "10x": big}))
+
+
+if __name__ == "__main__":
+    main()
