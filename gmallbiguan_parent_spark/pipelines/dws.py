@@ -264,6 +264,27 @@ def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def visitor_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10-minute width, 5-minute slide) —
+    the window type the reference never uses (SURVEY ST5: tumbling
+    only), provided as engine capability. Each event lands in exactly
+    two overlapping windows; the oracle reproduces that as the union of
+    two phase-shifted tumbling families."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("stt"),
+            F.col("w.end").alias("edt"),
+            "event_type", "pv_ct", "value_sum",
+        )
+    )
+
+
 def visitor_stats_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical rollup: the fine-grained 10-minute
     gold windows re-aggregate into hourly buckets — the continuous-
@@ -287,6 +308,7 @@ def visitor_stats_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "visitor_stats_window": visitor_stats_window,
+    "visitor_stats_sliding": visitor_stats_sliding,
     "visitor_stats_rollup_hour": visitor_stats_rollup_hour,
     "province_stats_sql": province_stats_sql,
     "province_stats": province_stats,
@@ -307,6 +329,19 @@ ORACLES = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_ct,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
         FROM events GROUP BY 1, 2, 3
+    """,
+    "visitor_stats_sliding": """
+        WITH phased AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt, event_type, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS stt,
+                   event_type, value
+            FROM events
+        )
+        SELECT stt, stt + INTERVAL '10 minutes' AS edt, event_type,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
+        FROM phased GROUP BY 1, 2, 3
     """,
     "visitor_stats_rollup_hour": """
         WITH fine AS (

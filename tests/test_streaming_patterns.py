@@ -1,0 +1,90 @@
+"""Streaming patterns beyond the per-query parity tests: session
+windows, and the canonical foreachBatch idempotent-gold + per-batch
+config re-read pattern (the reference's 5 s config poll, SURVEY §7.5.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmallbiguan_parent_spark.io import write_partition_overwrite
+from gmallbiguan_parent_spark.streaming.pipelines import _events_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_session_window_streaming_matches_batch_sessionize(spark, tmp_path):
+    """F.session_window (30-min gap) on a bounded replay must produce
+    the same per-user session count as the batch lag/running-sum
+    formulation (analytics.sessionize)."""
+    from gmallbiguan_parent_spark.pipelines.analytics import sessionize
+
+    ev = _events_stream(spark, SF)
+    agg = (
+        ev.withWatermark("ts", "3 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("ev_ct"))
+    )
+    out = str(tmp_path / "sessions")
+    (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_chk")
+        .start(f"{out}/data")
+        .awaitTermination()
+    )
+    got = spark.read.parquet(f"{out}/data")
+    stream_counts = {
+        r.user_id: r.sessions
+        for r in got.groupBy("user_id").agg(F.count("*").alias("sessions")).collect()
+    }
+    batch = {r.user_id: r.session_ct for r in sessionize(spark, SF).collect()}
+    # append mode withholds each user's final (never-closed) session
+    for user, ct in batch.items():
+        assert stream_counts.get(user, 0) in (ct, ct - 1), (user, ct, stream_counts.get(user))
+    emitted = sum(stream_counts.values())
+    total = sum(batch.values())
+    assert emitted >= total - len(batch)
+
+
+def test_foreachbatch_idempotent_gold_with_config_reread(spark, tmp_path):
+    """foreachBatch = the streaming home for (a) idempotent partition
+    overwrite and (b) per-microbatch config re-read. Run the same
+    bounded replay twice with a config change between runs: the gold
+    table must show no duplicates and must follow the new config."""
+    gold = str(tmp_path / "gold")
+    config = {"included_types": ["view", "click"]}
+
+    def make_batch_fn(cfg):
+        def fn(batch_df, batch_id):
+            # per-batch config read (the 5 s poll equivalent)
+            included = cfg["included_types"]
+            daily = (
+                batch_df.filter(F.col("event_type").isin(*included))
+                .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+                .agg(F.count("*").alias("pv_ct"))
+            )
+            write_partition_overwrite(daily, gold, ["dt"])
+        return fn
+
+    def run_once():
+        ev = _events_stream(spark, SF)
+        (
+            ev.writeStream.foreachBatch(make_batch_fn(config))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"chk_{config['included_types'][0]}_{len(config['included_types'])}"))
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    first = {r.dt: r.pv_ct for r in spark.read.parquet(gold).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    expected = ev.filter(F.col("event_type").isin("view", "click")).count()
+    assert sum(first.values()) == expected
+
+    # config changes; replay overwrites the same day partitions idempotently
+    config["included_types"] = ["purchase"]
+    run_once()
+    second = {r.dt: r.pv_ct for r in spark.read.parquet(gold).collect()}
+    expected2 = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(second.values()) == expected2
