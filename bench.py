@@ -36,6 +36,8 @@ HEADLINE = [
     "cdc_route",
     "keyword_stats",
     "keyword_score",
+    "asof_purchase_context",
+    "visitor_stats_full",
     # training-data operators
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
