@@ -83,6 +83,48 @@ def is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_behavior_log(logs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """P5 on the reference's true nested log shape (FIXTURES.md §1,
+    sample records RT/app/dwd2/BaseLogApp2.java:172-191): one parsed
+    log DataFrame with `start`/`page` structs and a `displays` array
+    splits into the three DWD outputs:
+
+      start   — rows with a non-null start struct
+      page    — rows with a page struct (the main stream)
+      display — one row per displays[i], annotated with its page_id
+                (the reference injects page_id into each display)
+
+    Three filtered projections of ONE input; Catalyst shares the scan.
+    The display branch is explode() — the F2/array side-output path."""
+    start = logs.filter(F.col("start").isNotNull()).select(
+        F.col("common.mid").alias("mid"), F.col("start.entry").alias("entry"), "ts"
+    )
+    page = logs.filter(F.col("start").isNull() & F.col("page").isNotNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.col("page.during_time").alias("during_time"),
+        "ts",
+    )
+    display = (
+        logs.filter(F.col("displays").isNotNull())
+        .select(
+            F.col("common.mid").alias("mid"),
+            F.col("page.page_id").alias("page_id"),
+            F.explode("displays").alias("d"),
+            "ts",
+        )
+        .select(
+            "mid", "page_id",
+            F.col("d.item").alias("item"),
+            F.col("d.item_type").alias("item_type"),
+            F.col("d.order").alias("display_order"),
+            "ts",
+        )
+    )
+    return start, page, display
+
+
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11+P2+F4: re-serialize / re-parse. The reference formats beans
     back to JSON strings before Kafka (to_json of struct,

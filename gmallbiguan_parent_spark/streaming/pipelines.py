@@ -165,6 +165,55 @@ def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def _is_new_state_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState body for the new/old-visitor repair (P8):
+    keyed ValueState holds the user's first-visit date; events on that
+    date keep is_new='1', later dates are rewritten to '0'
+    (RT/app/dwd2/BaseLogApp2.java:71-113, documented intent)."""
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    first_dt = state.get[0] if state.exists else None
+    dts = rows["ts"].dt.strftime("%Y-%m-%d")
+    if first_dt is None:
+        first_dt = dts.iloc[0]
+        state.update((first_dt,))
+    yield pd.DataFrame(
+        {
+            "user_id": rows["user_id"],
+            "event_id": rows["event_id"],
+            "dt": dts,
+            "is_new": (dts == first_dt).map(lambda b: "1" if b else "0"),
+        }
+    )
+
+
+def stream_is_new_repair(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """ST6+P8 streaming variant: per-user first-visit-date keyed state
+    rewrites the is_new flag in flight."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "event_id", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _is_new_state_fn,
+            outputStructType="user_id long, event_id long, dt string, is_new string",
+            stateStructType="first_dt string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
 def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """ST1+J2 streaming twin: watermarked stream-stream interval join —
     purchases join the same user's preceding view/click within 30 min

@@ -50,6 +50,27 @@ def test_stream_uv_dedup_matches_batch(spark, tmp_path):
     assert got.select("user_id", "dt").distinct().count() == n_expected
 
 
+def test_stream_is_new_repair_matches_batch(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_is_new_repair
+
+    got = run_stream_to_df(spark, SF, stream_is_new_repair, str(tmp_path / "inr"))
+    stream_flags = {r.event_id: r.is_new for r in got.collect()}
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    w = Window.partitionBy("user_id")
+    batch = (
+        ev.select("user_id", "event_id", F.to_date("ts").alias("dt"))
+        .withColumn("first_dt", F.min("dt").over(w))
+        .withColumn("is_new", F.when(F.col("dt") == F.col("first_dt"), "1").otherwise("0"))
+    )
+    batch_flags = {r.event_id: r.is_new for r in batch.collect()}
+    assert stream_flags == batch_flags
+
+
 def test_stream_payment_wide_matches_batch_join(spark, tmp_path):
     from gmallbiguan_parent_spark.streaming.pipelines import stream_payment_wide
 
