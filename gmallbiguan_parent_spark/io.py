@@ -73,10 +73,12 @@ def merge_dim_snapshot(spark: SparkSession, updates: DataFrame, path: str, key: 
     union the updates, overwrite. At scale this becomes a Delta/Iceberg
     MERGE INTO; the call-site contract (idempotent upsert by key) is the
     same."""
+    from pyspark.errors import AnalysisException
+
     try:
         current = spark.read.parquet(path)
         merged = current.join(updates, on=key, how="left_anti").unionByName(updates)
-    except Exception:  # first write — no snapshot yet
+    except AnalysisException:  # first write — no snapshot yet
         merged = updates
     # Rebuild snapshot via a temp dir to avoid reading+overwriting the
     # same files in one job.
