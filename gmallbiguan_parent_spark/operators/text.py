@@ -117,11 +117,32 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation readout: documents ranked into quality deciles (ntile
+    over the stopword-ratio score, doc_id tiebreak) with per-bucket
+    corpus stats — the 'keep the top-N% of the corpus' primitive of a
+    training-data pipeline."""
+    from pyspark.sql import Window
+
+    scored = text_quality(spark, sf_dir)
+    w = Window.orderBy(F.desc("stopword_ratio"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("doc_ct"),
+            F.sum("token_ct").alias("token_sum"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "quality_buckets": quality_buckets,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -150,6 +171,28 @@ ORACLES = {
                CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
                     / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_token_len
         FROM t
+    """,
+    "quality_buckets": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS token_ct,
+                   CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
+                        / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stopword_ratio
+            FROM t
+        ), ranked AS (
+            SELECT doc_id, token_ct,
+                   NTILE(10) OVER (ORDER BY stopword_ratio DESC, doc_id ASC) AS decile
+            FROM scored
+        )
+        SELECT CAST(decile AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(token_ct) AS BIGINT) AS token_sum,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM ranked GROUP BY 1
     """,
     "lang_id": """
         WITH t AS (

@@ -1,0 +1,36 @@
+"""Driver-contract invariants (no Spark needed): every oracle key maps
+to a query, bench headline names exist, names are unique and stable."""
+
+from __future__ import annotations
+
+
+def test_every_oracle_has_a_query():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    orphans = set(os_) - set(qs)
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_queries_without_oracle_are_the_declared_exceptions():
+    import __spark_entry__ as e
+
+    missing = set(e.queries()) - set(e.oracle_sql())
+    # rows-only by design: engine-specific sketches & custom stateful op
+    assert missing == {"approx_distinct_stats", "stream_jump_detect"}
+
+
+def test_bench_headline_names_resolve():
+    import bench
+
+    import __spark_entry__ as e
+
+    unknown = set(bench.HEADLINE) - set(e.queries())
+    assert not unknown, f"bench names not in queries(): {unknown}"
+
+
+def test_query_names_are_stable_identifiers():
+    import __spark_entry__ as e
+
+    for name in e.queries():
+        assert name.isidentifier() and name == name.lower()
