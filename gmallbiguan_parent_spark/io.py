@@ -98,6 +98,54 @@ def jvm_fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     fs.rename(jvm.org.apache.hadoop.fs.Path(src), dst_p)
 
 
+def apply_cdc_to_dim(spark: SparkSession, cdc: DataFrame, path: str, key: str) -> None:
+    """Apply a CDC batch to a dim snapshot with full op semantics:
+    insert/update (and Maxwell's bootstrap-insert) upsert by key,
+    delete removes the key. Last op per key within the batch wins
+    (ordered by the `ts` column). The reference's DimSink only ever
+    upserts (DimSink.java:41-93); delete support is engine capability.
+
+    Plan: collapse the batch to one final op per key (window + filter),
+    then rebuild the snapshot: current rows minus touched keys, plus
+    surviving upserts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("ts"))
+    last_ops = (
+        cdc.withColumn(
+            "type",
+            F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type")),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = last_ops.filter(F.col("type") != "delete").drop("type", "ts")
+    touched = last_ops.select(key)
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        current = spark.read.parquet(path)
+        merged = current.join(touched, on=key, how="left_anti").unionByName(upserts)
+    except AnalysisException:
+        merged = upserts
+    tmp = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm_fs_rename(spark, tmp, path)
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int) -> None:
+    """Small-files compaction: rewrite a table directory into
+    target_files files (coalesce — no shuffle). Streaming sinks and
+    fine-grained partition overwrites accrete small files; periodic
+    compaction keeps scan task counts sane at 100 TB."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    jvm_fs_rename(spark, tmp, path)
+
+
 def route_to_sinks(df: DataFrame, base_path: str, sink_col: str = "sink_table") -> None:
     """Dynamic-topic sink (MyKafkaUtil.getKafkaSinkBySchema,
     MyKafkaUtil.java:38-44): every record lands under its sink_table.
