@@ -1,0 +1,96 @@
+"""Deterministic sampling — the reproducibility primitive of a
+training-data pipeline.
+
+`rand()`-based sampling is non-reproducible across runs/partitionings;
+hash-based sampling (keep iff hash(id) mod M < rate*M) is stable,
+partition-independent, joinable (the same doc always lands in the same
+split), and portable to the oracle. Used for train/test splits,
+decontamination holdouts, and per-source mixing weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import md5_bigint
+from ..io import load_table
+
+MOD = 10_000
+
+
+def sample_bucket(col: Column) -> Column:
+    """Stable bucket in [0, MOD): md5-derived so Spark and the oracle
+    agree; xxhash64 would be faster but engine-specific."""
+    return md5_bigint(col.cast("string"), salt="sample:") % MOD
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of documents + its summary stats. The
+    filter is a pure expression on doc_id — at 100 TB it evaluates in
+    the scan stage, no shuffle, and re-runs pick identical rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter(sample_bucket(F.col("doc_id")) < MOD // 10)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("doc_ct"),
+        F.sum("n_chars").alias("char_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+STRATA_RATES = {"en": 0.5, "zh": 1.0, "de": 0.25, "fr": 0.25, "es": 0.25}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class rates (the data-mixing primitive): each language keeps
+    a different deterministic fraction — upsampling scarce classes
+    relative to the dominant one. The rate map compiles to a
+    when/otherwise threshold on the same stable bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for lang, rate in STRATA_RATES.items():
+        threshold = F.lit(int(rate * MOD))
+        expr = (
+            F.when(F.col("lang") == lang, threshold)
+            if expr is None
+            else expr.when(F.col("lang") == lang, threshold)
+        )
+    thr = expr.otherwise(F.lit(0))
+    sampled = docs.filter(sample_bucket(F.col("doc_id")) < thr)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("doc_ct"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+QUERIES = {
+    "corpus_sample": corpus_sample,
+    "stratified_sample": stratified_sample,
+}
+
+_BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+
+ORACLES = {
+    "corpus_sample": f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM documents
+        WHERE {_BUCKET} < 1000
+        GROUP BY lang
+    """,
+    "stratified_sample": f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        FROM documents
+        WHERE {_BUCKET} < CASE lang
+            WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
+            WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500
+            ELSE 0 END
+        GROUP BY lang
+    """,
+}
