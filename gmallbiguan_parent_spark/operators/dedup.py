@@ -249,12 +249,33 @@ def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents whose normalized
+    fingerprint appears in a held-out benchmark set (here: a
+    deterministic pseudo-benchmark, doc_id % 17 == 0), via left_anti on
+    the fingerprint. At 100 TB the benchmark side is tiny → broadcast
+    anti-join, zero shuffle of the corpus. Near-dup decontamination
+    composes the same way over minhash band keys instead of exact
+    fingerprints. Output: per-lang survivor stats + removal count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(_norm_text(F.col("text")))
+    corpus = docs.withColumn("fingerprint", fp)
+    benchmark = corpus.filter(F.col("doc_id") % 17 == 0).select("fingerprint")
+    clean = corpus.join(F.broadcast(benchmark), on="fingerprint", how="left_anti")
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("doc_ct"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").alias("char_sum"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "decontaminate_corpus": decontaminate_corpus,
 }
 
 # 32 per-bit ±1 votes over the distinct-token hashes, packed little-endian.
@@ -343,6 +364,22 @@ ORACLES = {
            list_min(shingles) AS min_shingle,
            list_max(shingles) AS max_shingle
     FROM sh
+    """,
+    "decontaminate_corpus": """
+        WITH fp AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        ), benchmark AS (
+            SELECT fingerprint FROM fp WHERE doc_id % 17 = 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(SUM(n_chars) AS BIGINT) AS char_sum
+        FROM fp
+        WHERE NOT EXISTS (SELECT 1 FROM benchmark b WHERE b.fingerprint = fp.fingerprint)
+        GROUP BY lang
     """,
     "simhash_fingerprint": _DUCK_SIMHASH + """
     SELECT doc_id, simhash, bucket FROM s
