@@ -147,12 +147,60 @@ def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-semijoin shape (TPC-H q18): orders whose total line
+    quantity exceeds a threshold — the grouped-HAVING subquery becomes
+    an aggregate + semi-join back to the fact. The aggregate runs first
+    (small result), so the semijoin broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("user_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            dec("o_totalprice").alias("total_amount"),
+            "total_qty",
+        )
+    )
+
+
+def gmv_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: 7-day moving average of daily GMV — the
+    frame is a value range over the day number (not a row count), so
+    gap days shrink the window correctly. Daily pre-aggregate first;
+    the window input is days, not orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"))
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+        .withColumn("day_no", F.datediff("dt", F.lit("1997-01-01")))
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        "gmv",
+        F.round(F.sum("gmv").over(w) / F.count("*").over(w), 2)
+        .cast("decimal(18,2)").alias("gmv_7d_avg"),
+        F.count("*").over(w).alias("days_in_window"),
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "running_gmv": running_gmv,
     "region_rollup": region_rollup,
     "sessionize": sessionize,
     "inactive_customers": inactive_customers,
+    "big_orders": big_orders,
+    "gmv_7d_moving_avg": gmv_7d_moving_avg,
 }
 
 ORACLES = {
@@ -219,6 +267,34 @@ ORACLES = {
                CAST(SUM(ev_ct) AS BIGINT) AS total_events,
                CAST(MIN(entry_event_id) AS BIGINT) AS first_entry_event
         FROM per_session GROUP BY user_id
+    """,
+    "big_orders": """
+        WITH big AS (
+            SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+        )
+        SELECT o.o_orderkey AS order_id,
+               o.o_custkey AS user_id,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               CAST(o.o_totalprice AS DECIMAL(18,4)) AS total_amount,
+               b.total_qty
+        FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+    "gmv_7d_moving_avg": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS dt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv,
+                   date_diff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS day_no
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+            GROUP BY 1, 3
+        )
+        SELECT strftime(dt, '%Y-%m-%d') AS dt, gmv,
+               CAST(ROUND(SUM(gmv) OVER w / COUNT(*) OVER w, 2) AS DECIMAL(18,2)) AS gmv_7d_avg,
+               CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+        FROM daily
+        WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     "inactive_customers": """
         WITH tagged AS (
