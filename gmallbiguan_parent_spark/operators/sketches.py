@@ -44,14 +44,64 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF through the grouped-map path: per-user inter-event
+    gap statistics computed in pandas (applyInPandas) — the slot a
+    genuinely non-SQL aggregation (t-digest, sequence model features)
+    plugs into. This one IS SQL-expressible on purpose, so the oracle
+    validates the full Arrow round-trip: median and max gap in seconds,
+    rounded to 3 dp."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact integer microseconds: no float rounding anywhere (a
+        # median of ints is at worst a .5, exactly representable)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps_us = (pdf["ts"].astype("int64").diff().dropna() // 1000)
+        if gaps_us.empty:
+            return pd.DataFrame(
+                {"user_id": [pdf["user_id"].iloc[0]], "ev_ct": [len(pdf)],
+                 "median_gap_us": [None], "max_gap_us": [None]}
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "ev_ct": [len(pdf)],
+                "median_gap_us": [float(gaps_us.median())],
+                "max_gap_us": [int(gaps_us.max())],
+            }
+        )
+
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema="user_id long, ev_ct long, median_gap_us double, max_gap_us long")
+    )
+
+
 QUERIES = {
     "value_percentiles": value_percentiles,
     "approx_distinct_stats": approx_distinct_stats,
+    "user_gap_stats": user_gap_stats,
 }
 
 ORACLES = {
     # approx_distinct_stats intentionally omitted: HLL sketches are
     # engine-specific (rows-only check; tests assert <5% relative error).
+    "user_gap_stats": """
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct,
+               CAST(quantile_cont(gap_us, 0.5) AS DOUBLE) AS median_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps GROUP BY user_id
+    """,
     "value_percentiles": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 4) AS p50,
