@@ -193,8 +193,64 @@ def gmv_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def region_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, order priority) with GROUPING flags — all four
+    grouping-set combinations (detail, per-region, per-priority, grand
+    total) in one pass. Spark expands the cube with an Expand node
+    feeding a single hash aggregate: one shuffle regardless of how many
+    grouping sets (at 100 TB the 4x row expansion happens map-side and
+    partial aggregation collapses it before the exchange)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+    )
+    return base.cube("region_name", "priority").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"),
+        F.count("*").alias("order_ct"),
+        F.grouping("region_name").cast("int").alias("g_region"),
+        F.grouping("priority").cast("int").alias("g_priority"),
+    )
+
+
+def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT): customers who ordered in both
+    1996 and 1997 (retained), only 1996 (churned), only 1997
+    (acquired). Spark plans INTERSECT as a left-semi and EXCEPT as a
+    left-anti aggregate join — both distinct-by-construction; the year
+    filters push to the two orders scans and each branch shuffles once
+    on the customer key."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_custs(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01") & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            ).select("o_custkey")
+        )
+
+    c96, c97 = year_custs(1996), year_custs(1997)
+    tagged = (
+        c96.intersect(c97).withColumn("status", F.lit("retained"))
+        .unionByName(c96.subtract(c97).withColumn("status", F.lit("churned")))
+        .unionByName(c97.subtract(c96).withColumn("status", F.lit("acquired")))
+    )
+    return tagged.select(F.col("o_custkey").alias("customer_id"), "status")
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
+    "region_priority_cube": region_priority_cube,
+    "customer_retention": customer_retention,
     "running_gmv": running_gmv,
     "region_rollup": region_rollup,
     "sessionize": sessionize,
@@ -204,6 +260,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "region_priority_cube": """
+        SELECT r.r_name AS region_name,
+               o.o_orderpriority AS priority,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               CAST(GROUPING(r.r_name) AS INTEGER) AS g_region,
+               CAST(GROUPING(o.o_orderpriority) AS INTEGER) AS g_priority
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY CUBE (r.r_name, o.o_orderpriority)
+    """,
+    "customer_retention": """
+        WITH c96 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+             c97 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_custkey AS customer_id, 'retained' AS status
+        FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+        UNION ALL
+        SELECT o_custkey AS customer_id, 'churned' AS status
+        FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)
+        UNION ALL
+        SELECT o_custkey AS customer_id, 'acquired' AS status
+        FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96)
+    """,
     "topn_orders_per_priority": """
         WITH r AS (
             SELECT o_orderpriority AS priority, o_orderkey AS order_id,

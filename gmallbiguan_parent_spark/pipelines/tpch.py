@@ -93,10 +93,56 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_shipment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shape: EXISTS correlated subquery — orders in a quarter that
+    have at least one line item shipped more than 60 days after the
+    order date, counted per priority. Exercises Catalyst's subquery
+    decorrelation: the EXISTS rewrites to a left-semi hash join on
+    l_orderkey (one shuffle each side at scale; the quarter filter is
+    pushed to the orders scan)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o.o_orderpriority AS priority, COUNT(*) AS order_ct
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        GROUP BY o.o_orderpriority
+    """)
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape: correlated *scalar* subquery — revenue from line items
+    whose quantity is below half the average quantity for their part,
+    over two brands. Catalyst decorrelates the scalar AVG into a
+    per-partkey aggregate joined back to lineitem; the brand filter
+    broadcasts through the part dim. (l_quantity is integral, so the
+    double AVG is exact and the < comparison is deterministic.)"""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS small_qty_revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+          AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """)
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
+    "late_shipment_check": late_shipment_check,
+    "small_qty_revenue": small_qty_revenue,
 }
 
 ORACLES = {
@@ -127,6 +173,26 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, order_id ASC
         LIMIT 10
+    """,
+    "late_shipment_check": """
+        SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS order_ct
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+    """,
+    "small_qty_revenue": """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS small_qty_revenue,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+          AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
     """,
     "local_supplier_volume": """
         SELECT n.n_name AS nation_name,
