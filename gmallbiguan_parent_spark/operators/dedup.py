@@ -163,6 +163,54 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the step
+    that turns pairwise MinHash matches into duplicate *groups* so a
+    dedup pipeline can keep one canonical doc per group.
+
+    Iterative min-label propagation (Pregel-style): every node starts
+    labeled with its own id; each round every node takes the min label
+    among itself and its neighbors; fixpoint in O(diameter) rounds.
+    Each round is one shuffle (join on dst + groupBy src);
+    localCheckpoint truncates lineage so round N doesn't replay rounds
+    1..N-1 (and materializes the expensive LSH pair computation once).
+    The label sum is monotonically non-increasing, so an unchanged sum
+    IS convergence — one scalar action per round, no row-level diff.
+
+    Scale: near-dup components are overwhelmingly tiny (diameter 1-3),
+    so a handful of rounds suffice; for adversarial giant components
+    the production upgrade is the alternating large-star/small-star
+    algorithm (O(log n) rounds), same join shape.
+
+    Output: (doc_id, cluster_id) for every doc that appears in at
+    least one near-dup pair; cluster_id = min doc_id of the component.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+
+    prev_sum = None
+    while True:
+        neigh = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("neigh_label"))
+        )
+        labels = (
+            labels.join(neigh.select(F.col("src").alias("node"), "neigh_label"), "node", "left")
+            .select("node", F.least("label", "neigh_label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 32
 SIMHASH_BUCKET_SHIFT = 24      # bucket = top 8 bits
 SIMHASH_HAMMING_MAX = 3
@@ -284,6 +332,7 @@ QUERIES = {
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
+    "neardup_clusters": neardup_clusters,
 }
 
 # 32 per-bit ±1 votes over the distinct-token hashes, packed little-endian.
@@ -326,15 +375,9 @@ _DUCK_SHINGLES = """
     )
 """
 
-ORACLES = {
-    "dedup_exact": """
-        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
-               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
-               CAST(COUNT(*) AS BIGINT) AS dup_ct
-        FROM documents
-        GROUP BY 1
-    """,
-    "minhash_lsh_pairs": _DUCK_SHINGLES + """
+# The MinHash-LSH pair chain (continues _DUCK_SHINGLES): signatures,
+# banding, candidate pairs, exact-Jaccard confirm into `good`.
+_DUCK_MINHASH_PAIRS = """
     , hsig AS (
         SELECT doc_id,
                list_transform(shingles,
@@ -358,13 +401,42 @@ ORACLES = {
         FROM cand c
         JOIN sh sa ON c.doc_a = sa.doc_id
         JOIN sh sb ON c.doc_b = sb.doc_id
+    ), good AS (
+        SELECT doc_a, doc_b,
+               CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,6))
+                    / len(list_distinct(list_concat(sh_a, sh_b))) AS DECIMAL(9,6)) AS jaccard
+        FROM pairs
+        WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,6))
+                   / len(list_distinct(list_concat(sh_a, sh_b))) AS DECIMAL(9,6)) >= 0.5
     )
-    SELECT doc_a, doc_b,
-           CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,6))
-                / len(list_distinct(list_concat(sh_a, sh_b))) AS DECIMAL(9,6)) AS jaccard
-    FROM pairs
-    WHERE CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,6))
-               / len(list_distinct(list_concat(sh_a, sh_b))) AS DECIMAL(9,6)) >= 0.5
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_ct
+        FROM documents
+        GROUP BY 1
+    """,
+    "minhash_lsh_pairs": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + """
+    SELECT doc_a, doc_b, jaccard FROM good
+    """,
+    "neardup_clusters": _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
+    + _DUCK_MINHASH_PAIRS + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM good
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), reach(src, dst) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
     """,
     "ngram_jaccard_stats": _DUCK_SHINGLES + """
     SELECT doc_id,

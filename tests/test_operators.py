@@ -10,6 +10,8 @@ import datetime
 
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
+
 
 def _ts(s):
     return datetime.datetime.fromisoformat(s)
@@ -115,3 +117,35 @@ def test_tokenize_builtin(spark):
     df = spark.createDataFrame([("Hello, World 42!",)], "text string")
     toks = df.select(tokenize("text").alias("t")).collect()[0].t
     assert toks == ["hello", "world", "42"]
+
+
+def test_neardup_clusters_transitive_chain(spark, tmp_path):
+    from gmallbiguan_parent_spark.operators.dedup import neardup_clusters
+
+    base = "spark query engine shuffles data across the cluster for joins and aggregations every day"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", 1),
+            (2, base + " indeed", "en", "s", 1),
+            (3, base + " indeed truly", "en", "s", 1),
+            (9, "completely different words about cooking pasta with tomatoes basil and olive oil", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    labels = {r.doc_id: r.cluster_id for r in neardup_clusters(spark, str(tmp_path)).collect()}
+    # 1-2 and 2-3 are near-dups; 1-3 may only be connected through 2 —
+    # the component must still collapse to one cluster labeled min id
+    assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_neardup_clusters_labels_consistent_with_pairs(spark):
+    from gmallbiguan_parent_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    pairs = minhash_lsh_pairs(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    labels = {r.doc_id: r.cluster_id for r in neardup_clusters(spark, SF_DIR).collect()}
+    for r in pairs:
+        assert labels[r.doc_a] == labels[r.doc_b]
+    # every cluster id is itself a member of the cluster (min-id labeling)
+    for doc, cl in labels.items():
+        assert labels[cl] == cl and cl <= doc
