@@ -115,9 +115,39 @@ def cdc_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.select("sink_table", *cols)
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the CDC stream —
+    the durable form of the reference's dim upserts (S9/DimSink.java
+    keeps only the latest row; SCD2 keeps every version with validity
+    bounds). Per dim key (user_id), each upsert opens a version valid
+    from its change id until the NEXT change of any kind; a delete
+    closes its predecessor and emits no version itself. One shuffle on
+    the dim key; at 100 TB the history table is partitioned by
+    is_current so current-state reads prune the closed versions."""
+    from pyspark.sql import Window
+
+    changes = _cdc_stream(spark, sf_dir).filter(F.col("table") == "signup")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    versions = changes.select(
+        "user_id",
+        "value",
+        F.when(F.col("type") == "delete", "delete").otherwise("upsert").alias("op"),
+        F.col("event_id").alias("valid_from_event"),
+        F.lead("event_id").over(w).alias("valid_to_event"),
+    )
+    return versions.filter(F.col("op") != "delete").select(
+        "user_id",
+        "value",
+        "valid_from_event",
+        "valid_to_event",
+        F.when(F.col("valid_to_event").isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
 QUERIES = {
     "cdc_route": cdc_route,
     "cdc_column_prune": cdc_column_prune,
+    "scd2_history": scd2_history,
 }
 
 _DUCK_CDC = """
@@ -153,6 +183,22 @@ ORACLES = {
     FROM normalized n
     JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
     GROUP BY 1, 2
+    """,
+    "scd2_history": """
+        WITH changes AS (
+            SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 10 = 2 THEN 'delete' ELSE 'upsert' END AS op
+            FROM events
+            WHERE event_type = 'signup'
+        ), v AS (
+            SELECT user_id, value, op,
+                   event_id AS valid_from_event,
+                   LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_event
+            FROM changes
+        )
+        SELECT user_id, value, valid_from_event, valid_to_event,
+               CAST(CASE WHEN valid_to_event IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        FROM v WHERE op <> 'delete'
     """,
     "cdc_column_prune": _DUCK_CDC + """
     SELECT c.sink_table, n.event_id, n.user_id

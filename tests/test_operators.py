@@ -149,3 +149,32 @@ def test_neardup_clusters_labels_consistent_with_pairs(spark):
     # every cluster id is itself a member of the cluster (min-id labeling)
     for doc, cl in labels.items():
         assert labels[cl] == cl and cl <= doc
+
+
+def test_scd2_history_versions_and_delete_closure(spark, tmp_path):
+    from gmallbiguan_parent_spark.pipelines.cdc import scd2_history
+
+    t = datetime.datetime(2021, 1, 1)
+    # event_id % 10: 4,3 -> insert, 11 -> update, 12 -> delete
+    ev = spark.createDataFrame(
+        [
+            (4, t, 1, "signup", 10.0, "{}"),     # v1: opens
+            (11, t, 1, "signup", 20.0, "{}"),    # v2: closes v1
+            (12, t, 1, "signup", 0.0, "{}"),     # delete: closes v2, no version
+            (14, t, 1, "signup", 30.0, "{}"),    # v3: current
+            (3, t, 2, "signup", 5.0, "{}"),      # other key, single current version
+            (5, t, 3, "view", 1.0, "{}"),        # other table: ignored
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    rows = {
+        (r.user_id, r.valid_from_event): (r.valid_to_event, r.is_current)
+        for r in scd2_history(spark, str(tmp_path)).collect()
+    }
+    assert rows == {
+        (1, 4): (11, 0),
+        (1, 11): (12, 0),
+        (1, 14): (None, 1),
+        (2, 3): (None, 1),
+    }
