@@ -77,10 +77,54 @@ def stream_jump_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(spark, sf_dir, stream_jump_detect)
 
 
+def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the streaming form of the async dim
+    enrichment (SURVEY J3/ST9): each micro-batch broadcast-joins the
+    static dim snapshot, stateless on the stream side (Flink needed an
+    async I/O operator + Redis cache for this; Spark re-reads/broadcasts
+    the dim per batch, which also gives the per-batch cache-invalidation
+    semantics of S8 for free). Left join: a dim miss keeps the fact row
+    (DimAsyncFunction.java:75-78). Windowed agg per dim attribute on
+    top, complete mode so the bounded replay equals the batch answer."""
+    from ..io import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .withWatermark("ts", "3 seconds")
+        .groupBy(F.window("ts", WINDOW).alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("stt"),
+            F.col("w.end").alias("edt"),
+            F.col("c_mktsegment").alias("segment"),
+            "pv_ct", "value_sum",
+        )
+    )
+    name = f"sdq_{uuid.uuid4().hex[:10]}"
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_sdq_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_uv_dedup": stream_uv_dedup_q,
     "stream_jump_detect": stream_jump_detect_q,
+    "stream_dim_enrich": stream_dim_enrich_q,
 }
 
 ORACLES = {
@@ -94,6 +138,15 @@ ORACLES = {
     """,
     "stream_uv_dedup": """
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events
+    """,
+    "stream_dim_enrich": """
+        SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS stt,
+               time_bucket(INTERVAL '10 minutes', e.ts) + INTERVAL '10 minutes' AS edt,
+               c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2, 3
     """,
     # stream_jump_detect: intentionally no oracle (custom stateful
     # operator with event-time timeout; rows-only check).
