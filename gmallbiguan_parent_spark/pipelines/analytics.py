@@ -247,10 +247,64 @@ def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select(F.col("o_custkey").alias("customer_id"), "status")
 
 
+def gmv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated date spine (sequence +
+    explode — no data shuffle to build it) left-joined to daily GMV,
+    missing days forward-filled with last_value(ignore nulls). The
+    spine generation is a single-row sequence explode, so the only
+    shuffle is the daily aggregate; the forward fill is one unpartitioned
+    window over ~90 rows (a bounded date range — at scale you'd
+    partition the fill by series key, which the per-user variant of
+    this pattern does for free)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1997-01-01")), F.to_date(F.lit("1997-03-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("dt")
+    )
+    joined = spine.join(daily, "dt", "left")
+    w = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        "dt",
+        F.col("gmv").alias("gmv_raw"),
+        F.last("gmv", ignorenulls=True).over(w).alias("gmv_filled"),
+        F.when(F.col("gmv").isNull(), 1).otherwise(0).alias("is_filled"),
+    )
+
+
+def order_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family within a group: percent_rank, cume_dist,
+    and ntile(4) of every order's price within its priority. The rank
+    values are integer ratios, so the doubles are bit-identical across
+    engines — no rounding needed. One shuffle on the partition key;
+    all three functions share a single sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
+    "gmv_gapfill": gmv_gapfill,
+    "order_price_rank": order_price_rank,
     "running_gmv": running_gmv,
     "region_rollup": region_rollup,
     "sessionize": sessionize,
@@ -260,6 +314,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gmv_gapfill": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS dt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        ), spine AS (
+            SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31', INTERVAL 1 DAY))::DATE AS dt
+        ), j AS (
+            SELECT s.dt, d.gmv FROM spine s LEFT JOIN daily d ON s.dt = d.dt
+        )
+        SELECT dt, gmv AS gmv_raw,
+               CAST(last_value(gmv IGNORE NULLS) OVER (
+                    ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS gmv_filled,
+               CAST(CASE WHEN gmv IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_filled
+        FROM j
+    """,
+    "order_price_rank": """
+        SELECT o_orderkey AS order_id,
+               o_orderpriority AS priority,
+               percent_rank() OVER w AS price_pct_rank,
+               cume_dist() OVER w AS price_cume_dist,
+               CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
     "region_priority_cube": """
         SELECT r.r_name AS region_name,
                o.o_orderpriority AS priority,
