@@ -137,12 +137,26 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode) — the indexed-array surface the
+    reference walks imperatively (display arrays iterated with their
+    index, BaseLogApp2.java:140-151). Every token of a 1%-of-corpus
+    subset with its 0-based position; the subset filter is pushed to
+    the scan so the explode fan-out touches only selected rows."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "quality_buckets": quality_buckets,
+    "token_positions": token_positions,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -170,6 +184,16 @@ ORACLES = {
                CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DECIMAL(9,4)) AS alpha_ratio,
                CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
                     / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_token_len
+        FROM t
+    """,
+    "token_positions": """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents WHERE doc_id % 100 = 0
+        )
+        SELECT doc_id,
+               CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+               unnest(toks) AS token
         FROM t
     """,
     "quality_buckets": f"""
