@@ -299,12 +299,30 @@ def order_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregation: each user's first and last
+    event type in one hash aggregate — no window, no self-join, ONE
+    shuffle on the group key (the window formulation would sort every
+    partition; argmax is a running comparison). The comparison key is a
+    fixed-width sortable string (epoch micros + event id) so ties on
+    ts break deterministically and identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("%019d%010d", F.unix_micros("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("ev_ct"),
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.max_by("value", key).alias("last_value"),
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
     "order_price_rank": order_price_rank,
+    "user_first_last": user_first_last,
     "running_gmv": running_gmv,
     "region_rollup": region_rollup,
     "sessionize": sessionize,
@@ -314,6 +332,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_first_last": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct,
+               arg_min(event_type, printf('%019d%010d', epoch_us(ts), event_id)) AS first_type,
+               arg_max(event_type, printf('%019d%010d', epoch_us(ts), event_id)) AS last_type,
+               arg_max(value, printf('%019d%010d', epoch_us(ts), event_id)) AS last_value
+        FROM events GROUP BY user_id
+    """,
     "gmv_gapfill": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS dt,
