@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dec
 from ..io import load_table
 
 
@@ -81,15 +82,45 @@ def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — the data
+    profiler's binning primitive. The bin id is a pure scalar
+    expression (floor(value / width)), so binning happens in the scan
+    stage and the only shuffle is the (event_type, bin) aggregate;
+    partial aggregation collapses each bin map-side, so the exchange
+    carries at most types x bins rows per task regardless of input
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    width = F.lit(25.0)
+    bin_id = F.floor(F.col("value") / width).cast("int")
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(
+            F.count("*").alias("ct"),
+            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        )
+        .withColumn("bin_lo", (F.col("bin_id") * width).cast("double"))
+    )
+
+
 QUERIES = {
     "value_percentiles": value_percentiles,
     "approx_distinct_stats": approx_distinct_stats,
     "user_gap_stats": user_gap_stats,
+    "value_histogram": value_histogram,
 }
 
 ORACLES = {
     # approx_distinct_stats intentionally omitted: HLL sketches are
     # engine-specific (rows-only check; tests assert <5% relative error).
+    "value_histogram": """
+        SELECT event_type,
+               CAST(FLOOR(value / 25.0) AS INTEGER) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS value_sum,
+               CAST(CAST(FLOOR(value / 25.0) AS INTEGER) * 25.0 AS DOUBLE) AS bin_lo
+        FROM events GROUP BY 1, 2
+    """,
     "user_gap_stats": """
         WITH gaps AS (
             SELECT user_id,
