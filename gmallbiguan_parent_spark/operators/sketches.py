@@ -103,16 +103,34 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile next to the exact answer (rows-only driver
+    check like the HLL sketch; tests assert the rank-error contract).
+    The sketch is the 100 TB path: fixed-size mergeable state and no
+    per-group sort, where exact percentile must buffer every value.
+    accuracy=10000 bounds rank error to 1/10000 of each group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("percentile(value, 0.99)").alias("p99_exact"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
     "value_percentiles": value_percentiles,
     "approx_distinct_stats": approx_distinct_stats,
     "user_gap_stats": user_gap_stats,
     "value_histogram": value_histogram,
+    "approx_value_percentiles": approx_value_percentiles,
 }
 
 ORACLES = {
-    # approx_distinct_stats intentionally omitted: HLL sketches are
-    # engine-specific (rows-only check; tests assert <5% relative error).
+    # approx_distinct_stats and approx_value_percentiles intentionally
+    # omitted: HLL / KLL-style sketches are engine-specific (rows-only
+    # checks; tests assert the relative-error / rank-error contracts).
     "value_histogram": """
         SELECT event_type,
                CAST(FLOOR(value / 25.0) AS INTEGER) AS bin_id,

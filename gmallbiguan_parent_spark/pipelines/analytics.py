@@ -316,8 +316,29 @@ def user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function rollup: orders and GMV by (year, quarter,
+    day-of-week). The calendar parts are scalar expressions on the
+    order date — computed in the scan stage, one shuffle for the
+    aggregate. Day-of-week is emitted as the locale-independent
+    abbreviated name so both engines agree on encoding."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_format("o_orderdate", "E").alias("dow"),
+        )
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"),
+        )
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
+    "order_seasonality": order_seasonality,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
@@ -332,6 +353,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_seasonality": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               strftime(o_orderdate, '%a') AS dow,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+        FROM orders GROUP BY 1, 2, 3
+    """,
     "user_first_last": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS ev_ct,
