@@ -46,3 +46,27 @@ def test_route_to_sinks_splits_by_sink_table(spark, tmp_path):
     b = spark.read.parquet(f"{base}/sink_table=dwd_b")
     assert sorted(r.payload for r in a.collect()) == [1, 2]
     assert [r.payload for r in b.collect()] == [3]
+
+
+def test_jdbc_read_options_partitioned():
+    from gmallbiguan_parent_spark.io_jdbc import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:mysql://h/db", "table_process",
+        partition_column="id", lower_bound=1, upper_bound=1000, num_partitions=8,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == ("1", "1000", "8")
+    import pytest
+    with pytest.raises(ValueError):
+        jdbc_read_options("jdbc:mysql://h/db", "t", partition_column="id")
+
+
+def test_jdbc_write_drops_transient_cols(spark):
+    from gmallbiguan_parent_spark.io_jdbc import jdbc_write_options
+
+    opts = jdbc_write_options("jdbc:ch://h/db", "visitor_stats", batch_size=5000)
+    assert opts["batchsize"] == "5000" and opts["isolationLevel"] == "NONE"
+    # the transient-drop path is a plain DataFrame.drop — assert shape
+    df = spark.createDataFrame([(1, "x", "helper")], "id long, name string, tmp string")
+    assert df.drop(*["tmp"]).columns == ["id", "name"]
