@@ -88,3 +88,53 @@ def test_foreachbatch_idempotent_gold_with_config_reread(spark, tmp_path):
     second = {r.dt: r.pv_ct for r in spark.read.parquet(gold).collect()}
     expected2 = ev.filter(F.col("event_type") == "purchase").count()
     assert sum(second.values()) == expected2
+
+
+def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: matched pairs emit immediately;
+    an unmatched left row is withheld until the watermark passes its
+    join bound, then emits with nulls (state eviction). A far-future
+    event on both streams pushes the watermark so the old unmatched
+    row must flush during the bounded replay."""
+    import datetime
+
+    t0 = datetime.datetime(2021, 1, 1, 0, 0, 0)
+
+    def mk(rows, name):
+        df = spark.createDataFrame(rows, "id long, tag string, ts timestamp")
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        return spark.readStream.schema("id long, tag string, ts timestamp").parquet(p)
+
+    left = mk(
+        [(1, "L1", t0), (2, "L2", t0 + datetime.timedelta(minutes=10)),
+         (99, "PUSH_L", t0 + datetime.timedelta(hours=2))],
+        "left",
+    ).withWatermark("ts", "3 seconds")
+    right = mk(
+        [(1, "R1", t0 + datetime.timedelta(minutes=1)),
+         (99, "PUSH_R", t0 + datetime.timedelta(hours=2))],
+        "right",
+    ).withWatermark("ts", "3 seconds").select(
+        F.col("id").alias("rid"), F.col("tag").alias("rtag"), F.col("ts").alias("rts")
+    )
+
+    joined = left.join(
+        right,
+        (F.col("id") == F.col("rid"))
+        & (F.col("rts") >= F.col("ts") - F.expr("interval 5 minutes"))
+        & (F.col("rts") <= F.col("ts") + F.expr("interval 5 minutes")),
+        "leftOuter",
+    )
+    out = str(tmp_path / "joined")
+    (
+        joined.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_chk")
+        .start(f"{out}/data")
+        .awaitTermination()
+    )
+    got = {r.id: r.rtag for r in spark.read.parquet(f"{out}/data").collect()}
+    assert got[1] == "R1"        # matched within the interval
+    assert got[2] is None        # evicted unmatched -> null-filled
+    assert got[99] == "PUSH_R"   # watermark pusher matches itself
