@@ -64,14 +64,51 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-proportional sampling (importance sampling for data
+    mixing): each document's keep-probability is its quality proxy
+    (alpha ratio), so high-quality docs are kept at ~their score and
+    junk is mostly dropped — deterministic via the same stable bucket,
+    so re-runs keep identical rows. The threshold is a pure per-row
+    expression: no shuffle before the final stats aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).cast("decimal(18,6)")
+        / F.greatest(F.length("text"), F.lit(1)), 4,
+    ).cast("decimal(9,4)")
+    thr = F.floor(alpha_ratio * MOD).cast("long")
+    sampled = docs.filter(sample_bucket(F.col("doc_id")) < thr)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("doc_ct"),
+        F.sum("n_chars").alias("char_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 QUERIES = {
     "corpus_sample": corpus_sample,
     "stratified_sample": stratified_sample,
+    "weighted_sample": weighted_sample,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
 
 ORACLES = {
+    "weighted_sample": f"""
+        WITH t AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(FLOOR(CAST(ROUND(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DECIMAL(18,6))
+                        / GREATEST(length(text), 1), 4) AS DECIMAL(9,4)) * 10000) AS BIGINT) AS thr
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM t
+        WHERE {_BUCKET} < thr
+        GROUP BY lang
+    """,
     "corpus_sample": f"""
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS doc_ct,

@@ -336,9 +336,37 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key gap filling — the scale-correct form of gmv_gapfill: each
+    user gets a date spine spanning their own active range (sequence +
+    explode, computed from a per-key aggregate, no global calendar),
+    zero-filled counts, and days-since-last-activity via a forward fill
+    that is PARTITIONED by the key — every window here shuffles once on
+    user_id and sorts only within a key, so the pattern holds at any
+    key cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("dt")).agg(F.count("*").alias("ev_ct"))
+    spans = daily.groupBy("user_id").agg(F.min("dt").alias("a"), F.max("dt").alias("b"))
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("a", "b", F.expr("interval 1 day"))).alias("dt")
+    )
+    joined = spine.join(daily, ["user_id", "dt"], "left")
+    w = (
+        Window.partitionBy("user_id").orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_active = F.last(F.when(F.col("ev_ct").isNotNull(), F.col("dt")), ignorenulls=True).over(w)
+    return joined.select(
+        "user_id", "dt",
+        F.coalesce("ev_ct", F.lit(0)).alias("ev_ct"),
+        F.datediff(F.col("dt"), last_active).alias("gap_days"),
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "order_seasonality": order_seasonality,
+    "user_daily_gapfill": user_daily_gapfill,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
@@ -353,6 +381,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_daily_gapfill": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS dt, COUNT(*) AS ev_ct
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT user_id, MIN(dt) AS a, MAX(dt) AS b FROM daily GROUP BY 1
+        ), spine AS (
+            SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY))::DATE AS dt FROM spans
+        ), j AS (
+            SELECT s.user_id, s.dt, d.ev_ct
+            FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.dt = d.dt
+        ), f AS (
+            SELECT user_id, dt, CAST(COALESCE(ev_ct, 0) AS BIGINT) AS ev_ct,
+                   last_value(CASE WHEN ev_ct IS NOT NULL THEN dt END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY dt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active
+            FROM j
+        )
+        SELECT user_id, dt, ev_ct,
+               CAST(date_diff('day', last_active, dt) AS INTEGER) AS gap_days
+        FROM f
+    """,
     "order_seasonality": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                CAST(quarter(o_orderdate) AS INTEGER) AS qtr,

@@ -17,7 +17,11 @@ def test_queries_without_oracle_are_the_declared_exceptions():
 
     missing = set(e.queries()) - set(e.oracle_sql())
     # rows-only by design: engine-specific sketches & custom stateful op
-    assert missing == {"approx_distinct_stats", "stream_jump_detect"}
+    assert missing == {
+        "approx_distinct_stats",
+        "approx_value_percentiles",
+        "stream_jump_detect",
+    }
 
 
 def test_bench_headline_names_resolve():
