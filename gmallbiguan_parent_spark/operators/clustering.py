@@ -106,3 +106,20 @@ def cluster_profile(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
         F.count("*").alias("n"), F.avg("sq_dist").alias("mean_sq_dist")
     )
     return sizes.join(top_label, "cluster")
+
+
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry for the k-means capstone (rows-only check:
+    centroid means are float-sum order-dependent in the last ulp, so
+    exact hash parity is the wrong contract — tests/test_clustering.py
+    asserts the real invariants)."""
+    return cluster_profile(spark, sf_dir, k=4)
+
+
+QUERIES = {
+    "embedding_clusters": embedding_clusters,
+}
+
+ORACLES: dict[str, str] = {
+    # embedding_clusters intentionally omitted (see docstring).
+}

@@ -20,6 +20,7 @@ def test_queries_without_oracle_are_the_declared_exceptions():
     assert missing == {
         "approx_distinct_stats",
         "approx_value_percentiles",
+        "embedding_clusters",
         "stream_jump_detect",
     }
 
