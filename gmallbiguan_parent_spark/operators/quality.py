@@ -1,0 +1,141 @@
+"""Data-quality operators — the profiling / expectations surface a
+production warehouse runs next to its pipelines (what Deequ-style
+libraries do, expressed as plain aggregates).
+
+- table_profile: per-column null counts, exact distinct counts, and
+  typed min/max in ONE pass over the table (a single multi-expression
+  aggregate; the per-column rows come from unioning projections of the
+  one aggregate row — no second scan).
+- integrity_audit: referential and domain checks as counted violations
+  (orphan facts via anti join, childless parents, domain bounds). Each
+  check is a broadcast/anti-join or pushed filter; the union is of
+  single-row aggregates, so the audit costs one scan per base table.
+
+At 100 TB: countDistinct becomes approx_count_distinct (mergeable
+sketch) — the profile's plan shape is otherwise unchanged; the anti
+joins shuffle on the already-partitioned join keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dec
+from ..io import load_table
+
+
+PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders: one aggregate computes every metric,
+    then one row per column is projected out. min/max render through
+    explicit typed casts so engines agree on the string form."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def render(c: str):
+        if c == "o_totalprice":
+            return F.min(dec(c)).cast("string"), F.max(dec(c)).cast("string")
+        return F.min(F.col(c).cast("string")), F.max(F.col(c).cast("string"))
+
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLS:
+        mn, mx = render(c)
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    per_col = [
+        one.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nonnull")).alias("null_ct"),
+            F.col(f"{c}__distinct").alias("distinct_ct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_col)
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation counts for the fact/dim contract: orphan lineitems
+    (no parent order), childless orders (no lineitem), out-of-domain
+    rows. Passing audits read 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    checks = [
+        ("orphan_lineitems",
+         li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        ("childless_orders",
+         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")),
+        ("nonpositive_extendedprice", li.filter(F.col("l_extendedprice") <= 0)),
+        ("null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        ("bad_discount", li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+    ]
+    rows = [
+        df.agg(F.count("*").alias("violation_ct")).select(F.lit(name).alias("check"), "violation_ct")
+        for name, df in checks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "integrity_audit": integrity_audit,
+}
+
+ORACLES = {
+    "table_profile": """
+        WITH one AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS k_nn,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+                   CAST(MIN(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) AS k_mn,
+                   CAST(MAX(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) AS k_mx,
+                   CAST(COUNT(o_orderstatus) AS BIGINT) AS s_nn,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+                   MIN(o_orderstatus) AS s_mn, MAX(o_orderstatus) AS s_mx,
+                   CAST(COUNT(o_totalprice) AS BIGINT) AS p_nn,
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_d,
+                   CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS p_mn,
+                   CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS p_mx,
+                   CAST(COUNT(o_orderpriority) AS BIGINT) AS r_nn,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS r_d,
+                   MIN(o_orderpriority) AS r_mn, MAX(o_orderpriority) AS r_mx
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS "column", n_rows, n_rows - k_nn AS null_ct,
+               k_d AS distinct_ct, k_mn AS min_s, k_mx AS max_s FROM one
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, n_rows - s_nn, s_d, s_mn, s_mx FROM one
+        UNION ALL
+        SELECT 'o_totalprice', n_rows, n_rows - p_nn, p_d, p_mn, p_mx FROM one
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, n_rows - r_nn, r_d, r_mn, r_mx FROM one
+    """,
+    "integrity_audit": """
+        SELECT 'orphan_lineitems' AS "check", CAST(COUNT(*) AS BIGINT) AS violation_ct
+        FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'childless_orders', CAST(COUNT(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT 'nonpositive_extendedprice', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_extendedprice <= 0
+        UNION ALL
+        SELECT 'null_custkey', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_custkey IS NULL
+        UNION ALL
+        SELECT 'bad_discount', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    """,
+}

@@ -20,13 +20,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import asof, clustering, curation, dedup, multimodal, sampling, similarity, sketches, text
+from ..operators import asof, clustering, curation, dedup, multimodal, quality, sampling, similarity, sketches, text
 from ..streaming import queries as streaming_queries
 from . import analytics, cdc, dwd, dwm, dws, serving, tpch
 
 _MODULES = (
     dwd, dwm, dws, serving, tpch, cdc, analytics,
-    dedup, similarity, text, multimodal, sketches, asof, sampling, curation, clustering,
+    dedup, similarity, text, multimodal, sketches, asof, sampling, curation, clustering, quality,
     streaming_queries,
 )
 
