@@ -144,10 +144,49 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC generation — the inverse of apply_cdc: given
+    yesterday's and today's dim snapshots, emit the insert/update/
+    delete change set via ONE full outer join on the key. Here the
+    'old' snapshot is derived deterministically from customer (keys
+    divisible by 10 absent → those become inserts; nation shifted for
+    keys divisible by 7 → updates), so the oracle reproduces it
+    exactly. At scale both snapshots are bucketed on the key, making
+    the full outer join co-located."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    old = (
+        cust.filter(F.col("c_custkey") % 10 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, (F.col("c_nationkey") + 1) % 25)
+            .otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+        )
+    )
+    new = cust.select(
+        F.col("c_custkey").alias("n_key"), F.col("c_nationkey").alias("n_nation")
+    )
+    joined = old.join(new, old.c_custkey == new.n_key, "full_outer")
+    op = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .when(F.col("c_nationkey") != F.col("n_nation"), "update")
+    )
+    return (
+        joined.select(
+            F.coalesce("n_key", "c_custkey").alias("customer_id"),
+            op.alias("op"),
+            F.col("c_nationkey").alias("old_nation"),
+            F.col("n_nation").alias("new_nation"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
 QUERIES = {
     "cdc_route": cdc_route,
     "cdc_column_prune": cdc_column_prune,
     "scd2_history": scd2_history,
+    "dim_snapshot_diff": dim_snapshot_diff,
 }
 
 _DUCK_CDC = """
@@ -183,6 +222,29 @@ ORACLES = {
     FROM normalized n
     JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
     GROUP BY 1, 2
+    """,
+    "dim_snapshot_diff": """
+        WITH old AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+                        ELSE c_nationkey END AS c_nationkey
+            FROM customer WHERE c_custkey % 10 <> 0
+        ), new AS (
+            SELECT c_custkey AS n_key, c_nationkey AS n_nation FROM customer
+        ), j AS (
+            SELECT o.c_custkey, o.c_nationkey, n.n_key, n.n_nation
+            FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.n_key
+        )
+        SELECT COALESCE(n_key, c_custkey) AS customer_id,
+               CASE WHEN c_custkey IS NULL THEN 'insert'
+                    WHEN n_key IS NULL THEN 'delete'
+                    WHEN c_nationkey <> n_nation THEN 'update' END AS op,
+               c_nationkey AS old_nation,
+               n_nation AS new_nation
+        FROM j
+        WHERE (CASE WHEN c_custkey IS NULL THEN 'insert'
+                    WHEN n_key IS NULL THEN 'delete'
+                    WHEN c_nationkey <> n_nation THEN 'update' END) IS NOT NULL
     """,
     "scd2_history": """
         WITH changes AS (
