@@ -93,6 +93,22 @@ def decode_image(content: bytes, *, fake: bool = False) -> dict:
     return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "channels": 3}
 
 
+def resize_image(content: bytes, width: int, height: int, *, fake: bool = False) -> dict:
+    """STUB: image resize. Real implementation requires PIL/opencv
+    (absent in this container). fake=True returns the target geometry
+    plus a deterministic payload digest standing in for the resized
+    bytes — enough for tests to assert the Spark-side plumbing (schema,
+    batching, pass-through of the binary column) without a codec."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv; not available in this environment"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError("resize dimensions must be positive")
+    digest = hashlib.md5(content + f":{width}x{height}".encode()).hexdigest()
+    return {"width": width, "height": height, "content_digest": digest}
+
+
 def frame_sample(content: bytes, n_frames: int, *, fake: bool = False) -> list[bytes]:
     """STUB: video frame sampling. fake=True slices the payload into
     n_frames deterministic chunks (stand-ins for decoded frames)."""

@@ -49,3 +49,18 @@ def test_media_decode_features_through_arrow(spark):
     rows = feats.collect()
     assert len(rows) == spark.read.parquet(f"{SF}/documents.parquet").count()
     assert all(64 <= r.width < 256 and r.channels == 3 for r in rows)
+
+
+def test_resize_stub_deterministic_and_gated():
+    import pytest
+
+    from gmallbiguan_parent_spark.operators.multimodal import resize_image
+
+    out = resize_image(b"payload", 224, 224, fake=True)
+    assert (out["width"], out["height"]) == (224, 224)
+    assert out == resize_image(b"payload", 224, 224, fake=True)
+    assert out["content_digest"] != resize_image(b"payload", 128, 128, fake=True)["content_digest"]
+    with pytest.raises(NotImplementedError):
+        resize_image(b"payload", 224, 224)
+    with pytest.raises(ValueError):
+        resize_image(b"payload", 0, 224, fake=True)
