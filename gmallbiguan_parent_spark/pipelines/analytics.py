@@ -382,11 +382,69 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each later
+    stage must happen at-or-after the user's FIRST completion of the
+    previous stage. Three chained conditional-min aggregates — each is
+    one shuffle on user_id, and stages 2/3 filter on a broadcast-sized
+    per-user timestamp map (the per-user firsts are one row per user,
+    re-joined to events). Output: per first-view date, users entering
+    each stage."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.groupBy(F.to_date("v_ts").alias("cohort_dt")).agg(
+        F.count("*").alias("viewed"),
+        F.count("c_ts").alias("clicked"),
+        F.count("p_ts").alias("purchased"),
+    )
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted as retained in each later week they were active. Two
+    shuffles (per-user first, then the (cohort, week-offset) count-
+    distinct); the cohort assignment joins back on user_id, which at
+    scale is the same bucketed key as every other per-user aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("dt"))
+    firsts = ev.groupBy("user_id").agg(F.min("dt").alias("first_dt"))
+    act = (
+        ev.dropDuplicates(["user_id", "dt"])
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_dt").cast("date").alias("cohort_week"),
+            (F.datediff(F.date_trunc("week", "dt"), F.date_trunc("week", "first_dt")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "order_seasonality": order_seasonality,
     "user_daily_gapfill": user_daily_gapfill,
     "sales_grouping_sets": sales_grouping_sets,
+    "conversion_funnel": conversion_funnel,
+    "weekly_retention": weekly_retention,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
@@ -401,6 +459,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conversion_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1
+        )
+        SELECT CAST(v.v_ts AS DATE) AS cohort_dt,
+               CAST(COUNT(*) AS BIGINT) AS viewed,
+               CAST(COUNT(c.c_ts) AS BIGINT) AS clicked,
+               CAST(COUNT(p.p_ts) AS BIGINT) AS purchased
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+        GROUP BY 1
+    """,
+    "weekly_retention": """
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_dt FROM events GROUP BY 1
+        ), act AS (
+            SELECT DISTINCT e.user_id,
+                   CAST(date_trunc('week', f.first_dt) AS DATE) AS cohort_week,
+                   CAST(date_diff('day', date_trunc('week', f.first_dt),
+                                  date_trunc('week', CAST(e.ts AS DATE))) / 7 AS INTEGER) AS week_offset
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        )
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM act GROUP BY 1, 2
+    """,
     "sales_grouping_sets": """
         SELECT o_orderstatus AS status,
                o_orderpriority AS priority,
