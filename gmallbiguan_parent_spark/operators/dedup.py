@@ -211,6 +211,27 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-metric confirm stage: exact Levenshtein distance over the
+    LSH candidate pairs — the expensive O(len_a * len_b) comparison run
+    ONLY on the (tiny) candidate set, never pairwise over the corpus.
+    The normalized edit similarity 1 - d/max_len complements Jaccard:
+    shingle sets ignore token order, edit distance doesn't. Levenshtein
+    is classically defined, so both engines agree exactly."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table_spread(spark, sf_dir, "documents").select(
+        "doc_id", _norm_text(F.col("text")).alias("norm")
+    )
+    joined = (
+        pairs.join(docs.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("t_a")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("t_b")), "doc_b")
+    )
+    dist = F.levenshtein("t_a", "t_b")
+    max_len = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
+    sim = F.round(1 - dist.cast("decimal(18,6)") / max_len, 4).cast("decimal(9,4)")
+    return joined.select("doc_a", "doc_b", dist.alias("edit_dist"), sim.alias("edit_sim"))
+
+
 SIMHASH_BITS = 32
 SIMHASH_BUCKET_SHIFT = 24      # bucket = top 8 bits
 SIMHASH_HAMMING_MAX = 3
@@ -333,6 +354,7 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
     "neardup_clusters": neardup_clusters,
+    "neardup_edit_distance": neardup_edit_distance,
 }
 
 # 32 per-bit ±1 votes over the distinct-token hashes, packed little-endian.
@@ -421,6 +443,19 @@ ORACLES = {
     """,
     "minhash_lsh_pairs": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + """
     SELECT doc_a, doc_b, jaccard FROM good
+    """,
+    "neardup_edit_distance": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + """
+    , norms AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT g.doc_a, g.doc_b,
+           CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS edit_dist,
+           CAST(ROUND(1 - CAST(levenshtein(a.norm, b.norm) AS DECIMAL(18,6))
+                / GREATEST(length(a.norm), length(b.norm), 1), 4) AS DECIMAL(9,4)) AS edit_sim
+    FROM good g
+    JOIN norms a ON g.doc_a = a.doc_id
+    JOIN norms b ON g.doc_b = b.doc_id
     """,
     "neardup_clusters": _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
     + _DUCK_MINHASH_PAIRS + """
