@@ -150,9 +150,48 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: the 20 most frequent tokens with doc
+    frequency. The explode fans out in the scan stage and partial
+    aggregation collapses each task's counts before the single
+    (token)-keyed exchange; the top-20 plans as TakeOrderedAndProject
+    (no global sort). Tiebreak on the token keeps ranks total."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → sorted posting list of
+    doc_ids — the search/retrieval primitive. Bounded here to the 10
+    rarest tokens (smallest posting lists, token tiebreak) so posting
+    arrays stay small in the result; at scale the posting lists would
+    be written bucketed by token so lookups are partition-pruned. One
+    shuffle (token), lists built with collect_set + array_sort for
+    deterministic order."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).dropDuplicates()
+    return (
+        toks.groupBy("token")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+        .orderBy(F.size("postings").asc(), F.asc("token"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
+    "top_tokens": top_tokens,
+    "inverted_index": inverted_index,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "quality_buckets": quality_buckets,
@@ -185,6 +224,29 @@ ORACLES = {
                CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
                     / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_token_len
         FROM t
+    """,
+    "top_tokens": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY token
+        ORDER BY occurrences DESC, token ASC
+        LIMIT 20
+    """,
+    "inverted_index": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        ), idx AS (
+            SELECT token, list(doc_id ORDER BY doc_id) AS postings
+            FROM toks GROUP BY token
+        )
+        SELECT token, postings FROM idx
+        ORDER BY len(postings) ASC, token ASC LIMIT 10
     """,
     "token_positions": """
         WITH t AS (
