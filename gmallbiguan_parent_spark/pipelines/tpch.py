@@ -137,8 +137,64 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join: orders banded by a small range table joined on
+    o_totalprice BETWEEN lo AND hi. With no equality key Spark plans a
+    BroadcastNestedLoopJoin — correct and cheap ONLY because the band
+    table is tiny (each row scans 4 bands); at scale, if the bands were
+    many, the scan-stage alternative is a when/otherwise chain or a
+    width_bucket expression, trading the join for pure projection."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50_000.0), ("mid", 50_000.0, 150_000.0),
+         ("high", 150_000.0, 300_000.0), ("whale", 300_000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"),
+        )
+    )
+
+
+def order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact: per-order lifecycle milestones —
+    first/last line shipment, fulfillment spans in days, line count.
+    One shuffle on the order key for the lineitem rollup, then a
+    co-keyed join back to orders (bucketed co-location at scale).
+    Bounded to one quarter of orders so the result stays small."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").alias("line_ct"),
+    )
+    j = orders.join(ship, orders.o_orderkey == ship.l_orderkey, "inner")
+    return j.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_dt"),
+        F.to_date("first_ship").alias("first_ship_dt"),
+        F.to_date("last_ship").alias("last_ship_dt"),
+        F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate")).alias("days_to_first_ship"),
+        F.datediff(F.to_date("last_ship"), F.to_date("first_ship")).alias("ship_span_days"),
+        "line_ct",
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "price_band_stats": price_band_stats,
+    "order_lifecycle": order_lifecycle,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
     "late_shipment_check": late_shipment_check,
@@ -173,6 +229,33 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, order_id ASC
         LIMIT 10
+    """,
+    "price_band_stats": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+                   ('high', 150000.0, 300000.0), ('whale', 300000.0, 1e12)
+        )
+        SELECT b.band,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+        FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY 1
+    """,
+    "order_lifecycle": """
+        WITH ship AS (
+            SELECT l_orderkey, MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+                   CAST(COUNT(*) AS BIGINT) AS line_ct
+            FROM lineitem GROUP BY 1
+        )
+        SELECT o.o_orderkey AS order_id,
+               CAST(o.o_orderdate AS DATE) AS order_dt,
+               CAST(s.first_ship AS DATE) AS first_ship_dt,
+               CAST(s.last_ship AS DATE) AS last_ship_dt,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(s.first_ship AS DATE)) AS INTEGER) AS days_to_first_ship,
+               CAST(date_diff('day', CAST(s.first_ship AS DATE), CAST(s.last_ship AS DATE)) AS INTEGER) AS ship_span_days,
+               line_ct
+        FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
     """,
     "late_shipment_check": """
         SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS order_ct
