@@ -438,6 +438,46 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def activity_drop_bag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set-op: EXCEPT ALL subtracts row MULTIPLICITIES —
+    each (user, event_type) occurrence in the first half of the month
+    not matched one-for-one by a second-half occurrence survives.
+    Distinct-EXCEPT would collapse those counts; the bag form measures
+    HOW MUCH activity dropped, not just whether it did. Spark plans
+    both halves' scans with pushed date filters and one hash-partition
+    exchange per side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("dt")
+    )
+    first_half = ev.filter(F.col("dt") < "2024-01-16").select("user_id", "event_type")
+    second_half = ev.filter(F.col("dt") >= "2024-01-16").select("user_id", "event_type")
+    return (
+        first_half.exceptAll(second_half)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("lost_ct"))
+    )
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders priced above the GLOBAL
+    average — the single-value subquery computes once and broadcasts
+    into every task's filter (no per-row re-evaluation). The average of
+    doubles is a single deterministic reduction at this size; both
+    engines compare against the identical value because the comparison
+    is on raw doubles, not a reformatted literal."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS order_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+    """)
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "order_seasonality": order_seasonality,
@@ -445,6 +485,8 @@ QUERIES = {
     "sales_grouping_sets": sales_grouping_sets,
     "conversion_funnel": conversion_funnel,
     "weekly_retention": weekly_retention,
+    "activity_drop_bag_diff": activity_drop_bag_diff,
+    "above_avg_orders": above_avg_orders,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
@@ -459,6 +501,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "activity_drop_bag_diff": """
+        WITH a AS (
+            SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        ), b AS (
+            SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        ), d AS (
+            SELECT user_id, event_type FROM a
+            EXCEPT ALL
+            SELECT user_id, event_type FROM b
+        )
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS lost_ct
+        FROM d GROUP BY 1, 2
+    """,
+    "above_avg_orders": """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority
+    """,
     "conversion_funnel": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
