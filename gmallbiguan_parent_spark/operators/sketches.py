@@ -119,8 +119,22 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc): the smallest actual data
+    value at-or-above the target rank — no interpolation, so the answer
+    is always a real observation (what SLO/latency reporting wants).
+    Same single-shuffle grouped-sort plan as the continuous form."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90_disc"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
     "value_percentiles": value_percentiles,
+    "value_percentile_disc": value_percentile_disc,
     "approx_distinct_stats": approx_distinct_stats,
     "user_gap_stats": user_gap_stats,
     "value_histogram": value_histogram,
@@ -150,6 +164,13 @@ ORACLES = {
                CAST(quantile_cont(gap_us, 0.5) AS DOUBLE) AS median_gap_us,
                CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
         FROM gaps GROUP BY user_id
+    """,
+    "value_percentile_disc": """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50_disc,
+               quantile_disc(value, 0.9) AS p90_disc,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
     """,
     "value_percentiles": """
         SELECT event_type,

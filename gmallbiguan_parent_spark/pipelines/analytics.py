@@ -478,6 +478,25 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each priority's share of total GMV via a
+    window over the AGGREGATE (sum over an empty frame on 5 rows, not
+    on the fact table) — the aggregate-then-window ordering is what
+    keeps this scalable: the unpartitioned window sees only one row
+    per group. Share arithmetic follows the bounce_ratio decimal
+    recipe (multiply, divide, round scale 2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"),
+        F.count("*").alias("order_ct"),
+    )
+    total = F.sum("gmv").over(Window.partitionBy())
+    return agg.select(
+        "priority", "gmv", "order_ct",
+        F.round(F.col("gmv") * 100 / total, 2).cast("decimal(9,2)").alias("gmv_pct"),
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
     "order_seasonality": order_seasonality,
@@ -487,6 +506,7 @@ QUERIES = {
     "weekly_retention": weekly_retention,
     "activity_drop_bag_diff": activity_drop_bag_diff,
     "above_avg_orders": above_avg_orders,
+    "priority_share": priority_share,
     "region_priority_cube": region_priority_cube,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
@@ -501,6 +521,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "priority_share": """
+        WITH agg AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv,
+                   CAST(COUNT(*) AS BIGINT) AS order_ct
+            FROM orders GROUP BY 1
+        )
+        SELECT priority, gmv, order_ct,
+               CAST(ROUND(gmv * 100 / SUM(gmv) OVER (), 2) AS DECIMAL(9,2)) AS gmv_pct
+        FROM agg
+    """,
     "activity_drop_bag_diff": """
         WITH a AS (
             SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
