@@ -132,8 +132,38 @@ def value_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-moment aggregates: Pearson correlation and sample covariance
+    of event value vs hour-of-day, per type — single-pass mergeable
+    moments (the same partial/final shape as sum/avg), so one shuffle
+    regardless of scale. Rounded to 4 dp, where both engines' co-moment
+    recurrences agree."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), hr), 4).alias("value_hour_corr"),
+        F.round(F.covar_samp(F.col("value"), hr), 4).alias("value_hour_covar"),
+        F.count("*").alias("n"),
+    )
+
+
+def daily_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_or (ANY), bool_and
+    (EVERY) per day — the monitoring-rollup primitives. All three fold
+    map-side like any other aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.expr("count_if(value > 500)").alias("big_value_ct"),
+        F.expr("bool_or(event_type = 'error')").alias("any_error"),
+        F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = {
     "value_percentiles": value_percentiles,
+    "value_correlation": value_correlation,
+    "daily_flags": daily_flags,
     "value_percentile_disc": value_percentile_disc,
     "approx_distinct_stats": approx_distinct_stats,
     "user_gap_stats": user_gap_stats,
@@ -164,6 +194,21 @@ ORACLES = {
                CAST(quantile_cont(gap_us, 0.5) AS DOUBLE) AS median_gap_us,
                CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
         FROM gaps GROUP BY user_id
+    """,
+    "value_correlation": """
+        SELECT event_type,
+               ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS value_hour_corr,
+               ROUND(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS value_hour_covar,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "daily_flags": """
+        SELECT CAST(ts AS DATE) AS dt,
+               CAST(count_if(value > 500) AS BIGINT) AS big_value_ct,
+               bool_or(event_type = 'error') AS any_error,
+               bool_and(value >= 0) AS all_nonneg,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
     """,
     "value_percentile_disc": """
         SELECT event_type,
