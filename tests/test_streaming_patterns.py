@@ -138,3 +138,65 @@ def test_stream_stream_left_outer_join_emits_null_after_watermark(spark, tmp_pat
     assert got[1] == "R1"        # matched within the interval
     assert got[2] is None        # evicted unmatched -> null-filled
     assert got[99] == "PUSH_R"   # watermark pusher matches itself
+
+
+def test_watermark_drops_late_rows_in_append_aggregation(spark, tmp_path):
+    """ST8 semantics: with watermark delay W, a row arriving after the
+    watermark has passed its window's end is DROPPED from an append-mode
+    aggregation. Two micro-batches: batch 1 advances the watermark far
+    ahead; batch 2 delivers a too-late event for an old window — the old
+    window's count must not include it."""
+    import datetime
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2021, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "id long, ts timestamp"
+
+    def write_flat(path, rows):
+        pq.write_table(
+            pa.table(
+                {"id": pa.array([r[0] for r in rows], pa.int64()),
+                 "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}
+            ),
+            path,
+        )
+
+    # batch 1: one event in the old window + one far-future event that
+    # pushes the watermark beyond the old window's end
+    write_flat(f"{src}/b1.parquet", [(1, t0), (2, t0 + datetime.timedelta(hours=3))])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("ct"))
+        .select(F.col("w.start").alias("stt"), "ct")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_chk")
+        .start(f"{out}/data")
+    )
+    q.awaitTermination()
+
+    # batch 2: a LATE event for the t0 window (watermark is already ~3h past)
+    write_flat(f"{src}/b2.parquet", [(3, t0 + datetime.timedelta(minutes=1))])
+    q2 = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_chk")
+        .start(f"{out}/data")
+    )
+    q2.awaitTermination()
+
+    got = {r.stt: r.ct for r in spark.read.parquet(f"{out}/data").collect()}
+    # the t0 window closed with ONLY the on-time event; the late row was dropped
+    assert got[t0] == 1
