@@ -51,5 +51,23 @@ def get_spark(app_name: str = "gmallbiguan_parent_spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
+    # getOrCreate() ignores builder configs when a session already exists
+    # (the per-round driver hands us its own plain session), so re-apply
+    # every runtime-settable SQL conf on the live session too.
+    for k, v in (
+        ("spark.sql.shuffle.partitions", str(n)),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable on this build — builder path covers it
     spark.sparkContext.setLogLevel("WARN")
     return spark

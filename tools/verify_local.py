@@ -28,7 +28,10 @@ def canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # Mirror the driver's canonicalization: DuckDB decimals surface as
+        # float64 while Spark yields decimal.Decimal — round-1 showed str()
+        # here hides exactly that mismatch (29 hash-fails). Compare as floats.
+        return repr(float(v))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
