@@ -232,83 +232,102 @@ def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("doc_a", "doc_b", dist.alias("edit_dist"), sim.alias("edit_sim"))
 
 
-SIMHASH_BITS = 32
-SIMHASH_BUCKET_SHIFT = 24      # bucket = top 8 bits
+SIMHASH_BITS = 64              # two 32-bit packed words (sim_hi, sim_lo)
 SIMHASH_HAMMING_MAX = 3
+SIMHASH_BAND_BITS = 16         # 4 bands of 16 bits → exact hamming<=3 cover
 
 
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprints: per token-hash bit, vote ±1 across
-    the document's distinct tokens; the sign vector packs into a 32-bit
-    fingerprint. Near-identical token multisets land within a few bits
-    of each other, so candidate pairing is hamming distance inside a
-    16-bit prefix bucket — no pairwise scan of the corpus.
+    """64-bit SimHash document fingerprints: per token-hash bit, vote ±1
+    across the document's distinct tokens; the sign vector packs into two
+    32-bit words (sim_hi = bits 32-63, sim_lo = bits 0-31). Two words
+    instead of one int64 keep every value non-negative in both engines
+    (a full 64-bit fingerprint would overflow DuckDB's BIGINT cast), and
+    hamming distance is just the sum of two bit_count(xor) terms.
 
-    All arithmetic is int64 shifts/masks on the same md5-derived token
-    hashes the minhash path uses, so the DuckDB oracle replays it
-    bit-for-bit."""
+    All arithmetic is int64 shifts/masks on md5-derived token hashes
+    (hex chars 1-8 → the low word's bit source, 9-16 → the high word's),
+    so the DuckDB oracle replays it bit-for-bit."""
     docs = load_table_spread(spark, sf_dir, "documents")
     toks = F.array_distinct(
         F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
     )
-    hs = F.transform(
-        toks, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    )
-    base = docs.select("doc_id", hs.alias("hs"))
+    h_lo = F.transform(toks, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    h_hi = F.transform(toks, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long"))
+    base = docs.select("doc_id", h_lo.alias("hlo"), h_hi.alias("hhi"))
 
-    def bit_vote(i: int):
-        # closure (not a default arg: pyspark builds one lambda variable
-        # per declared parameter, so extra params would break arity)
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
+    def pack(src: str):
+        # ONE fold per word: the accumulator is the 32-wide vote vector
+        # (zip_with per token hash), then the sign vector packs via a
+        # second fold. Variable-shift lambdas keep this a single pass —
+        # 32 separate per-bit folds compile 30x more code and re-walk
+        # the token array per bit.
+        return F.expr(f"""
+          aggregate(
+            zip_with(
+              aggregate({src},
+                array_repeat(cast(0 as long), 32),
+                (acc, h) -> zip_with(acc, sequence(0, 31),
+                    (a, i) -> a + (cast(shiftright(h, cast(i as int)) as long) & 1L) * 2L - 1L)),
+              sequence(0, 31),
+              (c, i) -> IF(c > 0, shiftleft(cast(1 as long), cast(i as int)), cast(0 as long))),
+            cast(0 as long), (a, b) -> a + b)
+        """)
 
-    simhash = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        simhash = simhash + (
-            F.when(bit_vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return base.select(
-        "doc_id",
-        simhash.alias("simhash"),
-        F.shiftright(simhash, SIMHASH_BUCKET_SHIFT).alias("bucket"),
-    )
+    return base.select("doc_id", pack("hhi").alias("sim_hi"), pack("hlo").alias("sim_lo"))
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: same 8-bit simhash prefix bucket AND
-    hamming distance <= 3 (bit_count of xor). The bucket groupBy bounds
-    the pair generation exactly like the minhash band join; at scale
-    multiple rotated prefixes would be unioned to cover all hamming-3
-    splits."""
-    sim = simhash_fingerprint(spark, sf_dir)
-    groups = (
-        sim.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
-        .filter(F.size("members") > 1)
-    )
-    pair_arr = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("members"),
-                lambda x: F.transform(
-                    F.col("members"),
-                    lambda y: F.struct(
-                        x.doc_id.alias("doc_a"),
-                        y.doc_id.alias("doc_b"),
-                        F.bit_count(x.simhash.bitwiseXOR(y.simhash)).alias("hamming"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p.doc_a < p.doc_b,
+    """All pairs at hamming distance <= 3 over the 64-bit simhash —
+    found without any pairwise corpus scan via block-split banding
+    (the block-permuted simhash index of Manku et al., WWW'07): split
+    the fingerprint into 4 disjoint 16-bit bands; by pigeonhole, any
+    pair differing in <=3 bits agrees EXACTLY on at least one band, so
+    grouping by (band_id, band_value) and confirming hamming inside the
+    groups yields the complete hamming<=3 pair set — the oracle is a
+    brute-force all-pairs check, not a replay of the banding.
+
+    Scale: 2^16 buckets per band (grows with the corpus's fingerprint
+    diversity, vs. the 256 fixed buckets this replaces — round-1's
+    near-quadratic tail). Expected random collisions per band are
+    n^2/2^16; for corpora where that bound is too loose, widen the band
+    keys by permuting 6 blocks and keying on C(6,3) block triples
+    (~32-bit keys, 20 tables) — same plan shape, same confirm step."""
+    # Fingerprints are materialized once (localCheckpoint — 3 longs/doc)
+    # so the band self-join's two sides don't recompute the vote folds;
+    # at warehouse scale this is the persisted fingerprint table.
+    sim = simhash_fingerprint(spark, sf_dir).localCheckpoint()
+    bands = [
+        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_lo"), 16),
+        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("sim_hi"), 16),
+    ]
+    banded = sim.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"), expr.alias("band_val"))
+            for b, expr in enumerate(bands)
+        ])).alias("band"),
+    ).select("doc_id", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
     )
     return (
-        groups.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -357,7 +376,17 @@ QUERIES = {
     "neardup_edit_distance": neardup_edit_distance,
 }
 
-# 32 per-bit ±1 votes over the distinct-token hashes, packed little-endian.
+# 2×32 per-bit ±1 votes over the distinct-token hashes, packed
+# little-endian into (sim_hi, sim_lo) — md5 hex 1-8 feeds the low word,
+# 9-16 the high word, mirroring simhash_fingerprint exactly.
+def _duck_pack(src: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform({src}, h -> ((h >> {i}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    )
+
+
 _DUCK_SIMHASH = """
     WITH toks AS (
         SELECT doc_id,
@@ -367,18 +396,13 @@ _DUCK_SIMHASH = """
         FROM documents
     ), hashed AS (
         SELECT doc_id,
-               list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+               list_transform(toks, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hlo,
+               list_transform(toks, s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS hhi
         FROM toks
-    ), sim AS (
-        SELECT doc_id, (%s) AS simhash FROM hashed
     ), s AS (
-        SELECT doc_id, simhash, simhash >> 24 AS bucket FROM sim
+        SELECT doc_id, (%s) AS sim_hi, (%s) AS sim_lo FROM hashed
     )
-""" % " + ".join(
-    f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {i}) & 1) * 2 - 1)) > 0 "
-    f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    for i in range(32)
-)
+""" % (_duck_pack("hhi"), _duck_pack("hlo"))
 
 # DuckDB replicas of the same algorithms (same md5 hashing, same
 # shingling), so the driver's hash-compare validates the full pipeline.
@@ -497,12 +521,14 @@ ORACLES = {
         GROUP BY lang
     """,
     "simhash_fingerprint": _DUCK_SIMHASH + """
-    SELECT doc_id, simhash, bucket FROM s
+    SELECT doc_id, sim_hi, sim_lo FROM s
     """,
+    # Brute-force all-pairs hamming — independently validates that the
+    # Spark side's 4×16-bit banding finds the COMPLETE hamming<=3 set.
     "simhash_neardup_pairs": _DUCK_SIMHASH + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM s a JOIN s b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
     """,
 }

@@ -153,39 +153,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared threshold is tuned to exercise the filter with real matches.
 NEARDUP_COSINE = 0.35
 
+# Signed-random-projection LSH (Charikar '02): SRP_TABLES hash tables,
+# SRP_BITS hyperplanes each, over SRP_DIM-dim embeddings. The ±1
+# hyperplane components derive from md5 parity — deterministic and
+# identical in Python, Spark, and the DuckDB oracle (no RNG state).
+# Scale: buckets per table = 2^SRP_BITS; pick SRP_BITS ≈
+# log2(n / target_bucket_population), so bucket count GROWS with the
+# corpus (round 1 keyed cells on the label column — a fixed nlist, so
+# pairs-per-cell grew (n/nlist)^2). Recall for a pair at angle θ is
+# 1-(1-(1-θ/π)^SRP_BITS)^SRP_TABLES: at production τ≈0.99 (θ≈8°),
+# 4 tables × 4 bits give ≈99.9%; more tables buy recall linearly in
+# cost, more bits cut candidates exponentially.
+SRP_TABLES = 4
+SRP_BITS = 4
+SRP_DIM = 64
+
+
+def _srp_sign(table: int, plane: int, dim: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"srp:{table}:{plane}:{dim}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+_SRP_PLANES = [
+    [[_srp_sign(t, p, d) for d in range(SRP_DIM)] for p in range(SRP_BITS)]
+    for t in range(SRP_TABLES)
+]
+
+
+def _srp_signature(v, table: int):
+    """SRP bucket id for one table: bit p = sign of v · plane_p (dot
+    rounded to 6 dp so both engines take the same branch at the
+    boundary). Pure JVM expressions over literal ±1 plane arrays."""
+    sig = F.lit(0)
+    for p in range(SRP_BITS):
+        plane = F.array(*[F.lit(s) for s in _SRP_PLANES[table][p]])
+        dot = F.round(_dot(v, plane), 6)
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup family's
-    embedding variant): candidate pairs come from the IVF cell bucketing
-    (same-cell only — near-identical vectors share a cell), confirmed at
-    cosine >= 0.995. The cell groupBy bounds pair generation exactly
-    like the minhash band / simhash prefix buckets; a full-recall run
-    would probe neighbouring cells too.
+    embedding variant): candidate pairs share an SRP-LSH bucket in at
+    least one of SRP_TABLES hash tables, then confirm cosine >=
+    threshold. Bucketing bounds pair generation exactly like the
+    minhash band / simhash block joins, with bucket count scaling as
+    2^SRP_BITS per table instead of a data-fixed cell id.
 
-    Scale: pairs per cell ~ (n/nlist)^2 — nlist grows with corpus size
-    to hold cell population constant; the dot products are JVM
-    higher-order functions over the bucketed (small) partitions."""
+    Plan: signatures materialize once (localCheckpoint — the persisted
+    signature table at warehouse scale), the self-join shuffles only
+    (vec_id, table_id, sig, v), AQE splits any hot bucket, and the
+    cosine confirm runs candidates-only."""
     emb = load_table_spread(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
-        F.col("label").alias("cell"),
     )
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.cell").alias("cell"),
-        F.round(
-            _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
-            6,
-        ).alias("cosine"),
+    sigs = corpus.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t).alias("sig"))
+            for t in range(SRP_TABLES)
+        ])).alias("b"),
+    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
     )
-    return pairs.filter(F.col("cosine") >= NEARDUP_COSINE)
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
 
 
 QUERIES = {
@@ -258,14 +309,27 @@ ORACLES = {
     SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
-    "embedding_neardup_pairs": f"""
-    WITH corpus AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v, label AS cell FROM embeddings
+    "embedding_neardup_pairs": "\n    WITH vecs AS (\n"
+    "        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+    "    ), sigs AS (\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS table_id, ("
+        + " + ".join(
+            f"CASE WHEN ROUND(list_dot_product(v, "
+            f"[{', '.join(str(s) for s in _SRP_PLANES[t][p])}]), 6) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(SRP_BITS)
+        )
+        + ") AS sig FROM vecs"
+        for t in range(SRP_TABLES)
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+    + f"""
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM sigs a JOIN sigs b
+      ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
     """,

@@ -118,16 +118,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation readout: documents ranked into quality deciles (ntile
-    over the stopword-ratio score, doc_id tiebreak) with per-bucket
-    corpus stats — the 'keep the top-N% of the corpus' primitive of a
-    training-data pipeline."""
-    from pyspark.sql import Window
+    """Curation readout: documents bucketed into quality deciles by VALUE
+    RANGE with per-bucket corpus stats — the 'keep the top-N% of the
+    corpus' primitive of a training-data pipeline.
 
+    Scale design (replaces the round-1 global ntile, which forced every
+    row through one task in an unpartitioned Window.orderBy sort): the
+    nine decile cut points are exact percentile_disc aggregates — in
+    Spark that is a map-side counts-map aggregation, bounded memory
+    because the 4-dp-rounded score has ≤10^4 distinct values — and the
+    1-row cut table broadcasts back onto the scan, so bucketing is a
+    shuffle-free when-chain followed by a 10-group hash aggregate. Two
+    passes over the corpus, zero global sorts. percentile_disc returns an
+    actual data value (no interpolation arithmetic), so DuckDB's
+    quantile_disc yields the bit-identical decimal cut and bucket
+    boundaries compare exactly. Equal scores always share a bucket
+    (range semantics), so deciles are only approximately equal-sized
+    under heavy ties — the property a distributed curation filter wants
+    anyway (no tie-split nondeterminism)."""
     scored = text_quality(spark, sf_dir)
-    w = Window.orderBy(F.desc("stopword_ratio"), F.asc("doc_id"))
+    cuts = scored.agg(*[
+        F.expr(f"percentile_disc({p / 10}) WITHIN GROUP (ORDER BY stopword_ratio)").alias(f"c{p}")
+        for p in range(1, 10)
+    ])
+    decile = F.lit(1)
+    for p in range(1, 10):
+        decile = decile + F.when(F.col("stopword_ratio") > F.col(f"c{p}"), 1).otherwise(0)
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "token_ct", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("doc_ct"),
@@ -269,16 +288,19 @@ ORACLES = {
                    CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
                         / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stopword_ratio
             FROM t
-        ), ranked AS (
-            SELECT doc_id, token_ct,
-                   NTILE(10) OVER (ORDER BY stopword_ratio DESC, doc_id ASC) AS decile
+        ), cuts AS (
+            SELECT {", ".join(f"quantile_disc(stopword_ratio, {p / 10}) AS c{p}" for p in range(1, 10))}
             FROM scored
+        ), b AS (
+            SELECT doc_id, token_ct,
+                   1 {" ".join(f"+ CASE WHEN stopword_ratio > c{p} THEN 1 ELSE 0 END" for p in range(1, 10))} AS decile
+            FROM scored, cuts
         )
         SELECT CAST(decile AS INTEGER) AS decile,
                CAST(COUNT(*) AS BIGINT) AS doc_ct,
                CAST(SUM(token_ct) AS BIGINT) AS token_sum,
                CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
-        FROM ranked GROUP BY 1
+        FROM b GROUP BY 1
     """,
     "lang_id": """
         WITH t AS (

@@ -178,3 +178,66 @@ def test_scd2_history_versions_and_delete_closure(spark, tmp_path):
         (1, 14): (None, 1),
         (2, 3): (None, 1),
     }
+
+
+def test_simhash_banding_finds_complete_hamming_set(spark):
+    """The 4x16-bit band self-join must return EXACTLY the brute-force
+    hamming<=3 pair set (pigeonhole: <=3 differing bits leave at least
+    one of 4 disjoint bands identical)."""
+    from gmallbiguan_parent_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        simhash_fingerprint,
+        simhash_neardup_pairs,
+    )
+
+    sim = simhash_fingerprint(spark, SF_DIR)
+    a, b = sim.alias("a"), sim.alias("b")
+    hamming = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .collect()
+    }
+    banded = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_neardup_pairs(spark, SF_DIR).collect()}
+    assert banded == brute
+    assert brute, "fixture corpus should contain at least one hamming<=3 pair"
+
+
+def test_srp_neardup_pairs_subset_of_bruteforce(spark):
+    """Every SRP-LSH pair must be a true cosine>=threshold pair (the
+    bucketing only prunes, never invents), signatures are deterministic,
+    and at least one same-bucket pair survives on the fixture data."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        NEARDUP_COSINE,
+        _dot,
+        _norm,
+        embedding_neardup_pairs,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    got = {(r.vec_a, r.vec_b): r.cosine for r in embedding_neardup_pairs(spark, SF_DIR).collect()}
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+    )
+    brute = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .collect()
+    }
+    assert got, "fixture embeddings should produce at least one same-bucket pair"
+    assert set(got) <= set(brute)
+    assert all(brute[k] == v for k, v in got.items())
