@@ -51,14 +51,24 @@ def md5_bigint(col: Column, salt: str = "") -> Column:
 TOKEN_RE = "[a-z0-9]+"
 
 
-def tokenize(col: Column | str) -> Column:
+def tokenize(col: Column | str, cjk: bool = False) -> Column:
     """text -> array<string> of lowercase tokens (the U1 UDTF surface,
-    RT/app/func/KeywordUDTF.java:12-22, as a built-in expression).
+    RT/app/func/KeywordUDTF.java:12-22).
 
-    Implemented as split-on-complement + drop-empties: token sets are
-    identical to regexp_extract_all('[a-z0-9]+') but the generated code
-    compiles and runs ~2x faster (measured at sf0.1)."""
+    ``cjk=False`` (default): pure built-in expression — split on
+    non-alnum runs + drop-empties; token sets are identical to
+    regexp_extract_all('[a-z0-9]+') but the generated code compiles and
+    runs ~2x faster (measured at sf0.1).
+
+    ``cjk=True``: the reference's IK *Chinese* segmentation semantics
+    (RT/utils/KeywordUtil.java:15-34) — greedy longest-match over the
+    bundled lexicon via an Arrow pandas_udf, latin runs kept whole, see
+    functions/cjk.py."""
     c = F.col(col) if isinstance(col, str) else col
+    if cjk:
+        from .cjk import tokenize_cjk_column
+
+        return tokenize_cjk_column(c)
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit(""))
 
 

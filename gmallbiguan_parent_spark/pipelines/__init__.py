@@ -46,7 +46,8 @@ _GATE_PRIORITY = (
     # dedup/session/wide-join layer (P9, ST4, J1-J3, S7-S8)
     "uv_daily", "user_jump", "order_wide", "payment_wide",
     # windowed aggregates (A1-A4, U1-U3, J4-J5)
-    "visitor_stats_window", "province_stats", "product_stats", "keyword_stats", "keyword_c2r_stack",
+    "visitor_stats_window", "province_stats", "product_stats",
+    "keyword_stats", "keyword_stats_cjk", "keyword_c2r_stack",
     # the 8 serving reads (S11, A5-A11, O1-O2, F7, F10)
     "gmv_daily", "top_trademarks", "top_categories", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
@@ -55,8 +56,10 @@ _GATE_PRIORITY = (
     # OVER-window engine family (§2.5)
     "topn_orders_per_priority",
     # LLM-pipeline: dedup
+    # (decontamination semantics are also inside the curate_corpus capstone,
+    # so decontaminate_corpus itself sits just outside the window)
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_stats", "simhash_neardup_pairs",
-    "decontaminate_corpus", "neardup_clusters",
+    "neardup_clusters",
     # LLM-pipeline: similarity search
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup_pairs",
     # LLM-pipeline: text analysis

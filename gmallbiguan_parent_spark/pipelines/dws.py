@@ -122,6 +122,30 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1, on its native data domain: the reference's keyword pipeline
+    segments CHINESE search terms with IK (RT/utils/KeywordUtil.java:
+    15-34 via RT/app/func/KeywordUDTF.java); this is the same pipeline
+    shape as keyword_stats but through the dictionary-based CJK
+    segmenter (functions/cjk.py, Arrow pandas_udf — one Python
+    round-trip per batch). Driver testdata documents are latin, so the
+    input is the bundled reference-domain phrase fixture; the oracle
+    replays the identical greedy longest-match as a recursive CTE.
+
+    Scale: segmentation is embarrassingly parallel map work; the only
+    shuffle is the final keyword groupBy, same as keyword_stats."""
+    from ..functions.cjk import CJK_FIXTURE_PHRASES
+
+    phrases = spark.createDataFrame(
+        list(enumerate(CJK_FIXTURE_PHRASES)), "phrase_id long, phrase string"
+    )
+    return (
+        phrases.select("phrase_id", F.explode(tokenize("phrase", cjk=True)).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("ct"), F.min("phrase_id").alias("first_phrase"))
+    )
+
+
 def keyword_c2r_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: column-to-row unpivot. The reference's KeywordProductC2RUDTF
     turns (click_ct, cart_ct, order_ct) into rows tagged CLICK/CART/ORDER,
@@ -314,6 +338,7 @@ QUERIES = {
     "province_stats": province_stats,
     "product_stats": product_stats,
     "keyword_stats": keyword_stats,
+    "keyword_stats_cjk": keyword_stats_cjk,
     "keyword_c2r_stack": keyword_c2r_stack,
     "event_type_pivot": event_type_pivot,
     "visitor_stats_full": visitor_stats_full,
@@ -404,6 +429,7 @@ ORACLES = {
         WHERE length(keyword) >= 2
         GROUP BY keyword, source
     """,
+    "keyword_stats_cjk": None,  # built below (needs the recursive segmentation CTE)
     "visitor_stats_full": """
         WITH marked AS (
             SELECT user_id, event_id, ts, value, CAST(ts AS DATE) AS dt,
@@ -480,3 +506,20 @@ ORACLES = {
         SELECT dt, source, ct FROM stacked WHERE ct > 0
     """,
 }
+
+# The CJK oracle replays the greedy longest-match segmentation as a
+# recursive CTE over the same inline phrase fixture and lexicon the
+# Spark query uses (functions/cjk.py).
+def _cjk_oracle() -> str:
+    from ..functions.cjk import CJK_FIXTURE_PHRASES, duck_segment_cte
+
+    values = ", ".join(f"({i}, lower('{p}'))" for i, p in enumerate(CJK_FIXTURE_PHRASES))
+    return duck_segment_cte(f"inp(id, s) AS (VALUES {values})") + """
+    SELECT tok AS keyword,
+           CAST(COUNT(*) AS BIGINT) AS ct,
+           CAST(MIN(id) AS BIGINT) AS first_phrase
+    FROM toks GROUP BY tok
+    """
+
+
+ORACLES["keyword_stats_cjk"] = _cjk_oracle()

@@ -1,0 +1,47 @@
+"""CJK segmentation semantics (SURVEY §2 U1, RT/utils/KeywordUtil.java:15-34):
+greedy forward longest-match over the bundled lexicon, latin runs kept
+whole, punctuation dropped, unknown CJK chars emitted singly. The plain
+-Python ``segment`` is the spec; the pandas_udf path must agree with it
+on the fixture corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmallbiguan_parent_spark.functions.cjk import (
+    CJK_FIXTURE_PHRASES,
+    segment,
+)
+
+
+def test_longest_match_wins_at_shared_prefix():
+    # 智能手机 (4) beats 智能?? no — 智能手机 is in the lexicon and must win
+    # over segmenting as 智/能/手机.
+    assert segment("智能手机促销") == ["智能手机", "促销"]
+    # 智能手表 likewise beats 手表 alone after a greedy split point.
+    assert segment("智能手表") == ["智能手表"]
+
+
+def test_unknown_cjk_chars_emit_singly():
+    # 壳 is not in the lexicon: 手机 matches, 壳 falls back to one char.
+    assert segment("手机壳") == ["手机", "壳"]
+
+
+def test_latin_runs_kept_whole_and_lowercased():
+    assert segment("iPhone 15 Pro 手机壳") == ["iphone", "15", "pro", "手机", "壳"]
+    assert segment("小米14手机") == ["小米", "14", "手机"]
+
+
+def test_punctuation_and_whitespace_dropped():
+    assert segment("平板电脑, 电视 和 音箱") == ["平板", "电脑", "电视", "和", "音箱"]
+
+
+def test_pandas_udf_agrees_with_python_spec(spark):
+    from gmallbiguan_parent_spark.functions import tokenize
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(CJK_FIXTURE_PHRASES)], "id long, phrase string"
+    )
+    got = {r.id: r.toks for r in df.select("id", tokenize("phrase", cjk=True).alias("toks")).collect()}
+    want = {i: segment(p) for i, p in enumerate(CJK_FIXTURE_PHRASES)}
+    assert got == want
