@@ -241,3 +241,21 @@ def test_srp_neardup_pairs_subset_of_bruteforce(spark):
     assert got, "fixture embeddings should produce at least one same-bucket pair"
     assert set(got) <= set(brute)
     assert all(brute[k] == v for k, v in got.items())
+
+
+def test_connected_components_star_on_adversarial_graph(spark):
+    """Alternating large-star/small-star must resolve a long chain
+    (worst case for label propagation), a separate clique, and isolated
+    pairs — labels = component minimum."""
+    from gmallbiguan_parent_spark.operators.dedup import connected_components
+
+    # chain 100-101-...-131 with scrambled endpoint order, clique on
+    # {7,8,9}, isolated pair (500, 501)
+    chain = [(i + 1, i) if i % 2 else (i, i + 1) for i in range(100, 131)]
+    clique = [(7, 8), (8, 9), (9, 7)]
+    edges = spark.createDataFrame(chain + clique + [(501, 500)], "src long, dst long")
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert {n: got[n] for n in range(100, 132)} == {n: 100 for n in range(100, 132)}
+    assert got[7] == got[8] == got[9] == 7
+    assert got[500] == got[501] == 500
+    assert set(got) == set(range(100, 132)) | {7, 8, 9, 500, 501}
