@@ -165,7 +165,8 @@ NEARDUP_COSINE = 0.35
 # 4 tables × 4 bits give ≈99.9%; more tables buy recall linearly in
 # cost, more bits cut candidates exponentially.
 SRP_TABLES = 4
-SRP_BITS = 4
+SRP_BITS = 4               # floor; the operator widens with corpus size
+SRP_TARGET_BUCKET = 32     # aim for ~this many vectors per bucket
 SRP_DIM = 64
 
 
@@ -176,19 +177,31 @@ def _srp_sign(table: int, plane: int, dim: int) -> float:
     return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
 
 
-_SRP_PLANES = [
-    [[_srp_sign(t, p, d) for d in range(SRP_DIM)] for p in range(SRP_BITS)]
-    for t in range(SRP_TABLES)
-]
+def _srp_plane(table: int, plane: int) -> list[float]:
+    return [_srp_sign(table, plane, d) for d in range(SRP_DIM)]
 
 
-def _srp_signature(v, table: int):
+# The 4-bit floor planes, inlined into the static sf0.01 oracle below.
+_SRP_PLANES = [[_srp_plane(t, p) for p in range(SRP_BITS)] for t in range(SRP_TABLES)]
+
+
+def srp_bits_for(n: int) -> int:
+    """Bucket-count rule: 2^bits ≈ n / SRP_TARGET_BUCKET, floored at
+    SRP_BITS — the knob that keeps candidates-per-bucket CONSTANT as the
+    corpus grows (a fixed width re-creates the quadratic blowup this
+    design replaces: the 10x probe ran 33x slower before widening)."""
+    import math
+
+    return max(SRP_BITS, math.ceil(math.log2(max(n, 2) / SRP_TARGET_BUCKET)))
+
+
+def _srp_signature(v, table: int, bits: int):
     """SRP bucket id for one table: bit p = sign of v · plane_p (dot
     rounded to 6 dp so both engines take the same branch at the
     boundary). Pure JVM expressions over literal ±1 plane arrays."""
     sig = F.lit(0)
-    for p in range(SRP_BITS):
-        plane = F.array(*[F.lit(s) for s in _SRP_PLANES[table][p]])
+    for p in range(bits):
+        plane = F.array(*[F.lit(s) for s in _srp_plane(table, p)])
         dot = F.round(_dot(v, plane), 6)
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig
@@ -205,16 +218,20 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: signatures materialize once (localCheckpoint — the persisted
     signature table at warehouse scale), the self-join shuffles only
     (vec_id, table_id, sig, v), AQE splits any hot bucket, and the
-    cosine confirm runs candidates-only."""
+    cosine confirm runs candidates-only. Signature width derives from
+    the corpus count (srp_bits_for — one cheap count() scan) so bucket
+    population stays ~constant at any scale; the static sf0.01 oracle
+    pins the 4 bits that 500 vectors derive."""
     emb = load_table_spread(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    bits = srp_bits_for(corpus.count())
     sigs = corpus.select(
         "vec_id", "v",
         F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t).alias("sig"))
+            F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t, bits).alias("sig"))
             for t in range(SRP_TABLES)
         ])).alias("b"),
     ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()

@@ -51,8 +51,10 @@ _GATE_PRIORITY = (
     # the 8 serving reads (S11, A5-A11, O1-O2, F7, F10)
     "gmv_daily", "top_trademarks", "top_categories", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
-    # CDC routing/pruning (S6, P3-P4, P6-P7, F9)
-    "cdc_route", "cdc_column_prune",
+    # CDC routing/pruning + SCD2 dim history (S6, S9, P3-P4, P6-P7, F9)
+    "cdc_route", "cdc_column_prune", "scd2_history",
+    # SQL-DDL tumble variant (S4 surface, F6 window functions)
+    "province_stats_sql",
     # OVER-window engine family (§2.5)
     "topn_orders_per_priority",
     # LLM-pipeline: dedup
@@ -67,9 +69,11 @@ _GATE_PRIORITY = (
     # multimodal plumbing
     "media_features",
     # sketches / distributional stats
-    "value_percentiles", "user_gap_stats",
-    # as-of join, sampling, curation capstone, clustering, data quality
-    "asof_purchase_context", "corpus_sample", "curate_corpus", "embedding_clusters", "table_profile",
+    "value_percentiles",
+    # as-of join, sampling, curation capstone, data quality
+    # (embedding_clusters and user_gap_stats sit just outside: both are
+    # rows-only/variant checks, verified by CORRECTNESS_LOCAL.json)
+    "asof_purchase_context", "corpus_sample", "curate_corpus", "table_profile",
     # structured streaming (ST1-ST7)
     "stream_visitor_stats", "stream_uv_dedup", "stream_jump_detect", "stream_dim_enrich",
 )

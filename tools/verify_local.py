@@ -5,6 +5,10 @@ DuckDB oracle, compares row count, column names, and an
 order-insensitive value representation. Exact-match by default: sorted
 rows rendered to canonical strings must be identical.
 
+On a full (unscoped) run, also writes CORRECTNESS_LOCAL.json in the
+driver's CORRECTNESS format — the machine-readable evidence for the
+queries beyond the driver gate's 50-query window.
+
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 """
 
@@ -12,6 +16,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import json
 import math
 import sys
 import time
@@ -68,6 +73,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,9 +85,14 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"okNO-ORACLE {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            record[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(srows), "oracle_rows": None,
+                            "err": None, "note": "rows-only (no SQL-expressible oracle)"}
             continue
         try:
             ores = con.execute(oracles[name])
@@ -90,24 +101,44 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            record[name] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                            "err": f"duckdb: {e}"}
             continue
+        rows_match = len(srows) == len(orows)
+        schema_match = sorted(scols) == sorted(ocols)
+        hash_match = False
         problems = []
-        if len(srows) != len(orows):
+        if not rows_match:
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        if not schema_match:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
         if not problems:
             sr = rows_repr(scols, [tuple(r) for r in srows])
             dr = rows_repr(ocols, orows)
-            if sr != dr:
+            hash_match = sr == dr
+            if not hash_match:
                 diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": len(srows),
+                        "oracle_rows": len(orows), "err": None}
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failed.append(name)
         else:
             print(f"ok {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    if not only:
+        payload = {
+            "generated_by": "tools/verify_local.py (driver-format local gate)",
+            "sf_dir": sf_dir,
+            "checked": len(record),
+            "passed": len(record) - len(failed),
+            "results": record,
+        }
+        with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as fh:
+            json.dump(payload, fh, indent=2)
+        print("wrote CORRECTNESS_LOCAL.json")
     return 1 if failed else 0
 
 
