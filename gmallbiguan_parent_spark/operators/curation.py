@@ -68,8 +68,48 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048     # tokens per packed context bin
+N_SHARDS = 8           # independent packing streams; 1000s at cluster scale
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the LLM-pretraining step that concatenates
+    documents into fixed-token-budget context windows. Documents hash
+    into N_SHARDS independent shards (same md5 bucket the sampler
+    uses) and pack contiguously in doc_id order within each shard:
+    a document's bin is floor(tokens_before_it / PACK_BUDGET) —
+    concat-then-chunk semantics, deterministic and rerun-stable.
+
+    Scale: token counts are scan-stage expressions; the ONLY wide op is
+    a cumulative-sum window PARTITIONED BY shard — shard count scales
+    with the cluster (thousands of shards → thousands of independent
+    window partitions), never a global sort. Output: one row per doc
+    with its shard, start offset, and bin assignment."""
+    from .text import BPE_RE
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+    base = docs.select(
+        "doc_id",
+        (sample_bucket(F.col("doc_id")) % N_SHARDS).alias("shard"),
+        toks.alias("token_ct"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("token_ct").over(w), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id", "shard", "token_ct",
+        before.alias("offset_tokens"),
+        F.floor(before / PACK_BUDGET).cast("long").alias("bin_id"),
+    )
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
+    "pack_sequences": pack_sequences,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
@@ -102,5 +142,21 @@ ORACLES = {
         FROM clean
         WHERE {_BUCKET} < 5000
         GROUP BY lang
+    """,
+    "pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   ({_BUCKET} % 8) AS shard,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS token_ct
+            FROM documents
+        )
+        SELECT doc_id, shard, token_ct,
+               CAST(COALESCE(SUM(token_ct) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_tokens,
+               CAST(COALESCE(SUM(token_ct) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin_id
+        FROM t
     """,
 }

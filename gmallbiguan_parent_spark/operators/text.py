@@ -206,6 +206,50 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: ASCII classes, bounded repeats, \b, \d.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONGNUM_RE = r"\d{10,}"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before a corpus ships: count and redact emails, IPv4s, and
+    long digit runs (account/card-shaped numbers). The testdata corpus
+    is synthetic and PII-free, so each document gets a deterministic
+    doc_id-derived contact suffix appended first — the regexes are then
+    exercised on every row and the redaction is verifiable end-to-end.
+
+    Replacement order matters and is part of the contract: emails first
+    (their local parts contain digits), then IPs, then bare digit runs.
+    All scan-stage expressions — zero shuffles, redacted text never
+    leaves the projection."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    suffixed = F.concat(
+        F.lower("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref 4111111111111111"),
+    )
+    base = docs.select("doc_id", suffixed.alias("txt"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>",
+        ),
+        LONGNUM_RE, "<NUM>",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count(F.col("txt"), F.lit(EMAIL_RE)).alias("email_ct"),
+        F.regexp_count(F.col("txt"), F.lit(IPV4_RE)).alias("ip_ct"),
+        F.regexp_count(F.col("txt"), F.lit(LONGNUM_RE)).alias("longnum_ct"),
+        F.length(redacted).alias("redacted_chars"),
+        F.right(redacted, F.lit(40)).alias("redacted_tail"),
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
@@ -215,6 +259,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "quality_buckets": quality_buckets,
     "token_positions": token_positions,
+    "redact_pii": redact_pii,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -323,6 +368,29 @@ ORACLES = {
                     WHEN es > en THEN 'es'
                     ELSE 'en' END AS predicted_lang
         FROM v
+    """,
+    "redact_pii": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 ref 4111111111111111' AS txt
+            FROM documents
+        ), r AS (
+            SELECT doc_id, txt,
+                   regexp_replace(regexp_replace(regexp_replace(txt,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g'),
+                       '{LONGNUM_RE}', '<NUM>', 'g') AS redacted
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '{EMAIL_RE}')) AS INTEGER) AS email_ct,
+               CAST(len(regexp_extract_all(txt, '{IPV4_RE}')) AS INTEGER) AS ip_ct,
+               CAST(len(regexp_extract_all(txt, '{LONGNUM_RE}')) AS INTEGER) AS longnum_ct,
+               CAST(length(redacted) AS INTEGER) AS redacted_chars,
+               right(redacted, 40) AS redacted_tail
+        FROM r
     """,
     "doc_fingerprint": """
         WITH t AS (
