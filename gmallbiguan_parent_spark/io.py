@@ -37,11 +37,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Defensive: results are oracle-compared against DuckDB's naive
     # timestamps — a non-UTC session would shift every date/hour
     # derivation. Runtime-settable, so pin it on every load.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Defensive: the driver may pass a session built without our
+    # session.py configs. Correctness-critical (UTC, nanosAsLong) and
+    # performance confs (AQE, right-sized shuffle, dim broadcast) are
+    # all runtime-settable, so re-apply them on whatever session we get.
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     if name == "events":
-        # Defensive: the driver may pass a session built without this
-        # config; it is settable at runtime and required to read the
-        # TIMESTAMP(NANOS) column at all.
+        # required to read the TIMESTAMP(NANOS) column at all
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
