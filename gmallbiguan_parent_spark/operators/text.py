@@ -250,6 +250,52 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/FineWeb-style filters that
+    catch boilerplate and degenerate generations): per document, the
+    fraction of tokens covered by the single most-repeated 3-gram and
+    the distinct-token ratio. High top-3-gram fraction or a low distinct
+    ratio flags template/spam pages a perplexity filter misses.
+
+    Plan: 3-grams explode in the scan stage, one (doc_id, gram) hash
+    aggregate with map-side partial counts, then a per-doc max — all
+    count arithmetic in integers, ratios decimal-rounded at the edge."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("token_ct"),
+        F.size(F.array_distinct(toks)).alias("distinct_ct"),
+        toks.alias("toks"),
+    )
+    grams = base.select(
+        "doc_id", "token_ct", "distinct_ct",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3)),
+                ),
+            ).otherwise(F.array(F.lit("")))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "token_ct", "distinct_ct", "gram")
+        .agg(F.count("*").alias("ct"))
+        .groupBy("doc_id", "token_ct", "distinct_ct")
+        .agg(F.max(F.when(F.col("gram") != "", F.col("ct")).otherwise(0)).alias("top_gram_ct"))
+    )
+    denom = F.greatest(F.col("token_ct"), F.lit(1))
+    return top.select(
+        "doc_id", "token_ct",
+        F.round(F.col("distinct_ct").cast("decimal(18,6)") / denom, 4)
+        .cast("decimal(9,4)").alias("distinct_ratio"),
+        F.round((F.col("top_gram_ct") * 3).cast("decimal(18,6)") / denom, 4)
+        .cast("decimal(9,4)").alias("top_trigram_frac"),
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
@@ -260,6 +306,7 @@ QUERIES = {
     "quality_buckets": quality_buckets,
     "token_positions": token_positions,
     "redact_pii": redact_pii,
+    "repetition_stats": repetition_stats,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -368,6 +415,34 @@ ORACLES = {
                     WHEN es > en THEN 'es'
                     ELSE 'en' END AS predicted_lang
         FROM v
+    """,
+    "repetition_stats": """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id, len(toks) AS token_ct,
+                   len(list_distinct(toks)) AS distinct_ct, toks
+            FROM t
+        ), g AS (
+            SELECT doc_id, token_ct, distinct_ct,
+                   unnest(CASE WHEN len(toks) >= 3
+                          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                          ELSE [''] END) AS gram
+            FROM b
+        ), c AS (
+            SELECT doc_id, token_ct, distinct_ct, gram, COUNT(*) AS ct
+            FROM g GROUP BY ALL
+        ), m AS (
+            SELECT doc_id, token_ct, distinct_ct,
+                   MAX(CASE WHEN gram <> '' THEN ct ELSE 0 END) AS top_gram_ct
+            FROM c GROUP BY ALL
+        )
+        SELECT doc_id,
+               CAST(token_ct AS INTEGER) AS token_ct,
+               CAST(ROUND(CAST(distinct_ct AS DECIMAL(18,6)) / GREATEST(token_ct, 1), 4) AS DECIMAL(9,4)) AS distinct_ratio,
+               CAST(ROUND(CAST(top_gram_ct * 3 AS DECIMAL(18,6)) / GREATEST(token_ct, 1), 4) AS DECIMAL(9,4)) AS top_trigram_frac
+        FROM m
     """,
     "redact_pii": f"""
         WITH t AS (
