@@ -45,3 +45,41 @@ def test_pandas_udf_agrees_with_python_spec(spark):
     got = {r.id: r.toks for r in df.select("id", tokenize("phrase", cjk=True).alias("toks")).collect()}
     want = {i: segment(p) for i, p in enumerate(CJK_FIXTURE_PHRASES)}
     assert got == want
+
+
+# Property-based invariants (hypothesis): hold for ARBITRARY input, not
+# just the fixture phrases.
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _text = st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),  # CJK slice
+            st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")),
+            st.characters(min_codepoint=ord("0"), max_codepoint=ord("9")),
+            st.sampled_from(" ,.!-@#"),
+        ),
+        max_size=60,
+    )
+
+    @given(_text)
+    @settings(max_examples=200, deadline=None)
+    def test_segment_tokens_cover_only_input_chars(s):
+        toks = segment(s)
+        low = s.lower()
+        # every token is a contiguous substring of the lowered input,
+        # and tokens never contain separators
+        for t in toks:
+            assert t in low
+            assert " " not in t
+
+    @given(_text)
+    @settings(max_examples=200, deadline=None)
+    def test_segment_deterministic_and_total(s):
+        assert segment(s) == segment(s)
+        # total token length never exceeds input length
+        assert sum(len(t) for t in segment(s)) <= len(s)
+
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass
