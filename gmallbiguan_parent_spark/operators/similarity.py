@@ -148,6 +148,73 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (the recall lever over ann_ivf_topk): each query
+    probes its N_PROBE nearest centroids' lists instead of one. The
+    standard accuracy/cost dial — recall loss of single-probe IVF comes
+    from true neighbors sitting just across a cell boundary, and probing
+    the runner-up cell recovers most of it for 2x the scanned fraction
+    (still ~N_PROBE/nlist of the corpus, partition-pruned, vs a full
+    scan). Plan shape is identical to single-probe: the probed (query,
+    cell) table stays tiny and broadcasts onto the cell-partitioned
+    corpus."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+        F.col("label").alias("cell"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    cent = (
+        corpus.select("cell", F.posexplode("c_emb"))
+        .groupBy("cell", "pos")
+        .agg(F.sum(F.col("col").cast("decimal(18,9)")).alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x.s.cast("double")
+            ).alias("cvec")
+        )
+    )
+    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "cell",
+        F.round(
+            _dot(F.col("q_emb"), F.col("cvec"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("cvec"))),
+            6,
+        ).alias("cell_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probed = (
+        probe_scored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", F.col("cell").alias("probe_cell"))
+    )
+    scored = corpus.join(
+        F.broadcast(probed), corpus.cell == probed.probe_cell, "inner"
+    ).select(
+        "query_id", "corpus_id", "cell",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "corpus_id", F.col("cell").alias("from_cell"), "cosine")
+    )
+
+
 # Production near-dup thresholds sit at ~0.99; the synthetic testdata
 # embeddings are well-spread (max intra-cell cosine ≈ 0.47), so the
 # declared threshold is tuned to exercise the filter with real matches.
@@ -260,6 +327,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
@@ -324,6 +392,44 @@ ORACLES = {
         FROM scored
     )
     SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_ivf_multiprobe": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS cell
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cent_e AS (
+        SELECT cell, i.range AS pos,
+               SUM(CAST(c_emb[CAST(i.range AS INTEGER) + 1] AS DECIMAL(18,9))) AS s
+        FROM corpus, range(64) i
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+        FROM cent_e GROUP BY cell
+    ), probe_scored AS (
+        SELECT q.query_id, q.q_emb, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ROUND(list_dot_product(q.q_emb, c.cvec)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+                   c.cell ASC) AS rn
+        FROM queries q CROSS JOIN cent c
+    ), probed AS (
+        SELECT query_id, q_emb, cell AS probe_cell FROM probe_scored WHERE rn <= {N_PROBE}
+    ), scored AS (
+        SELECT p.query_id, c.corpus_id, c.cell,
+               ROUND(list_dot_product(p.q_emb, c.c_emb)
+                     / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cosine
+        FROM corpus c JOIN probed p ON c.cell = p.probe_cell
+    ), ranked AS (
+        SELECT query_id, corpus_id, cell, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id,
+           cell AS from_cell, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "embedding_neardup_pairs": "\n    WITH vecs AS (\n"

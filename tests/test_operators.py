@@ -259,3 +259,27 @@ def test_connected_components_star_on_adversarial_graph(spark):
     assert got[7] == got[8] == got[9] == 7
     assert got[500] == got[501] == 500
     assert set(got) == set(range(100, 132)) | {7, 8, 9, 500, 501}
+
+
+def test_multiprobe_ivf_recall_dominates_single_probe(spark):
+    """Probing 2 cells scans a superset of single-probe's candidates, so
+    its top-k intersection with the exact top-k can only grow."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_multiprobe,
+        ann_ivf_topk,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.corpus_id)
+        return out
+
+    exact = topk_sets(ann_cosine_topk(spark, SF_DIR))
+    single = topk_sets(ann_ivf_topk(spark, SF_DIR))
+    multi = topk_sets(ann_ivf_multiprobe(spark, SF_DIR))
+    for q, truth in exact.items():
+        r1 = len(single.get(q, set()) & truth)
+        r2 = len(multi.get(q, set()) & truth)
+        assert r2 >= r1, f"query {q}: multiprobe recall {r2} < single {r1}"
