@@ -144,8 +144,37 @@ def media_decode_features(spark: SparkSession, sf_dir: str, *, fake: bool = True
     return media.mapInPandas(batches, schema="doc_id long, width long, height long, channels long")
 
 
+N_FRAMES = 8
+
+
+def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-path plumbing through the real Arrow/pandas lane: sample
+    N_FRAMES (fake-decoded) frames per payload with frame_sample and
+    emit the exploded (doc_id, frame_id, frame_bytes) sidecar — the
+    exact shape an ffmpeg-backed sampler produces. The fake slices the
+    payload deterministically, so the oracle verifies the whole
+    mapInPandas round-trip with pure integer arithmetic over the
+    payload length (blobs never leave the stage)."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "frame_id": [], "frame_bytes": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i, fr in enumerate(frame_sample(bytes(content), N_FRAMES, fake=True)):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_id"].append(i)
+                    rows["frame_bytes"].append(len(fr))
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "frame_id": "int32", "frame_bytes": "int64"}
+            )
+
+    return media.mapInPandas(batches, schema="doc_id long, frame_id int, frame_bytes long")
+
+
 QUERIES = {
     "media_features": media_features,
+    "media_frame_stats": media_frame_stats,
 }
 
 ORACLES = {
@@ -157,5 +186,19 @@ ORACLES = {
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_ct,
                md5(text) AS content_md5
         FROM documents
+    """,
+    # the fake sampler slices content[i*step:(i+1)*step] for
+    # i < min(N_FRAMES, len): pure integer arithmetic over the byte
+    # length, replayed here without touching the payload.
+    "media_frame_stats": """
+        WITH t AS (
+            SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        ), f AS (
+            SELECT doc_id, len, GREATEST(1, len // 8) AS step FROM t
+        )
+        SELECT doc_id,
+               CAST(frame_id AS INTEGER) AS frame_id,
+               CAST(GREATEST(0, LEAST((frame_id + 1) * step, len) - frame_id * step) AS BIGINT) AS frame_bytes
+        FROM (SELECT doc_id, len, step, unnest(range(LEAST(8, len))) AS frame_id FROM f)
     """,
 }
