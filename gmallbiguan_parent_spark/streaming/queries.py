@@ -77,6 +77,40 @@ def stream_jump_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(spark, sf_dir, stream_jump_detect)
 
 
+def stream_keyword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's keyword DAG as a genuine STREAM (U1+A4:
+    KeywordStatspp is a streaming job — tokenize search phrases,
+    explode, count per keyword): documents file-stream → tokenize →
+    explode → running counts in complete mode. Complete-mode re-emit
+    makes the bounded replay equal the batch answer exactly, so the
+    oracle is the batch keyword aggregation."""
+    from ..functions import tokenize
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        docs.select("source", F.explode(tokenize("text")).alias("keyword"))
+        .filter(F.length("keyword") >= 2)
+        .groupBy("keyword", "source")
+        .agg(F.count("*").alias("ct"))
+    )
+    name = f"kwq_{uuid.uuid4().hex[:10]}"
+    (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_kwq_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the streaming form of the async dim
     enrichment (SURVEY J3/ST9): each micro-batch broadcast-joins the
@@ -125,6 +159,7 @@ QUERIES = {
     "stream_uv_dedup": stream_uv_dedup_q,
     "stream_jump_detect": stream_jump_detect_q,
     "stream_dim_enrich": stream_dim_enrich_q,
+    "stream_keyword_stats": stream_keyword_stats_q,
 }
 
 ORACLES = {
@@ -150,4 +185,13 @@ ORACLES = {
     """,
     # stream_jump_detect: intentionally no oracle (custom stateful
     # operator with event-time timeout; rows-only check).
+    "stream_keyword_stats": """
+        SELECT keyword, source, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM (
+            SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS keyword
+            FROM documents
+        )
+        WHERE length(keyword) >= 2
+        GROUP BY keyword, source
+    """,
 }
