@@ -21,10 +21,11 @@ from gmallbiguan_parent_spark.pipelines import all_oracles, all_queries
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the OrderWide pipeline
     (fact⋈fact equi-join + 5 broadcast dim enrichments — the reference's
-    J1+J3 surface)."""
+    J1+J3 surface). Same double output edge as the gate queries."""
+    from gmallbiguan_parent_spark.pipelines import _cast_decimals_to_double
     from gmallbiguan_parent_spark.pipelines.dwm import order_wide
 
-    return order_wide(spark, "/root/testdata/sf0.001")
+    return _cast_decimals_to_double(order_wide(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -40,6 +40,35 @@ def gmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sugar_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 serving shell: the Sugar dashboard's JSON response envelope —
+    the reference's REST layer wraps every mapper result in
+    {status, msg, data:{categories, series}}
+    (PUB/controller/SugarController.java:33-469, the GMV endpoint's
+    big-string concat). Here the shaping is pure SQL over gmv_daily:
+    day keys become `categories`, amounts (in exact integer cents)
+    become the aligned `series`, serialized with to_json — byte-
+    identical between Spark and DuckDB, so the envelope itself is
+    oracle-gated. An HTTP layer would return this string verbatim;
+    it contributes no query semantics."""
+    gmv = gmv_daily(spark, sf_dir)
+    rows = gmv.select(
+        "dt",
+        F.round(F.col("order_amount") * 100).cast("long").alias("cents"),
+    )
+    packed = rows.agg(F.sort_array(F.collect_list(F.struct("dt", "cents"))).alias("s"))
+    return packed.select(
+        F.to_json(F.struct(
+            F.lit(0).alias("status"),
+            F.lit("success").alias("msg"),
+            F.struct(
+                F.transform("s", lambda r: r.dt).alias("categories"),
+                F.transform("s", lambda r: r.cents).alias("series"),
+            ).alias("data"),
+        )).alias("envelope")
+    )
+
+
 def top_trademarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/O1: `group by tm having sum(order_amount)>0 order by desc
     limit N` — brand ≈ trademark. Spark plans TakeOrderedAndProject
@@ -182,6 +211,7 @@ def bounce_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "gmv_daily": gmv_daily,
+    "sugar_envelope": sugar_envelope,
     "top_trademarks": top_trademarks,
     "top_categories": top_categories,
     "visitor_new_rollup": visitor_new_rollup,
@@ -198,6 +228,23 @@ ORACLES = {
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'
         GROUP BY 1
+    """,
+    "sugar_envelope": """
+        WITH g AS (
+            SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS amt
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1
+        )
+        SELECT CAST(to_json(struct_pack(
+                   status := 0,
+                   msg := 'success',
+                   data := struct_pack(
+                       categories := list(dt ORDER BY dt),
+                       series := list(CAST(ROUND(amt * 100) AS BIGINT) ORDER BY dt)
+                   ))) AS VARCHAR) AS envelope
+        FROM g
     """,
     "top_trademarks": """
         SELECT p.p_brand AS tm_name,
