@@ -148,6 +148,58 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUNC_DIMS = 16        # coarse-pass prefix dims (matryoshka-style)
+RERANK_FACTOR = 3      # candidates per query for the fine pass
+
+
+def ann_truncated_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine retrieval (the matryoshka/truncated-embedding
+    pattern): a cheap first pass scores every corpus vector with only
+    the first TRUNC_DIMS dimensions (4x less arithmetic and — at
+    warehouse scale — 4x less column data read if prefixes are stored
+    as their own column), keeps RERANK_FACTOR*TOP_K candidates per
+    query, then reranks ONLY those with the full-dimension cosine.
+    Exactness depends on the truncation quality; the contract here is
+    the two-stage result itself, which the oracle replays stage for
+    stage.
+
+    Plan: both passes are broadcast-query scans; the rerank input is
+    TOP_K*RERANK_FACTOR rows per query — a negligible second pass."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    c_trunc = F.slice(F.col("c_emb"), 1, TRUNC_DIMS)
+    q_trunc = F.slice(F.col("q_emb"), 1, TRUNC_DIMS)
+    coarse = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "corpus_id", "q_emb", "c_emb",
+        F.round(_dot(q_trunc, c_trunc) / (_norm(q_trunc) * _norm(c_trunc)), 6).alias("coarse_cos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("coarse_cos"), F.asc("corpus_id"))
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= TOP_K * RERANK_FACTOR)
+    )
+    fine = cand.select(
+        "query_id", "corpus_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        fine.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )
+
+
 N_PROBE = 2
 
 
@@ -328,6 +380,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
+    "ann_truncated_rerank": ann_truncated_rerank,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
@@ -392,6 +445,38 @@ ORACLES = {
         FROM scored
     )
     SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_truncated_rerank": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), coarse AS (
+        SELECT q.query_id, c.corpus_id, q.q_emb, c.c_emb,
+               ROUND(list_dot_product(q.q_emb[1:{TRUNC_DIMS}], c.c_emb[1:{TRUNC_DIMS}])
+                     / (sqrt(list_dot_product(q.q_emb[1:{TRUNC_DIMS}], q.q_emb[1:{TRUNC_DIMS}]))
+                        * sqrt(list_dot_product(c.c_emb[1:{TRUNC_DIMS}], c.c_emb[1:{TRUNC_DIMS}]))), 6) AS coarse_cos
+        FROM corpus c CROSS JOIN queries q
+    ), cand AS (
+        SELECT * FROM (
+            SELECT query_id, corpus_id, q_emb, c_emb,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY coarse_cos DESC, corpus_id ASC) AS crank
+            FROM coarse
+        ) WHERE crank <= {TOP_K * RERANK_FACTOR}
+    ), fine AS (
+        SELECT query_id, corpus_id,
+               ROUND(list_dot_product(q_emb, c_emb)
+                     / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+        FROM cand
+    ), ranked AS (
+        SELECT query_id, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM fine
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_ivf_multiprobe": f"""
