@@ -85,10 +85,35 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha) sampling weights — the multilingual
+    pretraining rebalancing rule p_l = c_l^alpha / sum(c^alpha): alpha<1
+    flattens the language distribution so low-resource classes are
+    upsampled relative to their raw share. Emits each class's mixture
+    weight and the upsampling factor relative to proportional sampling
+    (the number STRATA_RATES-style maps are derived from).
+
+    Plan: one tiny groupBy(lang) aggregate, a 1-row total broadcast back
+    — nothing scales with the corpus except the first count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("doc_ct"))
+    counts = counts.withColumn("w", F.pow(F.col("doc_ct").cast("double"), F.lit(MIX_ALPHA)))
+    tot = counts.agg(F.sum("w").alias("tot"), F.sum("doc_ct").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "doc_ct",
+        F.round(F.col("w") / F.col("tot"), 6).alias("mix_weight"),
+        F.round(F.col("w") / F.col("tot") * F.col("n") / F.col("doc_ct"), 6).alias("upsample_factor"),
+    )
+
+
 QUERIES = {
     "corpus_sample": corpus_sample,
     "stratified_sample": stratified_sample,
     "weighted_sample": weighted_sample,
+    "mixture_weights": mixture_weights,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
@@ -129,5 +154,18 @@ ORACLES = {
             WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500
             ELSE 0 END
         GROUP BY lang
+    """,
+    "mixture_weights": f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_ct FROM documents GROUP BY lang
+        ), t AS (
+            SELECT SUM(POWER(doc_ct, {MIX_ALPHA})) AS tot,
+                   CAST(SUM(doc_ct) AS BIGINT) AS n
+            FROM c
+        )
+        SELECT lang, doc_ct,
+               ROUND(POWER(doc_ct, {MIX_ALPHA}) / tot, 6) AS mix_weight,
+               ROUND(POWER(doc_ct, {MIX_ALPHA}) / tot * n / doc_ct, 6) AS upsample_factor
+        FROM c, t
     """,
 }
