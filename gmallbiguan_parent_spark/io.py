@@ -38,21 +38,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps — a non-UTC session would shift every date/hour
     # derivation. Runtime-settable, so pin it on every load.
     # Defensive: the driver may pass a session built without our
-    # session.py configs. Correctness-critical (UTC, nanosAsLong) and
-    # performance confs (AQE, right-sized shuffle, dim broadcast) are
-    # all runtime-settable, so re-apply them on whatever session we get.
-    for k, v in (
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.adaptive.enabled", "true"),
-        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
-        ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
-        ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")),
-    ):
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass
+    # session.py configs — apply the shared engine tuning to FOREIGN
+    # sessions only (the marker keeps us from trampling an explicit
+    # get_spark(shuffle_partitions=N) choice on our own sessions).
+    from .session import DEFAULT_SHUFFLE_PARTITIONS, TUNED_MARKER, runtime_confs
+
+    try:
+        tuned = spark.conf.get(TUNED_MARKER, "false") == "true"
+    except Exception:
+        tuned = False
+    if not tuned:
+        for k, v in runtime_confs(DEFAULT_SHUFFLE_PARTITIONS):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
     if name == "events":
         # required to read the TIMESTAMP(NANOS) column at all
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

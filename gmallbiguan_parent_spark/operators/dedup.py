@@ -471,7 +471,7 @@ _DUCK_MINHASH_PAIRS = """
         FROM hsig
     ), banded AS (
         SELECT doc_id, b AS band_id,
-               mh[b*{br}+1] || ':' || mh[b*{br}+2] || ':' || mh[b*{br}+3] AS band_key
+               {band_key} AS band_key
         FROM sig, (SELECT unnest(range(0, {nb})) AS b)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -495,7 +495,9 @@ _DUCK_MINHASH_PAIRS = """
     pb=str(list(PERM_B)),
     np=N_PERM,
     nb=N_BANDS,
-    br=BAND_ROWS,
+    # band key generated for BAND_ROWS elements, not hardcoded at 3 —
+    # changing the banding config changes both engines together
+    band_key=" || ':' || ".join(f"mh[b*{BAND_ROWS}+{r + 1}]" for r in range(BAND_ROWS)),
 )
 
 ORACLES = {

@@ -285,6 +285,7 @@ NEARDUP_COSINE = 0.35
 # cost, more bits cut candidates exponentially.
 SRP_TABLES = 4
 SRP_BITS = 4               # floor; the operator widens with corpus size
+SRP_MAX_BITS = 12          # cap (4096 buckets/table); raise for >130k vectors
 SRP_TARGET_BUCKET = 32     # aim for ~this many vectors per bucket
 SRP_DIM = 64
 
@@ -300,18 +301,20 @@ def _srp_plane(table: int, plane: int) -> list[float]:
     return [_srp_sign(table, plane, d) for d in range(SRP_DIM)]
 
 
-# The 4-bit floor planes, inlined into the static sf0.01 oracle below.
-_SRP_PLANES = [[_srp_plane(t, p) for p in range(SRP_BITS)] for t in range(SRP_TABLES)]
+# Plane literals up to the cap, inlined into the (width-adaptive) oracle.
+_SRP_PLANES = [[_srp_plane(t, p) for p in range(SRP_MAX_BITS)] for t in range(SRP_TABLES)]
 
 
 def srp_bits_for(n: int) -> int:
-    """Bucket-count rule: 2^bits ≈ n / SRP_TARGET_BUCKET, floored at
-    SRP_BITS — the knob that keeps candidates-per-bucket CONSTANT as the
-    corpus grows (a fixed width re-creates the quadratic blowup this
-    design replaces: the 10x probe ran 33x slower before widening)."""
+    """Bucket-count rule: 2^bits ≈ n / SRP_TARGET_BUCKET, clamped to
+    [SRP_BITS, SRP_MAX_BITS] — the knob that keeps candidates-per-bucket
+    CONSTANT as the corpus grows (a fixed width re-creates the quadratic
+    blowup this design replaces: the 10x probe ran 33x slower before
+    widening). The DuckDB oracle computes the IDENTICAL formula from
+    count(embeddings), so both engines agree at every scale factor."""
     import math
 
-    return max(SRP_BITS, math.ceil(math.log2(max(n, 2) / SRP_TARGET_BUCKET)))
+    return min(SRP_MAX_BITS, max(SRP_BITS, math.ceil(math.log2(max(n, 2) / SRP_TARGET_BUCKET))))
 
 
 def _srp_signature(v, table: int, bits: int):
@@ -339,8 +342,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, table_id, sig, v), AQE splits any hot bucket, and the
     cosine confirm runs candidates-only. Signature width derives from
     the corpus count (srp_bits_for — one cheap count() scan) so bucket
-    population stays ~constant at any scale; the static sf0.01 oracle
-    pins the 4 bits that 500 vectors derive."""
+    population stays ~constant at any scale; the oracle computes the
+    identical width from count(embeddings), so verification holds at
+    every scale factor, not just sf0.01."""
     emb = load_table_spread(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id"),
@@ -517,18 +521,25 @@ ORACLES = {
            cell AS from_cell, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
+    # width-adaptive replay: `bits` is computed from count(embeddings)
+    # with the same clamp srp_bits_for uses; plane terms beyond the
+    # derived width are masked out, so the same SQL verifies every sf.
     "embedding_neardup_pairs": "\n    WITH vecs AS (\n"
     "        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+    "    ), bcfg AS (\n"
+    f"        SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_BITS},\n"
+    f"            CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / {SRP_TARGET_BUCKET}.0)) AS INTEGER))) AS bits\n"
+    "        FROM vecs\n"
     "    ), sigs AS (\n        "
     + "\n        UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS table_id, ("
         + " + ".join(
-            f"CASE WHEN ROUND(list_dot_product(v, "
+            f"CASE WHEN {p} < bits AND ROUND(list_dot_product(v, "
             f"[{', '.join(str(s) for s in _SRP_PLANES[t][p])}]), 6) > 0 "
             f"THEN {1 << p} ELSE 0 END"
-            for p in range(SRP_BITS)
+            for p in range(SRP_MAX_BITS)
         )
-        + ") AS sig FROM vecs"
+        + ") AS sig FROM vecs, bcfg"
         for t in range(SRP_TABLES)
     )
     + f"""

@@ -241,8 +241,10 @@ ORACLES = {
                    status := 0,
                    msg := 'success',
                    data := struct_pack(
-                       categories := list(dt ORDER BY dt),
-                       series := list(CAST(ROUND(amt * 100) AS BIGINT) ORDER BY dt)
+                       -- COALESCE: DuckDB list() over zero rows is NULL,
+                       -- Spark collect_list is [] — match Spark's []
+                       categories := COALESCE(list(dt ORDER BY dt), []),
+                       series := COALESCE(list(CAST(ROUND(amt * 100) AS BIGINT) ORDER BY dt), [])
                    ))) AS VARCHAR) AS envelope
         FROM g
     """,

@@ -15,6 +15,28 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Marker conf: set on every session get_spark() tunes, checked by
+# io.load_table so it only re-applies tuning to FOREIGN sessions (the
+# correctness driver's plain session) and never tramples an explicit
+# get_spark(shuffle_partitions=N) choice.
+TUNED_MARKER = "spark.gmallbiguan.tuned"
+
+
+def runtime_confs(shuffle_partitions: int) -> tuple[tuple[str, str], ...]:
+    """The runtime-settable SQL confs this engine wants on ANY session
+    it runs on — single source of truth for session.py and io.py."""
+    return (
+        ("spark.sql.shuffle.partitions", str(shuffle_partitions)),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    )
+
 
 def get_spark(app_name: str = "gmallbiguan_parent_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -54,17 +76,7 @@ def get_spark(app_name: str = "gmallbiguan_parent_spark",
     # getOrCreate() ignores builder configs when a session already exists
     # (the per-round driver hands us its own plain session), so re-apply
     # every runtime-settable SQL conf on the live session too.
-    for k, v in (
-        ("spark.sql.shuffle.partitions", str(n)),
-        ("spark.sql.adaptive.enabled", "true"),
-        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
-        ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-    ):
+    for k, v in runtime_confs(n) + ((TUNED_MARKER, "true"),):
         try:
             spark.conf.set(k, v)
         except Exception:

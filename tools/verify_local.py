@@ -127,7 +127,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    checked = len(record)
+    print(f"\n{checked - len(failed)}/{checked} passed")
     if not only:
         payload = {
             "generated_by": "tools/verify_local.py (driver-format local gate)",
