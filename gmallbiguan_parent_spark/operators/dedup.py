@@ -364,6 +364,62 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_DF_MAX = 3     # a "line" appearing in more than this many docs is boilerplate
+LINE_TOKENS = 6     # the corpus is an unpunctuated token stream: a "line" = 6-token chunk
+
+
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet-style pass
+    that strips repeated navigation/footer lines before document-level
+    dedup): split each document into lines, count each normalized
+    line's document frequency corpus-wide, and drop lines appearing in
+    more than LINE_DF_MAX documents. The synthetic corpus has no
+    newlines/punctuation, so "line" here is a fixed LINE_TOKENS-token
+    chunk (on real data, swap the chunker for split-on-newline — the
+    plan is unchanged). Emits per-document keep/drop counts and the md5
+    of the cleaned text.
+
+    Plan: chunking + explode in the scan stage; ONE (line)-keyed
+    aggregate for document frequencies joined back to the exploded
+    lines (the join is line-keyed too, so at scale both sides share the
+    shuffle partitioning); reassembly is a per-doc sort of kept
+    positions — partitioned by doc_id, never global."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / LINE_TOKENS).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS)),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(chunks, lambda s: F.trim(s) != F.lit(""))).alias("pos", "line"),
+    ).withColumn("norm_line", F.trim(F.lower(F.col("line"))))
+    df_counts = lines.groupBy("norm_line").agg(F.countDistinct("doc_id").alias("line_df"))
+    tagged = lines.join(df_counts, "norm_line")
+    kept = tagged.filter(F.col("line_df") <= LINE_DF_MAX)
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_lines"),
+            F.concat_ws(". ", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda x: x.line
+            )).alias("clean_text"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("total_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_lines",
+            F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+            (F.col("total_lines") - F.coalesce("kept_lines", F.lit(0))).alias("dropped_lines"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document shingle stats (the n-gram Jaccard building block):
     distinct shingle count and a stable sample shingle. Verifies the
@@ -399,6 +455,7 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "line_dedup_stats": line_dedup_stats,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
@@ -501,6 +558,39 @@ _DUCK_MINHASH_PAIRS = """
 )
 
 ORACLES = {
+    "line_dedup_stats": f"""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), raw AS (
+            SELECT doc_id,
+                   list_filter(
+                       [array_to_string(toks[i*{LINE_TOKENS}+1:i*{LINE_TOKENS}+{LINE_TOKENS}], ' ')
+                        for i in range(0, GREATEST(CAST(CEIL(len(toks) / {LINE_TOKENS}.0) AS INT), 1))],
+                       s -> trim(s) <> '') AS ls
+            FROM tok
+        ), lines AS (
+            SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line FROM raw
+        ), nl AS (
+            SELECT doc_id, pos, line, trim(lower(line)) AS norm_line FROM lines
+        ), dfc AS (
+            SELECT norm_line, COUNT(DISTINCT doc_id) AS line_df FROM nl GROUP BY 1
+        ), kept AS (
+            SELECT nl.doc_id, nl.pos, nl.line
+            FROM nl JOIN dfc USING (norm_line) WHERE line_df <= {LINE_DF_MAX}
+        ), rebuilt AS (
+            SELECT doc_id, COUNT(*) AS kept_lines,
+                   string_agg(line, '. ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS total_lines FROM nl GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(t.total_lines AS BIGINT) AS total_lines,
+               CAST(COALESCE(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+               CAST(t.total_lines - COALESCE(r.kept_lines, 0) AS BIGINT) AS dropped_lines,
+               md5(COALESCE(r.clean_text, '')) AS clean_md5
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
     "dedup_exact": """
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
