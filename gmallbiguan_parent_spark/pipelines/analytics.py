@@ -184,11 +184,13 @@ def gmv_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day_no", F.datediff("dt", F.lit("1997-01-01")))
     )
     w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    # divide in DOUBLE on both engines: Spark's exact-decimal quotient
+    # rounds .045 up where DuckDB's decimal/bigint goes through double
+    # and sees .04499…, a 1-cent divergence first seen at sf0.1
     return daily.select(
         F.date_format("dt", "yyyy-MM-dd").alias("dt"),
         "gmv",
-        F.round(F.sum("gmv").over(w) / F.count("*").over(w), 2)
-        .cast("decimal(18,2)").alias("gmv_7d_avg"),
+        F.round(F.sum("gmv").over(w).cast("double") / F.count("*").over(w), 2).alias("gmv_7d_avg"),
         F.count("*").over(w).alias("days_in_window"),
     )
 
@@ -774,7 +776,7 @@ ORACLES = {
             GROUP BY 1, 3
         )
         SELECT strftime(dt, '%Y-%m-%d') AS dt, gmv,
-               CAST(ROUND(SUM(gmv) OVER w / COUNT(*) OVER w, 2) AS DECIMAL(18,2)) AS gmv_7d_avg,
+               ROUND(CAST(SUM(gmv) OVER w AS DOUBLE) / COUNT(*) OVER w, 2) AS gmv_7d_avg,
                CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
         FROM daily
         WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
