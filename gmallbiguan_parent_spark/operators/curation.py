@@ -107,9 +107,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32      # window width
+CHUNK_STRIDE = 24      # stride (8-token overlap between consecutive chunks)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the step that splits documents into
+    overlapping fixed-token windows before embedding/indexing (RAG and
+    embedding-generation pipelines; the overlap keeps boundary context
+    retrievable). Each doc yields ceil(max(n-W,0)/S)+1 chunks of W
+    tokens at stride S. Pure scan-stage expressions: tokenization,
+    chunk arithmetic, and the explode all happen in the projection —
+    zero shuffles, output is the (doc_id, chunk_id, span, text) sidecar
+    an embedding job consumes partition-parallel."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / CHUNK_STRIDE).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * CHUNK_STRIDE).alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS)).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select("doc_id", n.alias("doc_tokens"), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id", "doc_tokens", "chunk_id",
+            F.col("c.start_tok").alias("start_tok"),
+            F.size(F.split(F.col("c.chunk_text"), " ")).alias("chunk_tokens"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        )
+    )
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
@@ -142,6 +180,28 @@ ORACLES = {
         FROM clean
         WHERE {_BUCKET} < 5000
         GROUP BY lang
+    """,
+    "chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), b AS (
+            SELECT doc_id, len(toks) AS doc_tokens, toks,
+                   CAST(CEIL(GREATEST(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0) AS INT) + 1 AS n_chunks
+            FROM t
+        ), c AS (
+            SELECT doc_id, doc_tokens,
+                   unnest(range(n_chunks)) AS chunk_id,
+                   unnest([array_to_string(toks[i*{CHUNK_STRIDE}+1:i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ')
+                           for i in range(0, n_chunks)]) AS chunk_text
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(doc_tokens AS INTEGER) AS doc_tokens,
+               CAST(chunk_id AS INTEGER) AS chunk_id,
+               CAST(chunk_id * {CHUNK_STRIDE} AS INTEGER) AS start_tok,
+               CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS chunk_tokens,
+               md5(chunk_text) AS chunk_md5
+        FROM c
     """,
     "pack_sequences": f"""
         WITH t AS (
