@@ -175,6 +175,7 @@ def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "media_features": media_features,
     "media_frame_stats": media_frame_stats,
+    "media_decode_features": media_decode_features,
 }
 
 ORACLES = {
@@ -185,6 +186,16 @@ ORACLES = {
                'text/' || source AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_ct,
                md5(text) AS content_md5
+        FROM documents
+    """,
+    # the fake decoder derives dimensions from the payload's md5 bytes
+    # (width = 64 + digest[0] % 192, height = 64 + digest[1] % 192), so
+    # the oracle replays it from hex pairs of md5(text).
+    "media_decode_features": """
+        SELECT doc_id,
+               CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS BIGINT) AS width,
+               CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels
         FROM documents
     """,
     # the fake sampler slices content[i*step:(i+1)*step] for

@@ -195,6 +195,29 @@ def gmv_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 rank-distribution family: percent_rank + cume_dist + ntile
+    over a partitioned window (per order priority, price order) rolled
+    into per-decile band stats — the remaining OVER-window functions the
+    engine's window family didn't yet exercise. Same partitioning shape
+    as topn_orders_per_priority: the sort is per-priority, never global;
+    both rank ratios are exact (rank-1)/(n-1)-style rationals computed
+    identically in both engines and rounded at 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return ranked.groupBy("priority", "decile").agg(
+        F.count("*").alias("order_ct"),
+        F.round(F.max("pr"), 6).alias("pct_rank_max"),
+        F.round(F.max("cd"), 6).alias("cume_dist_max"),
+    )
+
+
 def region_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (region, order priority) with GROUPING flags — all four
     grouping-set combinations (detail, per-region, per-priority, grand
@@ -520,6 +543,7 @@ QUERIES = {
     "inactive_customers": inactive_customers,
     "big_orders": big_orders,
     "gmv_7d_moving_avg": gmv_7d_moving_avg,
+    "order_percentile_bands": order_percentile_bands,
 }
 
 ORACLES = {
@@ -765,6 +789,21 @@ ORACLES = {
                CAST(o.o_totalprice AS DECIMAL(18,4)) AS total_amount,
                b.total_qty
         FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+    "order_percentile_bands": """
+        WITH ranked AS (
+            SELECT o_orderpriority AS priority,
+                   PERCENT_RANK() OVER w AS pr,
+                   CUME_DIST() OVER w AS cd,
+                   NTILE(10) OVER w AS decile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        )
+        SELECT priority, CAST(decile AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               ROUND(MAX(pr), 6) AS pct_rank_max,
+               ROUND(MAX(cd), 6) AS cume_dist_max
+        FROM ranked GROUP BY 1, 2
     """,
     "gmv_7d_moving_avg": """
         WITH daily AS (
