@@ -200,3 +200,15 @@ def test_watermark_drops_late_rows_in_append_aggregation(spark, tmp_path):
     got = {r.stt: r.ct for r in spark.read.parquet(f"{out}/data").collect()}
     # the t0 window closed with ONLY the on-time event; the late row was dropped
     assert got[t0] == 1
+
+
+def test_stream_keyword_stats_matches_batch(spark):
+    """The streaming keyword pipeline's bounded complete-mode replay
+    must equal the batch keyword aggregation exactly."""
+    from conftest import SF_DIR
+    from gmallbiguan_parent_spark.pipelines.dws import keyword_stats
+    from gmallbiguan_parent_spark.streaming.queries import stream_keyword_stats_q
+
+    batch = {(r.keyword, r.source): r.ct for r in keyword_stats(spark, SF_DIR).collect()}
+    stream = {(r.keyword, r.source): r.ct for r in stream_keyword_stats_q(spark, SF_DIR).collect()}
+    assert stream == batch and batch
