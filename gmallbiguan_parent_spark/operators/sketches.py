@@ -160,7 +160,55 @@ def daily_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (median/MAD — the data-quality screen
+    that survives heavy-tailed money amounts where mean/stddev don't):
+    per order priority, the exact median and median-absolute-deviation
+    of the order total via percentile_disc, then count orders with
+    |x - median| > 3*MAD. percentile_disc returns actual decimal data
+    values, so every comparison is exact in both engines.
+
+    Plan: two grouped percentile aggregates (counts-map, bounded
+    memory) with the tiny per-priority stats broadcast back onto the
+    scan — no sorts, no row-level shuffles beyond the two aggs."""
+    from pyspark.sql import functions as F
+
+    from ..functions import dec
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"), dec("o_totalprice").alias("amt")
+    )
+    # Spark's percentile_disc returns DOUBLE even over decimal input
+    # (DuckDB's quantile_disc keeps DECIMAL); the result is an actual
+    # 4-dp data value, so the cast back to decimal is exact and keeps
+    # the MAD subtraction in exact arithmetic on both engines.
+    med = base.groupBy("priority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY amt)")
+        .cast("decimal(18,4)").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "priority").select(
+        "priority", "med", F.abs(F.col("amt") - F.col("med")).alias("absdev")
+    )
+    mad = dev.groupBy("priority", "med").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)")
+        .cast("decimal(18,4)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("priority", "mad")), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.first("med").alias("median_amt"),
+            F.first("mad").alias("mad_amt"),
+            F.sum(F.when(F.col("absdev") > 3 * F.col("mad"), 1).otherwise(0)).alias("outlier_ct"),
+        )
+    )
+
+
 QUERIES = {
+    "order_outlier_stats": order_outlier_stats,
     "value_percentiles": value_percentiles,
     "value_correlation": value_correlation,
     "daily_flags": daily_flags,
@@ -172,6 +220,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_outlier_stats": """
+        WITH base AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS amt
+            FROM orders
+        ), med AS (
+            SELECT priority, quantile_disc(amt, 0.5) AS med FROM base GROUP BY 1
+        ), dev AS (
+            SELECT b.priority, m.med, ABS(b.amt - m.med) AS absdev
+            FROM base b JOIN med m USING (priority)
+        ), mad AS (
+            SELECT priority, med, quantile_disc(absdev, 0.5) AS mad
+            FROM dev GROUP BY 1, 2
+        )
+        SELECT d.priority,
+               CAST(COUNT(*) AS BIGINT) AS order_ct,
+               MAX(m.med) AS median_amt,
+               MAX(m.mad) AS mad_amt,
+               CAST(SUM(CASE WHEN d.absdev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS outlier_ct
+        FROM dev d JOIN mad m USING (priority)
+        GROUP BY 1
+    """,
     # approx_distinct_stats and approx_value_percentiles intentionally
     # omitted: HLL / KLL-style sketches are engine-specific (rows-only
     # checks; tests assert the relative-error / rank-error contracts).
