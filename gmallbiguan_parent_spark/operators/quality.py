@@ -88,12 +88,69 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
+import math
+
+# Benford expected first-digit shares, precomputed in Python and inlined
+# as LITERALS on both engines — no cross-engine log/pow at query time.
+BENFORD_EXP = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fabricated-data screen for financial columns: compare the observed
+    first-significant-digit distribution against log10(1 + 1/d). The
+    first digit comes from the DECIMAL STRING rendering (never from
+    log10/pow at query time, whose last-ulp differences could flip
+    floor() at exact powers of ten between engines). One scan, one
+    9-group aggregate, the total broadcast back."""
+    orders = load_table(spark, sf_dir, "orders")
+    amt = dec("o_totalprice")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(amt.cast("string"), 1, 1).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("obs_ct"))
+    total = counts.agg(F.sum("obs_ct").alias("n"))
+    exp_share = reduce(
+        lambda acc, d: acc.when(F.col("digit") == str(d), F.lit(BENFORD_EXP[d])),
+        range(2, 10),
+        F.when(F.col("digit") == "1", F.lit(BENFORD_EXP[1])),
+    ).otherwise(F.lit(0.0))
+    obs_share = F.round(F.col("obs_ct") / F.col("n"), 6)
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "obs_ct",
+        obs_share.alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.round(F.abs(obs_share - exp_share), 6).alias("abs_dev"),
+    )
+
+
 QUERIES = {
     "table_profile": table_profile,
     "integrity_audit": integrity_audit,
+    "benford_digit_audit": benford_digit_audit,
 }
 
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {BENFORD_EXP[d]}" for d in range(1, 10)
+) + " ELSE 0.0 END"
+
 ORACLES = {
+    "benford_digit_audit": f"""
+        WITH digits AS (
+            SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ), counts AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs_ct FROM digits GROUP BY 1
+        ), t AS (
+            SELECT CAST(SUM(obs_ct) AS BIGINT) AS n FROM counts
+        )
+        SELECT digit, obs_ct,
+               ROUND(obs_ct / n, 6) AS obs_share,
+               {_BENFORD_CASE} AS exp_share,
+               ROUND(ABS(ROUND(obs_ct / n, 6) - {_BENFORD_CASE}), 6) AS abs_dev
+        FROM counts, t
+    """,
     "table_profile": """
         WITH one AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
