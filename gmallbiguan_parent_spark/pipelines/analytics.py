@@ -195,6 +195,34 @@ def gmv_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchical rollup: each nation's GMV as a
+    fraction of its region's total — the percent-of-parent OLAP pattern
+    (priority_share is share-of-grand-total; this is the two-level
+    variant). Aggregate once at the leaf grain, then a window SUM over
+    the parent key; the ratio divides in DOUBLE on both engines (decimal
+    quotients round differently between Spark and DuckDB — see
+    gmv_7d_moving_avg). Dims broadcast; one fact shuffle at the
+    (nation) grain, the parent window runs on ~25 aggregated rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    leaf = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+    )
+    w = Window.partitionBy("region_name")
+    return leaf.select(
+        "region_name", "nation_name", "gmv",
+        F.round(F.col("gmv").cast("double") / F.sum("gmv").over(w).cast("double") * 100, 4)
+        .alias("region_share_pct"),
+    )
+
+
 def order_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 rank-distribution family: percent_rank + cume_dist + ntile
     over a partitioned window (per order priority, price order) rolled
@@ -544,6 +572,7 @@ QUERIES = {
     "big_orders": big_orders,
     "gmv_7d_moving_avg": gmv_7d_moving_avg,
     "order_percentile_bands": order_percentile_bands,
+    "nation_share_of_region": nation_share_of_region,
 }
 
 ORACLES = {
@@ -789,6 +818,21 @@ ORACLES = {
                CAST(o.o_totalprice AS DECIMAL(18,4)) AS total_amount,
                b.total_qty
         FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+    """,
+    "nation_share_of_region": """
+        WITH leaf AS (
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region_name, nation_name, gmv,
+               ROUND(CAST(gmv AS DOUBLE) / CAST(SUM(gmv) OVER (PARTITION BY region_name) AS DOUBLE) * 100, 4)
+                   AS region_share_pct
+        FROM leaf
     """,
     "order_percentile_bands": """
         WITH ranked AS (
