@@ -146,6 +146,42 @@ def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANG_CJK_CONTROLS = (
+    "the cat and the dog is here",
+    "der hund und die katze ist da",
+    "le chat et les oiseaux est la",
+)
+
+
+def lang_id_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zh branch of the language-ID heuristic, exercised on data
+    that actually contains CJK (operators.text.lang_id runs the same
+    CASE over the latin documents table, so its CJK-presence arm never
+    fires there): the bundled phrase fixture plus a few latin controls,
+    classified by the identical rule — CJK char present → zh, else
+    stopword vote."""
+    from ..functions.cjk import CJK_FIXTURE_PHRASES
+
+    phrases = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(tuple(CJK_FIXTURE_PHRASES) + LANG_CJK_CONTROLS)],
+        "phrase_id long, phrase string",
+    )
+    toks = tokenize("phrase")
+
+    def vote(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    has_cjk = F.regexp_count(F.col("phrase"), F.lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    en, de, fr = (vote(w) for w in (("the", "and", "of", "is"), ("der", "und", "die", "ist"), ("le", "et", "les", "est")))
+    pred = (
+        F.when(has_cjk, "zh")
+        .when((de > en) & (de >= fr), "de")
+        .when(fr > en, "fr")
+        .otherwise("en")
+    )
+    return phrases.select("phrase_id", pred.alias("predicted_lang"))
+
+
 def keyword_c2r_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: column-to-row unpivot. The reference's KeywordProductC2RUDTF
     turns (click_ct, cart_ct, order_ct) into rows tagged CLICK/CART/ORDER,
@@ -339,6 +375,7 @@ QUERIES = {
     "product_stats": product_stats,
     "keyword_stats": keyword_stats,
     "keyword_stats_cjk": keyword_stats_cjk,
+    "lang_id_cjk": lang_id_cjk,
     "keyword_c2r_stack": keyword_c2r_stack,
     "event_type_pivot": event_type_pivot,
     "visitor_stats_full": visitor_stats_full,
@@ -523,3 +560,31 @@ def _cjk_oracle() -> str:
 
 
 ORACLES["keyword_stats_cjk"] = _cjk_oracle()
+
+
+def _lang_id_cjk_oracle() -> str:
+    from ..functions.cjk import CJK_FIXTURE_PHRASES
+
+    values = ", ".join(
+        f"({i}, '{p}')"
+        for i, p in enumerate(tuple(CJK_FIXTURE_PHRASES) + LANG_CJK_CONTROLS)
+    )
+    return (
+        "WITH inp(phrase_id, phrase) AS (VALUES " + values + "),\n"
+        "t AS (SELECT phrase_id, phrase, regexp_extract_all(lower(phrase), '[a-z0-9]+') AS toks FROM inp),\n"
+        "v AS (SELECT phrase_id,\n"
+        "        regexp_matches(phrase, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,\n"
+        "        len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS en,\n"
+        "        len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS de,\n"
+        "        len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS fr\n"
+        "      FROM t)\n"
+        "SELECT CAST(phrase_id AS BIGINT) AS phrase_id,\n"
+        "       CASE WHEN has_cjk THEN 'zh'\n"
+        "            WHEN de > en AND de >= fr THEN 'de'\n"
+        "            WHEN fr > en THEN 'fr'\n"
+        "            ELSE 'en' END AS predicted_lang\n"
+        "FROM v"
+    )
+
+
+ORACLES["lang_id_cjk"] = _lang_id_cjk_oracle()
