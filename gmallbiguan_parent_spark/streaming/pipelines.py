@@ -21,6 +21,9 @@ answer (asserted in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import datetime
+import os
+import shutil
 import tempfile
 
 import pandas as pd
@@ -39,16 +42,19 @@ WATERMARK = "3 seconds"     # ST1: bounded out-of-orderness, 3 s
 JUMP_TIMEOUT_S = 600
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str, glob: str = "events.parquet") -> DataFrame:
     """events as a file-source stream. Schema comes from a batch peek
     (file sources need an explicit schema); the ns→µs conversion mirrors
     io.load_table."""
+    # required to read the TIMESTAMP(NANOS) column on a foreign session
+    # (the driver's plain SparkSession) — same defensive set as io.load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file stream sources need a directory: stream the sf_dir filtered
-    # down to the events file.
+    # down to the events file(s).
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     if dict(batch.dtypes).get("ts") == "bigint":
@@ -109,32 +115,76 @@ def stream_uv_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
 def _jump_state_fn(key, pdf_iter, state: GroupState):
     """applyInPandasWithState body for jump detection: keep the latest
     pending event per user; when the next event arrives, emit the
-    pending one as a jump iff the gap exceeded the timeout; on
+    pending one with is_jump = (gap exceeded the timeout); on
     event-time timeout (watermark passed pending_ts + timeout), emit as
-    jump. Mirrors the CEP timeout branch (UJump2.java:114-137)."""
+    a jump. Mirrors the CEP timeout branch (UJump2.java:114-137).
+
+    Every real event is emitted exactly once (decided by its successor,
+    by the watermark timeout, or by the end-of-stream sentinel that
+    stream_jump_detect injects past max_ts + timeout), so the decided
+    stream aggregates to exactly the batch user_jump answer. Sentinel
+    rows (event_id < 0) decide the pending event but are never stored
+    or emitted."""
     timeout_us = JUMP_TIMEOUT_S * 1_000_000
     if state.hasTimedOut:
         (pending_us, pending_id) = state.get
         state.remove()
-        yield pd.DataFrame({"user_id": [key[0]], "event_id": [pending_id], "jump_ts_us": [pending_us]})
+        # a timed-out pending event is by definition a jump
+        yield pd.DataFrame({"user_id": [key[0]], "event_id": [pending_id],
+                            "ts_us": [pending_us], "is_jump": [True]})
         return
     rows = pd.concat(list(pdf_iter))
     rows = rows.sort_values(["ts", "event_id"])
-    out_ids, out_ts = [], []
+    out_ids, out_ts, out_jump = [], [], []
     pending = state.get if state.exists else None
     for ts_val, ev_id in zip(rows["ts"], rows["event_id"]):
         ts_us = int(ts_val.value // 1000)  # pandas ns → µs
         if pending is not None:
-            if ts_us - pending[0] > timeout_us:
-                out_ids.append(pending[1])
-                out_ts.append(pending[0])
-            pending = None
-        pending = (ts_us, int(ev_id))
+            out_ids.append(pending[1])
+            out_ts.append(pending[0])
+            out_jump.append(ts_us - pending[0] > timeout_us)
+        pending = (ts_us, int(ev_id)) if ev_id >= 0 else None
     if pending is not None:
         state.update(pending)
         state.setTimeoutTimestamp(pending[0] // 1000 + JUMP_TIMEOUT_S * 1000)
+    elif state.exists:
+        state.remove()
     if out_ids:
-        yield pd.DataFrame({"user_id": [key[0]] * len(out_ids), "event_id": out_ids, "jump_ts_us": out_ts})
+        yield pd.DataFrame({"user_id": [key[0]] * len(out_ids), "event_id": out_ids,
+                            "ts_us": out_ts, "is_jump": out_jump})
+
+
+def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """Copy events.parquet into a temp dir alongside one sentinel row per
+    user at max_ts + JUMP_TIMEOUT_S + 10 s (event_id = -1). Replaying the
+    staged dir makes the stream's watermark pass every real event's
+    timeout, so end-of-input pending events get decided exactly like the
+    reference's CEP timeout emission (UJump2.java:114-137) instead of
+    sitting in state forever. Sentinels never appear in output (the state
+    fn drops them)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pad_s = JUMP_TIMEOUT_S + 10
+    max_ts = raw.agg(F.max("ts")).first()[0]
+    if dict(raw.dtypes).get("ts") == "bigint":  # raw int64 nanoseconds
+        sentinel_ts = F.lit(max_ts + pad_s * 1_000_000_000).cast("long")
+    else:
+        sentinel_ts = F.lit(max_ts + datetime.timedelta(seconds=pad_s))
+    sentinels = raw.select("user_id").distinct().select(*[
+        F.col("user_id") if f.name == "user_id"
+        else F.lit(-1).cast(f.dataType).alias("event_id") if f.name == "event_id"
+        else sentinel_ts.alias("ts") if f.name == "ts"
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in raw.schema.fields
+    ])
+    stage = tempfile.mkdtemp(prefix="jump_src_")
+    tmp_out = f"{stage}/_sentinel_build"
+    sentinels.coalesce(1).write.parquet(tmp_out)
+    part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
+    shutil.move(f"{tmp_out}/{part}", f"{stage}/zz_sentinels.parquet")
+    shutil.rmtree(tmp_out)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    return stage
 
 
 def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -142,15 +192,19 @@ def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     applyInPandasWithState — the custom-stateful-operator escape hatch
     for semantics plain watermark/window ops can't express. Keyed by
     user; state = the pending candidate event; timeout = watermark
-    passing candidate_ts + JUMP_TIMEOUT_S."""
-    ev = _events_stream(spark, sf_dir)
+    passing candidate_ts + JUMP_TIMEOUT_S. End-of-stream pending events
+    are flushed by per-user sentinels (see _stage_events_with_sentinels),
+    so a bounded replay emits a decision for EVERY event and equals the
+    batch user_jump answer exactly."""
+    stage = _stage_events_with_sentinels(spark, sf_dir)
+    ev = _events_stream(spark, stage, glob="*.parquet")
     out = (
         ev.select("user_id", "event_id", "ts")
         .withWatermark("ts", WATERMARK)
         .groupBy("user_id")
         .applyInPandasWithState(
             _jump_state_fn,
-            outputStructType="user_id long, event_id long, jump_ts_us long",
+            outputStructType="user_id long, event_id long, ts_us long, is_jump boolean",
             stateStructType="pending_ts_us long, pending_id long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

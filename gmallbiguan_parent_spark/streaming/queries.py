@@ -10,8 +10,9 @@ hash-checks STREAMING semantics, not just batch twins.
 - stream_uv_dedup_q: watermarked dropDuplicates on (user, day) → the
   distinct key set (oracle-checked).
 - stream_jump_detect_q: applyInPandasWithState with event-time timeout —
-  genuinely non-SQL-expressible custom stateful operator (rows-only
-  driver check; exact-parity assertions live in tests/test_streaming.py).
+  custom stateful operator. End-of-stream timeouts are flushed by
+  per-user sentinels, so the bounded replay's per-day rollup equals
+  batch user_jump exactly and is fully oracle-checked.
 """
 
 from __future__ import annotations
@@ -74,7 +75,22 @@ def stream_uv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_jump_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stream_to_df(spark, sf_dir, stream_jump_detect)
+    """Bounded replay of the stateful jump detector. Sentinel injection
+    (streaming/pipelines._stage_events_with_sentinels) flushes
+    end-of-stream timeouts, so the decided-event stream covers EVERY
+    event and this per-day rollup equals batch user_jump exactly — the
+    batch oracle applies verbatim (reference timeout semantics:
+    RT/app/dwm2/UJump2.java:88-137)."""
+    decided = run_stream_to_df(spark, sf_dir, stream_jump_detect)
+    return (
+        decided.filter(F.col("event_id") >= 0)  # drop any sentinel echoes
+        .select(F.to_date(F.timestamp_micros("ts_us")).alias("dt"), "is_jump")
+        .groupBy("dt")
+        .agg(
+            F.sum(F.when(F.col("is_jump"), 1).otherwise(0)).alias("uj_ct"),
+            F.count("*").alias("ev_ct"),
+        )
+    )
 
 
 def stream_keyword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,8 +199,21 @@ ORACLES = {
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2, 3
     """,
-    # stream_jump_detect: intentionally no oracle (custom stateful
-    # operator with event-time timeout; rows-only check).
+    # stream_jump_detect: the sentinel flush makes the bounded replay
+    # equal batch user_jump, so its oracle is the batch oracle verbatim
+    # (pipelines/dwm.py ORACLES["user_jump"]).
+    "stream_jump_detect": """
+        WITH j AS (
+            SELECT user_id, event_id, ts, CAST(ts AS DATE) AS dt,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+            FROM events
+        )
+        SELECT dt,
+               CAST(SUM(CASE WHEN next_ts IS NULL
+                             OR epoch_us(next_ts) - epoch_us(ts) > 600 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct
+        FROM j GROUP BY dt
+    """,
     "stream_keyword_stats": """
         SELECT keyword, source, CAST(COUNT(*) AS BIGINT) AS ct
         FROM (

@@ -96,13 +96,18 @@ def test_stream_payment_wide_matches_batch_join(spark, tmp_path):
     assert stream_pairs == batch_pairs
 
 
-def test_stream_jump_detect_subset_of_batch(spark, tmp_path):
+def test_stream_jump_detect_equals_batch(spark, tmp_path):
+    """The sentinel flush (per-user event past max_ts + timeout) decides
+    every event, so the replayed stream's per-event jump flags equal the
+    batch lead()-based answer EXACTLY — including each user's final
+    event, which the reference emits via CEP timeout."""
     from pyspark.sql import Window
 
     from gmallbiguan_parent_spark.pipelines.dwm import JUMP_TIMEOUT_S
 
     got = run_stream_to_df(spark, SF, stream_jump_detect, str(tmp_path / "jd"))
-    stream_jumps = {(r.user_id, r.event_id) for r in got.collect()}
+    assert got.filter(F.col("event_id") < 0).count() == 0  # no sentinel leaks
+    stream_flags = {(r.user_id, r.event_id): r.is_jump for r in got.collect()}
 
     ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -117,16 +122,14 @@ def test_stream_jump_detect_subset_of_batch(spark, tmp_path):
             | (F.unix_micros("next_ts") - F.unix_micros("ts") > JUMP_TIMEOUT_S * 1_000_000),
         )
     )
-    batch_jumps = {(r.user_id, r.event_id) for r in marked.collect() if r.is_jump}
-    # mid-stream jumps must match exactly; each user's LAST event is a
-    # batch-only jump (end-of-data timeout) that an unbounded stream
-    # cannot emit until its watermark passes — allowed to be absent.
-    last_events = {
-        (r.user_id, r.event_id)
-        for r in marked.withColumn("is_last", F.col("next_ts").isNull()).collect()
-        if r.is_last
-    }
-    assert stream_jumps <= batch_jumps
-    assert batch_jumps - stream_jumps <= last_events
-    mid_stream_batch = batch_jumps - last_events
-    assert mid_stream_batch <= stream_jumps
+    batch_flags = {(r.user_id, r.event_id): r.is_jump for r in marked.collect()}
+    assert stream_flags == batch_flags
+
+
+def test_stream_jump_detect_q_equals_batch_user_jump(spark):
+    from gmallbiguan_parent_spark.pipelines.dwm import user_jump
+    from gmallbiguan_parent_spark.streaming.queries import stream_jump_detect_q
+
+    got = {(r.dt, r.uj_ct, r.ev_ct) for r in stream_jump_detect_q(spark, SF).collect()}
+    want = {(r.dt, r.uj_ct, r.ev_ct) for r in user_jump(spark, SF).collect()}
+    assert got == want
