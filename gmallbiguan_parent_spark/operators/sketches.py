@@ -97,7 +97,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", bin_id.alias("bin_id"))
         .agg(
             F.count("*").alias("ct"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
         .withColumn("bin_lo", (F.col("bin_id") * width).cast("double"))
     )

@@ -52,15 +52,14 @@ def running_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+        .agg(F.sum(dec("o_totalprice")).alias("gmv"))
     )
     w = Window.orderBy("dt")
     return daily.select(
         "dt",
         "gmv",
-        F.sum("gmv").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(18,4)").alias("running_gmv"),
-        (F.col("gmv") - F.lag("gmv").over(w)).cast("decimal(18,4)").alias("gmv_delta"),
+        F.sum("gmv").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_gmv"),
+        (F.col("gmv") - F.lag("gmv").over(w)).alias("gmv_delta"),
     )
 
 
@@ -80,7 +79,7 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"),
+            F.sum(dec("o_totalprice")).alias("order_amount"),
             F.count("*").alias("order_ct"),
         )
     )
@@ -180,7 +179,7 @@ def gmv_7d_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"))
         .groupBy(F.to_date("o_orderdate").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+        .agg(F.sum(dec("o_totalprice")).alias("gmv"))
         .withColumn("day_no", F.datediff("dt", F.lit("1997-01-01")))
     )
     w = Window.orderBy("day_no").rangeBetween(-6, 0)
@@ -213,7 +212,7 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+        .agg(F.sum(dec("o_totalprice")).alias("gmv"))
     )
     w = Window.partitionBy("region_name")
     return leaf.select(
@@ -268,7 +267,7 @@ def region_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.cube("region_name", "priority").agg(
-        F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"),
+        F.sum(dec("o_totalprice")).alias("order_amount"),
         F.count("*").alias("order_ct"),
         F.grouping("region_name").cast("int").alias("g_region"),
         F.grouping("priority").cast("int").alias("g_priority"),
@@ -315,7 +314,7 @@ def gmv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
         )
         .groupBy(F.to_date("o_orderdate").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"))
+        .agg(F.sum(dec("o_totalprice")).alias("gmv"))
     )
     spine = spark.range(1).select(
         F.explode(
@@ -384,7 +383,7 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_ct"),
-            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"),
+            F.sum(dec("o_totalprice")).alias("gmv"),
         )
     )
 
@@ -428,7 +427,7 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o_orderstatus AS status,
                o_orderpriority AS priority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS gmv,
                COUNT(*) AS order_ct
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -524,7 +523,7 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT o_orderpriority AS priority,
                COUNT(*) AS order_ct,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS gmv
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS gmv
         FROM orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
         GROUP BY o_orderpriority
@@ -536,17 +535,18 @@ def priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the AGGREGATE (sum over an empty frame on 5 rows, not
     on the fact table) — the aggregate-then-window ordering is what
     keeps this scalable: the unpartitioned window sees only one row
-    per group. Share arithmetic follows the bounce_ratio decimal
-    recipe (multiply, divide, round scale 2)."""
+    per group. The share divides in DOUBLE on both engines (the
+    gmv_7d_moving_avg recipe) and the sum keeps its native decimal
+    width — no narrowing cast to overflow at large SFs."""
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"),
+        F.sum(dec("o_totalprice")).alias("gmv"),
         F.count("*").alias("order_ct"),
     )
     total = F.sum("gmv").over(Window.partitionBy())
     return agg.select(
         "priority", "gmv", "order_ct",
-        F.round(F.col("gmv") * 100 / total, 2).cast("decimal(9,2)").alias("gmv_pct"),
+        F.round(F.col("gmv").cast("double") * 100 / total.cast("double"), 2).alias("gmv_pct"),
     )
 
 
@@ -584,7 +584,7 @@ ORACLES = {
             FROM orders GROUP BY 1
         )
         SELECT priority, gmv, order_ct,
-               CAST(ROUND(gmv * 100 / SUM(gmv) OVER (), 2) AS DECIMAL(9,2)) AS gmv_pct
+               ROUND(CAST(gmv AS DOUBLE) * 100 / CAST(SUM(gmv) OVER () AS DOUBLE), 2) AS gmv_pct
         FROM agg
     """,
     "activity_drop_bag_diff": """

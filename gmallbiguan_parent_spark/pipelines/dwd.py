@@ -35,7 +35,7 @@ def json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("ev_ct"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
     )
 
@@ -159,7 +159,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("create_date").agg(
         F.count("*").alias("order_ct"),
         F.min("create_ts").alias("min_ts"),
-        F.sum("total_amount").cast("decimal(18,4)").alias("amount_sum"),
+        F.sum("total_amount").alias("amount_sum"),
     )
 
 
@@ -177,7 +177,7 @@ def order_age_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("age_years")
         .agg(
             F.count("*").alias("order_ct"),
-            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("amount_sum"),
+            F.sum(dec("o_totalprice")).alias("amount_sum"),
         )
     )
 

@@ -148,7 +148,7 @@ def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("pay_user").alias("user_id")).agg(
         F.countDistinct("pay_id").alias("paid_ct"),
         F.count("*").alias("pair_ct"),
-        F.sum(dec("pay_value")).cast("decimal(18,4)").alias("pay_value_sum"),
+        F.sum(dec("pay_value")).alias("pay_value_sum"),
     )
 
 

@@ -39,7 +39,7 @@ def visitor_stats_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("pv_ct"),
             F.countDistinct("user_id").alias("uv_ct"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("stt"),
@@ -67,7 +67,7 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
-            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"),
+            F.sum(dec("o_totalprice")).alias("order_amount"),
         )
     )
 
@@ -85,11 +85,11 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     agg = li.groupBy(F.col("l_partkey").alias("sku_id")).agg(
         F.sum(F.col("l_quantity").cast("long")).alias("order_sku_num"),
-        F.sum(dec("l_extendedprice")).cast("decimal(18,4)").alias("order_amount"),
+        F.sum(dec("l_extendedprice")).alias("order_amount"),
         F.countDistinct("l_orderkey").alias("order_ct"),
         F.sum(
             F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")).otherwise(F.lit(0).cast("decimal(18,4)"))
-        ).cast("decimal(18,4)").alias("refund_amount"),
+        ).alias("refund_amount"),
         F.countDistinct(
             F.when(F.col("l_returnflag") == "R", F.col("l_orderkey"))
         ).alias("refund_order_ct"),
@@ -269,7 +269,7 @@ def visitor_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("uv_ct").alias("uv_ct"),
             F.sum("sv_ct").alias("sv_ct"),
             F.sum("uj_ct").alias("uj_ct"),
-            F.sum("dur_sum").cast("decimal(18,4)").alias("dur_sum"),
+            F.sum("dur_sum").alias("dur_sum"),
         )
         .select(
             F.col("w.start").alias("stt"),
@@ -316,7 +316,7 @@ def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_nationkey AS province_id,
                n.n_name AS province_name,
                COUNT(DISTINCT o.o_orderkey) AS order_count,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS order_amount
         FROM orders o
         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -335,7 +335,7 @@ def visitor_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("pv_ct"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("stt"),
@@ -360,7 +360,7 @@ def visitor_stats_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("pv_ct").alias("pv_ct"),
-            F.sum("value_sum").cast("decimal(18,4)").alias("value_sum"),
+            F.sum("value_sum").alias("value_sum"),
             F.count("*").alias("window_ct"),
         )
     )

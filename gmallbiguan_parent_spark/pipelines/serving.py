@@ -36,7 +36,7 @@ def gmv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.filter((F.col("o_orderdate") >= GMV_MONTH[0]) & (F.col("o_orderdate") < GMV_MONTH[1]))
         .groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"))
+        .agg(F.sum(dec("o_totalprice")).alias("order_amount"))
     )
 
 
@@ -79,7 +79,7 @@ def top_trademarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
         .groupBy(F.col("p_brand").alias("tm_name"))
-        .agg(F.sum(dec("l_extendedprice")).cast("decimal(18,4)").alias("order_amount"))
+        .agg(F.sum(dec("l_extendedprice")).alias("order_amount"))
         .filter(F.col("order_amount") > 0)
         .orderBy(F.desc("order_amount"), F.asc("tm_name"))
         .limit(10)
@@ -96,7 +96,7 @@ def top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
         .groupBy(F.col("p_type").alias("category_name"))
         .agg(
-            F.sum(dec("l_extendedprice")).cast("decimal(18,4)").alias("order_amount"),
+            F.sum(dec("l_extendedprice")).alias("order_amount"),
             F.countDistinct("l_orderkey").alias("order_ct"),
         )
         .filter(F.col("order_amount") > 0)
@@ -120,7 +120,7 @@ def visitor_new_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("is_new").agg(
         F.count("*").alias("pv_ct"),
         F.countDistinct("user_id").alias("uv_ct"),
-        F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        F.sum(dec("value")).alias("value_sum"),
     )
 
 
@@ -172,7 +172,7 @@ def province_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
         .groupBy(F.col("n_nationkey").alias("province_id"), F.col("n_name").alias("province_name"))
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("order_amount"))
+        .agg(F.sum(dec("o_totalprice")).alias("order_amount"))
     )
 
 
@@ -198,14 +198,18 @@ def bounce_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = base.groupBy("dt").agg(
         F.count("*").alias("pv_ct"),
         F.sum("is_jump").alias("uj_ct"),
-        F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+        F.sum(dec("value")).alias("value_sum"),
     )
+    # ratios divide in DOUBLE on both engines (the gmv_7d_moving_avg
+    # recipe): decimal quotients round differently between Spark and
+    # DuckDB, and the sum keeps its native decimal(28,4) width so large
+    # SFs can't overflow-NULL a narrowing cast.
     return daily.select(
         "dt", "pv_ct", "uj_ct",
-        F.round(F.col("uj_ct").cast("decimal(18,4)") * 100 / F.col("pv_ct"), 2)
-        .cast("decimal(18,2)").alias("bounce_rate"),
-        F.round(F.col("value_sum") / F.col("pv_ct"), 2)
-        .cast("decimal(18,2)").alias("value_per_pv"),
+        F.round(F.col("uj_ct").cast("double") * 100 / F.col("pv_ct"), 2)
+        .alias("bounce_rate"),
+        F.round(F.col("value_sum").cast("double") / F.col("pv_ct"), 2)
+        .alias("value_per_pv"),
     )
 
 
@@ -321,8 +325,8 @@ ORACLES = {
             FROM j GROUP BY dt
         )
         SELECT dt, pv_ct, uj_ct,
-               CAST(ROUND(CAST(uj_ct AS DECIMAL(18,4)) * 100 / pv_ct, 2) AS DECIMAL(18,2)) AS bounce_rate,
-               CAST(ROUND(value_sum / pv_ct, 2) AS DECIMAL(18,2)) AS value_per_pv
+               ROUND(CAST(uj_ct AS DOUBLE) * 100 / pv_ct, 2) AS bounce_rate,
+               ROUND(CAST(value_sum AS DOUBLE) / pv_ct, 2) AS value_per_pv
         FROM daily
     """,
 }

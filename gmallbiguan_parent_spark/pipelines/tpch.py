@@ -32,9 +32,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,4)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -58,7 +58,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum((dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)"))
-            .cast("decimal(18,6)").alias("revenue")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("order_id"))
         .limit(10)
@@ -88,7 +88,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.sum((dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)"))
-            .cast("decimal(18,6)").alias("revenue")
+            .alias("revenue")
         )
     )
 
@@ -159,7 +159,7 @@ def price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("order_ct"),
-            F.sum(dec("o_totalprice")).cast("decimal(18,4)").alias("gmv"),
+            F.sum(dec("o_totalprice")).alias("gmv"),
         )
     )
 

@@ -74,7 +74,7 @@ def stream_visitor_stats(spark: SparkSession, sf_dir: str, out_dir: str) -> None
         .agg(
             F.count("*").alias("pv_ct"),
             F.approx_count_distinct("user_id").alias("uv_approx"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("stt"),

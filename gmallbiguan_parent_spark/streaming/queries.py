@@ -34,7 +34,7 @@ def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(
             F.count("*").alias("pv_ct"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("stt"),
@@ -148,7 +148,7 @@ def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", WINDOW).alias("w"), "c_mktsegment")
         .agg(
             F.count("*").alias("pv_ct"),
-            F.sum(dec("value")).cast("decimal(18,4)").alias("value_sum"),
+            F.sum(dec("value")).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("stt"),

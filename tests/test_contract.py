@@ -16,12 +16,13 @@ def test_queries_without_oracle_are_the_declared_exceptions():
     import __spark_entry__ as e
 
     missing = set(e.queries()) - set(e.oracle_sql())
-    # rows-only by design: engine-specific sketches & custom stateful op
+    # rows-only by design: engine-specific sketches & an iterative
+    # float-sum clustering (stream_jump_detect graduated to a full
+    # oracle in round 3 via the end-of-stream sentinel flush)
     assert missing == {
         "approx_distinct_stats",
         "approx_value_percentiles",
         "embedding_clusters",
-        "stream_jump_detect",
     }
 
 
