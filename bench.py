@@ -74,11 +74,29 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
 
+    # Second pass: warm times. Cold times above include whole-stage
+    # codegen compilation (the dominant cost at this SF — see MEMORY);
+    # warm times isolate actual execution so codegen-compile noise can't
+    # masquerade as a regression when rounds are compared. The gate
+    # metric stays the COLD total for continuity with BENCH_r01.
+    warm: dict[str, float] = {}
+    warm_total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        warm[name] = dt
+        warm_total += dt
+        print(f"# warm {name}: {dt}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
+        "value_warm": round(warm_total, 3),
         "sf": float(sf),
     }))
 

@@ -82,63 +82,125 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the 100 TB scale path): corpus vectors are
-    clustered into inverted lists (here: the label column plays the
-    coarse quantizer's cell id; a real build would k-means it), each
-    list summarized by its centroid. A query probes ONLY its nearest
-    centroid's list — at scale the corpus is partitioned/sorted by cell
-    id, so the probe is a partition-pruned read of ~1/nlist of the data
-    instead of a full scan.
+# Coarse-quantizer sizing (VERDICT r2 #3): cells come from a spherical
+# k-means over the corpus, nlist ∝ corpus size (the srp_bits_for
+# pattern) — a fixed nlist means probe cost grows linearly with the
+# corpus; n/IVF_TARGET_CELL keeps the probed list ~constant.
+IVF_TARGET_CELL = 256
+IVF_MIN_CELLS = 4
+IVF_MAX_CELLS = 4096      # 4096 cells × 256 vecs ≈ 1M per shard; retrain beyond
+IVF_ITERS = 2             # fixed Lloyd rounds — deterministic, oracle-replayable
 
-    Centroids are element-wise SUMS in exact decimal (cosine is
-    scale-invariant, so sum ≡ mean — and decimal sums are
-    order-independent, keeping the oracle hash-stable)."""
+
+def ivf_nlist_for(n: int) -> int:
+    import math
+
+    return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, math.ceil(max(n, 1) / IVF_TARGET_CELL)))
+
+
+def _cos6(a, b):
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+
+def _assign_cells(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (rounded to 6 dp, smallest
+    cell id on ties — the determinism contract the DuckDB oracle
+    replays). cent is tiny (nlist × dim) and broadcasts; assignment is
+    scan-stage work plus one row_number shuffle on corpus_id."""
+    wa = Window.partitionBy("corpus_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "corpus_id", "c_emb", "cell",
+            _cos6(F.col("c_emb"), F.col("cvec")).alias("cell_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("corpus_id", "c_emb", "cell")
+    )
+
+
+def _ivf_centroids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Train the coarse quantizer: SPHERICAL k-means (clustering.py's
+    Lloyd loop specialized for cosine). Because cosine is
+    scale-invariant, centroids stay as element-wise SUMS — no division
+    by cluster size — and the sums run in exact decimal, so every
+    iteration is order-independent and the DuckDB oracle replays the
+    identical cells from the same seeds (the k lowest corpus vec_ids).
+    Each round collects only nlist × dim numbers (the kmeans_fit
+    pattern); cells that lose all members drop out on both engines."""
+    nlist = ivf_nlist_for(corpus.count())
+    schema = "cell int, cvec array<double>"
+    seeds = corpus.orderBy("corpus_id").limit(nlist).collect()
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in r.c_emb]) for i, r in enumerate(seeds)], schema
+    )
+    for _ in range(IVF_ITERS):
+        sums = (
+            _assign_cells(corpus, cent)
+            .select("cell", F.posexplode("c_emb"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("col").cast("decimal(18,9)")).alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x.s.cast("double"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cent = spark.createDataFrame(
+            [(r.cell, [float(v) for v in r.cvec]) for r in sums], schema
+        )
+    return cent
+
+
+def _ivf_corpus_queries(spark: SparkSession, sf_dir: str):
     emb = load_table_spread(spark, sf_dir, "embeddings")
+    # localCheckpoint: training re-reads the corpus 2×IVF_ITERS+3 times
+    # (count, seeds, per-round assign+sums, final cells) — materialize
+    # once, like the persisted signature tables in the dedup family.
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
-        F.col("label").alias("cell"),
-    ).filter(F.col("corpus_id") >= N_QUERIES)
+    ).filter(F.col("corpus_id") >= N_QUERIES).localCheckpoint()
     queries = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
     ).filter(F.col("query_id") < N_QUERIES)
+    return corpus, queries
 
-    cent = (
-        corpus.select("cell", F.posexplode("c_emb"))
-        .groupBy("cell", "pos")
-        .agg(F.sum(F.col("col").cast("decimal(18,9)")).alias("s"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x.s.cast("double")
-            ).alias("cvec")
-        )
-    )
-    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
-        "query_id", "q_emb", "cell",
-        F.round(
-            _dot(F.col("q_emb"), F.col("cvec"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("cvec"))),
-            6,
-        ).alias("cell_cos"),
-    )
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the 100 TB scale path): corpus vectors are bucketed into
+    inverted lists by a TRAINED coarse quantizer (spherical k-means,
+    nlist ∝ corpus — see _ivf_centroids), each list summarized by its
+    centroid. A query probes ONLY its nearest centroid's list — at
+    scale the corpus is persisted partitioned by cell id, so the probe
+    is a partition-pruned read of ~IVF_TARGET_CELL vectors instead of a
+    full scan, and probe cost stays constant as the corpus grows
+    (tests/test_ivf_partition_pruning.py asserts both).
+
+    NOTE: constructing this query trains the quantizer (count + tiny
+    per-round collects) — DataFrame construction is eager here, like
+    the SRP width derivation in embedding_neardup_pairs."""
+    corpus, queries = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_centroids(spark, corpus)
+    cells = _assign_cells(corpus, cent)
     wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
     probed = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
+        queries.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cell", _cos6(F.col("q_emb"), F.col("cvec")).alias("cell_cos"))
+        .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") == 1)
         .select("query_id", "q_emb", F.col("cell").alias("probe_cell"))
     )
-    scored = corpus.join(
-        F.broadcast(probed), corpus.cell == probed.probe_cell, "inner"
+    scored = cells.join(
+        F.broadcast(probed), cells.cell == probed.probe_cell, "inner"
     ).select(
         "query_id", "probe_cell", "corpus_id",
-        F.round(
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
-            6,
-        ).alias("cosine"),
+        _cos6(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -209,55 +271,27 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard accuracy/cost dial — recall loss of single-probe IVF comes
     from true neighbors sitting just across a cell boundary, and probing
     the runner-up cell recovers most of it for 2x the scanned fraction
-    (still ~N_PROBE/nlist of the corpus, partition-pruned, vs a full
-    scan). Plan shape is identical to single-probe: the probed (query,
-    cell) table stays tiny and broadcasts onto the cell-partitioned
-    corpus."""
-    emb = load_table_spread(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("corpus_id"),
-        F.col("embedding").cast("array<double>").alias("c_emb"),
-        F.col("label").alias("cell"),
-    ).filter(F.col("corpus_id") >= N_QUERIES)
-    queries = emb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("q_emb"),
-    ).filter(F.col("query_id") < N_QUERIES)
-
-    cent = (
-        corpus.select("cell", F.posexplode("c_emb"))
-        .groupBy("cell", "pos")
-        .agg(F.sum(F.col("col").cast("decimal(18,9)")).alias("s"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x.s.cast("double")
-            ).alias("cvec")
-        )
-    )
-    probe_scored = queries.crossJoin(F.broadcast(cent)).select(
-        "query_id", "q_emb", "cell",
-        F.round(
-            _dot(F.col("q_emb"), F.col("cvec"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("cvec"))),
-            6,
-        ).alias("cell_cos"),
-    )
+    (still ~N_PROBE×IVF_TARGET_CELL vectors, partition-pruned, vs a
+    full scan). Plan shape is identical to single-probe: the probed
+    (query, cell) table stays tiny and broadcasts onto the
+    cell-partitioned corpus. Same trained quantizer as ann_ivf_topk
+    (eager construction — see that docstring)."""
+    corpus, queries = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_centroids(spark, corpus)
+    cells = _assign_cells(corpus, cent)
     wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
     probed = (
-        probe_scored.withColumn("rn", F.row_number().over(wp))
+        queries.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "cell", _cos6(F.col("q_emb"), F.col("cvec")).alias("cell_cos"))
+        .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= N_PROBE)
         .select("query_id", "q_emb", F.col("cell").alias("probe_cell"))
     )
-    scored = corpus.join(
-        F.broadcast(probed), corpus.cell == probed.probe_cell, "inner"
+    scored = cells.join(
+        F.broadcast(probed), cells.cell == probed.probe_cell, "inner"
     ).select(
         "query_id", "corpus_id", "cell",
-        F.round(
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
-            6,
-        ).alias("cosine"),
+        _cos6(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -388,6 +422,81 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
+    """Replay the spherical-k-means coarse quantizer in DuckDB: same
+    seeds (k lowest corpus_ids), same nlist formula, same fixed
+    IVF_ITERS rounds of round-6 cosine assignment + exact-decimal
+    element sums — so both engines derive identical cells at every
+    scale factor."""
+    parts = [f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cfg AS (
+        SELECT CAST(LEAST({IVF_MAX_CELLS}, GREATEST({IVF_MIN_CELLS},
+               CEIL(COUNT(*) / {IVF_TARGET_CELL}.0))) AS INTEGER) AS nlist
+        FROM corpus
+    ), cent0 AS (
+        SELECT CAST(rn - 1 AS INTEGER) AS cell, c_emb AS cvec
+        FROM (SELECT c_emb, ROW_NUMBER() OVER (ORDER BY corpus_id) AS rn FROM corpus), cfg
+        WHERE rn <= nlist
+    )"""]
+    prev = "cent0"
+    for i in range(1, IVF_ITERS + 1):
+        parts.append(f""", assign{i} AS (
+        SELECT corpus_id, c_emb, cell FROM (
+            SELECT c.corpus_id, c.c_emb, k.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.corpus_id ORDER BY
+                       {_duck_cos('c.c_emb', 'k.cvec')} DESC, k.cell ASC) AS rn
+            FROM corpus c CROSS JOIN {prev} k
+        ) WHERE rn = 1
+    ), cent{i}_e AS (
+        SELECT cell, i.range AS pos,
+               SUM(CAST(c_emb[CAST(i.range AS INTEGER) + 1] AS DECIMAL(18,9))) AS s
+        FROM assign{i}, range({SRP_DIM}) i
+        GROUP BY 1, 2
+    ), cent{i} AS (
+        SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec FROM cent{i}_e GROUP BY cell
+    )""")
+        prev = f"cent{i}"
+    parts.append(f""", cells AS (
+        SELECT corpus_id, c_emb, cell FROM (
+            SELECT c.corpus_id, c.c_emb, k.cell,
+                   ROW_NUMBER() OVER (PARTITION BY c.corpus_id ORDER BY
+                       {_duck_cos('c.c_emb', 'k.cvec')} DESC, k.cell ASC) AS rn
+            FROM corpus c CROSS JOIN {prev} k
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT query_id, q_emb, cell AS probe_cell FROM (
+            SELECT q.query_id, q.q_emb, k.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {_duck_cos('q.q_emb', 'k.cvec')} DESC, k.cell ASC) AS rn
+            FROM queries q CROSS JOIN {prev} k
+        ) WHERE {probe_filter}
+    ), scored AS (
+        SELECT p.query_id, p.probe_cell, c.corpus_id, c.cell,
+               {_duck_cos('p.q_emb', 'c.c_emb')} AS cosine
+        FROM cells c JOIN probe p ON c.cell = p.probe_cell
+    ), ranked AS (
+        SELECT query_id, probe_cell, corpus_id, cell, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    )
+    {select_tail}
+    """)
+    return "".join(parts)
+
+
 _DUCK_SCORED = f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS corpus_label
@@ -412,45 +521,11 @@ ORACLES = {
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
-    "ann_ivf_topk": f"""
-    WITH corpus AS (
-        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS cell
-        FROM embeddings WHERE vec_id >= {N_QUERIES}
-    ), queries AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-        FROM embeddings WHERE vec_id < {N_QUERIES}
-    ), cent_e AS (
-        SELECT cell, i.range AS pos,
-               SUM(CAST(c_emb[CAST(i.range AS INTEGER) + 1] AS DECIMAL(18,9))) AS s
-        FROM corpus, range(64) i
-        GROUP BY 1, 2
-    ), cent AS (
-        SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
-        FROM cent_e GROUP BY cell
-    ), probe_scored AS (
-        SELECT q.query_id, q.q_emb, c.cell,
-               ROUND(list_dot_product(q.q_emb, c.cvec)
-                     / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cell_cos,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                   ROUND(list_dot_product(q.q_emb, c.cvec)
-                     / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
-                   c.cell ASC) AS rn
-        FROM queries q CROSS JOIN cent c
-    ), probed AS (
-        SELECT query_id, q_emb, cell AS probe_cell FROM probe_scored WHERE rn = 1
-    ), scored AS (
-        SELECT p.query_id, p.probe_cell, c.corpus_id,
-               ROUND(list_dot_product(p.q_emb, c.c_emb)
-                     / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cosine
-        FROM corpus c JOIN probed p ON c.cell = p.probe_cell
-    ), ranked AS (
-        SELECT query_id, probe_cell, corpus_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
-        FROM scored
-    )
-    SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
-    FROM ranked WHERE rank <= {TOP_K}
-    """,
+    "ann_ivf_topk": _ivf_oracle(
+        "rn = 1",
+        f"SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine"
+        f" FROM ranked WHERE rank <= {TOP_K}",
+    ),
     "ann_truncated_rerank": f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
@@ -483,44 +558,11 @@ ORACLES = {
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
-    "ann_ivf_multiprobe": f"""
-    WITH corpus AS (
-        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS cell
-        FROM embeddings WHERE vec_id >= {N_QUERIES}
-    ), queries AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-        FROM embeddings WHERE vec_id < {N_QUERIES}
-    ), cent_e AS (
-        SELECT cell, i.range AS pos,
-               SUM(CAST(c_emb[CAST(i.range AS INTEGER) + 1] AS DECIMAL(18,9))) AS s
-        FROM corpus, range(64) i
-        GROUP BY 1, 2
-    ), cent AS (
-        SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
-        FROM cent_e GROUP BY cell
-    ), probe_scored AS (
-        SELECT q.query_id, q.q_emb, c.cell,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                   ROUND(list_dot_product(q.q_emb, c.cvec)
-                     / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
-                   c.cell ASC) AS rn
-        FROM queries q CROSS JOIN cent c
-    ), probed AS (
-        SELECT query_id, q_emb, cell AS probe_cell FROM probe_scored WHERE rn <= {N_PROBE}
-    ), scored AS (
-        SELECT p.query_id, c.corpus_id, c.cell,
-               ROUND(list_dot_product(p.q_emb, c.c_emb)
-                     / (sqrt(list_dot_product(p.q_emb, p.q_emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cosine
-        FROM corpus c JOIN probed p ON c.cell = p.probe_cell
-    ), ranked AS (
-        SELECT query_id, corpus_id, cell, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
-        FROM scored
-    )
-    SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id,
-           cell AS from_cell, cosine
-    FROM ranked WHERE rank <= {TOP_K}
-    """,
+    "ann_ivf_multiprobe": _ivf_oracle(
+        f"rn <= {N_PROBE}",
+        f"SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id,"
+        f" cell AS from_cell, cosine FROM ranked WHERE rank <= {TOP_K}",
+    ),
     # width-adaptive replay: `bits` is computed from count(embeddings)
     # with the same clamp srp_bits_for uses; plane terms beyond the
     # derived width are masked out, so the same SQL verifies every sf.
