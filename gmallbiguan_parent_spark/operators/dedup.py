@@ -268,6 +268,53 @@ def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 64              # two 32-bit packed words (sim_hi, sim_lo)
 SIMHASH_HAMMING_MAX = 3
 SIMHASH_BAND_BITS = 16         # 4 bands of 16 bits → exact hamming<=3 cover
+# Past this corpus size the 4×16-bit banding's random-collision tail
+# (n²/2^16 per band) dominates, and the banding switches to 6 blocks
+# keyed on every C(6,3) block triple (Manku et al., WWW'07): ~33-bit
+# keys cut collisions to 20·n²/2^33 at the cost of 20 tables instead
+# of 4. Both layouts are exact hamming<=3 covers by pigeonhole, and the
+# brute-force oracle verifies completeness independently of the layout.
+SIMHASH_WIDE_MIN_DOCS = 1_000_000
+# 64 bits → 6 blocks of 11/11/11/11/10/10 bits over (hi<<32)|lo
+_SIMHASH_BLOCKS = [(0, 10), (11, 21), (22, 32), (33, 43), (44, 53), (54, 63)]
+
+
+def _simhash_block(s: int, e: int):
+    """Bits [s, e] of the conceptual 64-bit fingerprint, extracted from
+    the two packed words (straddling blocks stitch lo's high bits under
+    hi's low bits)."""
+    width = e - s + 1
+    if e <= 31:
+        return F.shiftright(F.col("sim_lo"), s).bitwiseAND(F.lit((1 << width) - 1))
+    if s >= 32:
+        return F.shiftright(F.col("sim_hi"), s - 32).bitwiseAND(F.lit((1 << width) - 1))
+    lo_bits = 32 - s
+    hi_bits = width - lo_bits
+    return (
+        F.shiftright(F.col("sim_lo"), s).bitwiseAND(F.lit((1 << lo_bits) - 1))
+        + F.col("sim_hi").bitwiseAND(F.lit((1 << hi_bits) - 1)) * F.lit(1 << lo_bits)
+    )
+
+
+def _simhash_band_keys(wide: bool):
+    """Band key expressions: 4 disjoint 16-bit bands (narrow), or the 20
+    C(6,3) block-triple keys (wide). Any pair at hamming<=3 differs in
+    at most 3 bands/blocks, so it agrees exactly on >=1 narrow band —
+    or on >=3 of 6 blocks, i.e. on at least one keyed triple."""
+    if not wide:
+        return [
+            F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(F.col("sim_lo"), 16),
+            F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(F.col("sim_hi"), 16),
+        ]
+    from itertools import combinations
+
+    blocks = [_simhash_block(s, e) for s, e in _SIMHASH_BLOCKS]
+    return [
+        blocks[i] * F.lit(1 << 22) + blocks[j] * F.lit(1 << 11) + blocks[k]
+        for i, j, k in combinations(range(6), 3)
+    ]
 
 
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,32 +357,30 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("doc_id", pack("hhi").alias("sim_hi"), pack("hlo").alias("sim_lo"))
 
 
-def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = None) -> DataFrame:
     """All pairs at hamming distance <= 3 over the 64-bit simhash —
     found without any pairwise corpus scan via block-split banding
     (the block-permuted simhash index of Manku et al., WWW'07): split
-    the fingerprint into 4 disjoint 16-bit bands; by pigeonhole, any
-    pair differing in <=3 bits agrees EXACTLY on at least one band, so
+    the fingerprint into disjoint bands; by pigeonhole, any pair
+    differing in <=3 bits agrees EXACTLY on at least one band key, so
     grouping by (band_id, band_value) and confirming hamming inside the
     groups yields the complete hamming<=3 pair set — the oracle is a
     brute-force all-pairs check, not a replay of the banding.
 
-    Scale: 2^16 buckets per band (grows with the corpus's fingerprint
-    diversity, vs. the 256 fixed buckets this replaces — round-1's
-    near-quadratic tail). Expected random collisions per band are
-    n^2/2^16; for corpora where that bound is too loose, widen the band
-    keys by permuting 6 blocks and keying on C(6,3) block triples
-    (~32-bit keys, 20 tables) — same plan shape, same confirm step."""
+    Scale (corpus-adaptive, the srp_bits_for pattern): up to
+    SIMHASH_WIDE_MIN_DOCS docs the layout is 4×16-bit bands (2^16
+    buckets/band, random collisions n²/2^16); past it the keys widen to
+    the 20 C(6,3) block triples (~33-bit keys, collisions 20·n²/2^33 —
+    bounded to ~10^9 docs). Same plan shape, same confirm step, and the
+    brute-force oracle proves completeness under either layout. `wide`
+    forces a layout (tests exercise both); None = by corpus size."""
     # Fingerprints are materialized once (localCheckpoint — 3 longs/doc)
     # so the band self-join's two sides don't recompute the vote folds;
     # at warehouse scale this is the persisted fingerprint table.
     sim = simhash_fingerprint(spark, sf_dir).localCheckpoint()
-    bands = [
-        F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("sim_lo"), 16),
-        F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("sim_hi"), 16),
-    ]
+    if wide is None:
+        wide = sim.count() >= SIMHASH_WIDE_MIN_DOCS
+    bands = _simhash_band_keys(wide)
     banded = sim.select(
         "doc_id", "sim_hi", "sim_lo",
         F.explode(F.array(*[

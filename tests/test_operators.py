@@ -209,6 +209,41 @@ def test_simhash_banding_finds_complete_hamming_set(spark):
     banded = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_neardup_pairs(spark, SF_DIR).collect()}
     assert banded == brute
     assert brute, "fixture corpus should contain at least one hamming<=3 pair"
+    # the wide C(6,3) block-triple layout (the >SIMHASH_WIDE_MIN_DOCS
+    # path) must return the identical complete set — pigeonhole: <=3
+    # differing bits touch <=3 of 6 blocks, so >=1 keyed triple agrees
+    wide = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(spark, SF_DIR, wide=True).collect()
+    }
+    assert wide == brute
+
+
+def test_simhash_blocks_reconstruct_fingerprint(spark):
+    """The 6-block split is a partition of the 64 fingerprint bits:
+    re-shifting every block back to its offset reproduces (hi, lo)."""
+    from gmallbiguan_parent_spark.operators.dedup import (
+        _SIMHASH_BLOCKS,
+        _simhash_block,
+        simhash_fingerprint,
+    )
+
+    sim = simhash_fingerprint(spark, SF_DIR)
+    recon_lo, recon_hi = F.lit(0), F.lit(0)
+    for s, e in _SIMHASH_BLOCKS:
+        blk = _simhash_block(s, e)
+        if e <= 31:
+            recon_lo = recon_lo + blk * F.lit(1 << s)
+        elif s >= 32:
+            recon_hi = recon_hi + blk * F.lit(1 << (s - 32))
+        else:  # straddle: low part back into lo, high part into hi
+            lo_bits = 32 - s
+            recon_lo = recon_lo + blk.bitwiseAND(F.lit((1 << lo_bits) - 1)) * F.lit(1 << s)
+            recon_hi = recon_hi + F.shiftright(blk, lo_bits)
+    bad = sim.filter(
+        (recon_lo != F.col("sim_lo")) | (recon_hi != F.col("sim_hi"))
+    ).count()
+    assert bad == 0
 
 
 def test_srp_neardup_pairs_subset_of_bruteforce(spark):
