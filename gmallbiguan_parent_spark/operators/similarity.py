@@ -90,6 +90,11 @@ IVF_TARGET_CELL = 256
 IVF_MIN_CELLS = 4
 IVF_MAX_CELLS = 4096      # 4096 cells × 256 vecs ≈ 1M per shard; retrain beyond
 IVF_ITERS = 2             # fixed Lloyd rounds — deterministic, oracle-replayable
+# Driver-side training sample: ~IVF_TRAIN_PER_CELL vectors per cell
+# (the FAISS practice — the quantizer trains on a bounded sample, never
+# the full corpus). Sample = corpus_id % mod == 0, a rule both the
+# Python trainer and the DuckDB oracle compute from count(corpus).
+IVF_TRAIN_PER_CELL = 64
 
 
 def ivf_nlist_for(n: int) -> int:
@@ -98,73 +103,181 @@ def ivf_nlist_for(n: int) -> int:
     return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, math.ceil(max(n, 1) / IVF_TARGET_CELL)))
 
 
+def ivf_train_mod(n: int, nlist: int) -> int:
+    return max(1, n // (nlist * IVF_TRAIN_PER_CELL))
+
+
 def _cos6(a, b):
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
-def _assign_cells(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+def _round6_half_up(x: float) -> float:
+    """Spark's ROUND(double, 6): BigDecimal.valueOf (shortest decimal
+    repr — Python's repr produces the same digits) setScale(6, HALF_UP).
+    Replicated exactly so driver-side training takes the same branch as
+    the in-plan `_cos6` and the DuckDB oracle at every tie."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(decimal.Decimal("0.000001"), decimal.ROUND_HALF_UP)
+    )
+
+
+def _py_cos6(a: list[float], b: list[float], na: float, nb: float) -> float:
+    """Sequential-fold cosine — the same left-to-right float64 adds as
+    Spark's aggregate(zip_with(...)) and DuckDB's list_dot_product, so
+    all three engines produce bit-identical doubles."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    return _round6_half_up(dot / (na * nb))
+
+
+def _py_norm(v: list[float]) -> float:
+    import math
+
+    s = 0.0
+    for x in v:
+        s += x * x
+    return math.sqrt(s)
+
+
+def _dec9(x: float):
+    """Spark/DuckDB CAST(double AS DECIMAL(18,9)): round the shortest
+    decimal repr to 9 places HALF_UP."""
+    import decimal
+
+    return decimal.Decimal(repr(x)).quantize(decimal.Decimal("1e-9"), decimal.ROUND_HALF_UP)
+
+
+def _cent_df(like: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroid table with the norm precomputed driver-side (_py_norm is
+    the same sequential float64 fold as the in-plan _norm, so the value
+    is bit-identical and the oracle can keep computing norms inline)."""
+    return like.sparkSession.createDataFrame(
+        [(c, list(map(float, v)), _py_norm(v)) for c, v in cent],
+        "cell int, cvec array<double>, cnorm double",
+    )
+
+
+def _assign_cells(corpus: DataFrame, cent: list[tuple[int, list[float]]]) -> DataFrame:
     """Nearest-centroid assignment by cosine (rounded to 6 dp, smallest
     cell id on ties — the determinism contract the DuckDB oracle
-    replays). cent is tiny (nlist × dim) and broadcasts; assignment is
-    scan-stage work plus one row_number shuffle on corpus_id."""
-    wa = Window.partitionBy("corpus_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    replays): broadcast the tiny centroid table and reduce with max_by,
+    which partial-aggregates map-side (the crossJoin emits each vector's
+    nlist candidates contiguously, so the shuffle carries ONE row per
+    vector, not nlist). Each vector's norm is computed ONCE before the
+    crossJoin and each centroid's norm once at build — the per-pair work
+    is just the dot fold. At warehouse scale this single corpus shuffle
+    IS the index build — the assigned corpus is persisted
+    partitionBy(cell) (which shuffles on cell regardless), once, and
+    every query thereafter is a pruned read."""
     return (
-        corpus.crossJoin(F.broadcast(cent))
+        corpus.withColumn("c_norm", _norm(F.col("c_emb")))
+        .crossJoin(F.broadcast(_cent_df(corpus, cent)))
         .select(
-            "corpus_id", "c_emb", "cell",
-            _cos6(F.col("c_emb"), F.col("cvec")).alias("cell_cos"),
+            "corpus_id", "c_emb", "c_norm", "cell",
+            F.round(_dot(F.col("c_emb"), F.col("cvec")) / (F.col("c_norm") * F.col("cnorm")), 6).alias("cell_cos"),
         )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("corpus_id", "c_emb", "cell")
+        .groupBy("corpus_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "c_emb", "c_norm"),
+                F.struct(F.col("cell_cos"), (-F.col("cell")).alias("neg")),
+            ).alias("m")
+        )
+        .select(
+            "corpus_id",
+            F.col("m.c_emb").alias("c_emb"),
+            F.col("m.c_norm").alias("c_norm"),
+            F.col("m.cell").alias("cell"),
+        )
     )
 
 
-def _ivf_centroids(spark: SparkSession, corpus: DataFrame) -> DataFrame:
-    """Train the coarse quantizer: SPHERICAL k-means (clustering.py's
-    Lloyd loop specialized for cosine). Because cosine is
-    scale-invariant, centroids stay as element-wise SUMS — no division
-    by cluster size — and the sums run in exact decimal, so every
-    iteration is order-independent and the DuckDB oracle replays the
-    identical cells from the same seeds (the k lowest corpus vec_ids).
-    Each round collects only nlist × dim numbers (the kmeans_fit
-    pattern); cells that lose all members drop out on both engines."""
-    nlist = ivf_nlist_for(corpus.count())
-    schema = "cell int, cvec array<double>"
-    seeds = corpus.orderBy("corpus_id").limit(nlist).collect()
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in r.c_emb]) for i, r in enumerate(seeds)], schema
+def _probe_cells(queries: DataFrame, cent: list[tuple[int, list[float]]], nprobe: int) -> DataFrame:
+    """The nprobe nearest cells per query vector. The query set is tiny
+    (a broadcast side by definition), so a crossJoin + window is free."""
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (
+        queries.withColumn("q_norm", _norm(F.col("q_emb")))
+        .crossJoin(F.broadcast(_cent_df(queries, cent)))
+        .select(
+            "query_id", "q_emb", "q_norm", "cell",
+            F.round(_dot(F.col("q_emb"), F.col("cvec")) / (F.col("q_norm") * F.col("cnorm")), 6).alias("cell_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cell")
     )
+
+
+# Per-session training memo: the quantizer is deterministic in
+# (corpus, constants), so ann_ivf_topk / ann_ivf_multiprobe and the
+# bench's cold+warm passes share one training run.
+_CENT_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+
+
+def _ivf_centroids(spark: SparkSession, corpus: DataFrame) -> list[tuple[int, list[float]]]:
+    """Train the coarse quantizer DRIVER-SIDE on a deterministic sample:
+    SPHERICAL k-means (cosine assignment; centroids stay element-wise
+    SUMS — cosine is scale-invariant, so no division — held as exact
+    decimal(18,9) values, making every iteration order-independent).
+
+    The sample is corpus_id % mod == 0 with mod = n // (nlist *
+    IVF_TRAIN_PER_CELL) — bounded at ~IVF_TRAIN_PER_CELL vectors per
+    cell no matter the corpus size, which is how production IVF indexes
+    train (a quantizer never sees the full 100 TB corpus; FAISS trains
+    on 30-256 points per centroid). Seeds are the nlist lowest-id sample
+    vectors. Every arithmetic step (sequential float64 dot folds,
+    HALF_UP rounding at 6 dp, decimal(18,9) sums) is replicated exactly
+    by the DuckDB oracle, so both engines derive identical cells at
+    every scale factor. Spark-side cost: one count + one sample collect."""
+    n = corpus.count()
+    nlist = ivf_nlist_for(n)
+    mod = ivf_train_mod(n, nlist)
+    rows = (
+        corpus.filter(F.col("corpus_id") % mod == 0)
+        .select("corpus_id", "c_emb")
+        .collect()
+    )
+    sample = sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
+    vecs = [v for _, v in sample]
+    norms = [_py_norm(v) for v in vecs]
+    cent = [(i, vecs[i]) for i in range(min(nlist, len(vecs)))]
     for _ in range(IVF_ITERS):
-        sums = (
-            _assign_cells(corpus, cent)
-            .select("cell", F.posexplode("c_emb"))
-            .groupBy("cell", "pos")
-            .agg(F.sum(F.col("col").cast("decimal(18,9)")).alias("s"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda x: x.s.cast("double"),
-                ).alias("cvec")
-            )
-            .collect()
-        )
-        cent = spark.createDataFrame(
-            [(r.cell, [float(v) for v in r.cvec]) for r in sums], schema
-        )
+        cnorms = {c: _py_norm(v) for c, v in cent}
+        members: dict[int, list[list[float]]] = {}
+        for v, nv in zip(vecs, norms):
+            best = min(((-_py_cos6(v, cv, nv, cnorms[c]), c) for c, cv in cent))
+            members.setdefault(best[1], []).append(v)
+        new_cent = []
+        for c in sorted(members):
+            dim = len(members[c][0])
+            sums = [sum((_dec9(v[i]) for v in members[c]), start=_dec9(0.0)) for i in range(dim)]
+            new_cent.append((c, [float(s) for s in sums]))
+        cent = new_cent
     return cent
+
+
+def _ivf_cached_centroids(spark: SparkSession, sf_dir: str, corpus: DataFrame):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CENT_CACHE:
+        _CENT_CACHE[key] = _ivf_centroids(spark, corpus)
+    return _CENT_CACHE[key]
 
 
 def _ivf_corpus_queries(spark: SparkSession, sf_dir: str):
     emb = load_table_spread(spark, sf_dir, "embeddings")
-    # localCheckpoint: training re-reads the corpus 2×IVF_ITERS+3 times
-    # (count, seeds, per-round assign+sums, final cells) — materialize
-    # once, like the persisted signature tables in the dedup family.
+    # No checkpoint: training touches the corpus twice (a count and a
+    # filtered sample collect — both cheap column-pruned scans), the
+    # final assignment once. At warehouse scale these are exactly the
+    # passes an index build makes; the assigned corpus, not the raw
+    # one, is what gets persisted (partitionBy(cell)).
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
-    ).filter(F.col("corpus_id") >= N_QUERIES).localCheckpoint()
+    ).filter(F.col("corpus_id") >= N_QUERIES)
     queries = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -182,25 +295,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full scan, and probe cost stays constant as the corpus grows
     (tests/test_ivf_partition_pruning.py asserts both).
 
-    NOTE: constructing this query trains the quantizer (count + tiny
-    per-round collects) — DataFrame construction is eager here, like
-    the SRP width derivation in embedding_neardup_pairs."""
+    NOTE: constructing this query trains the quantizer (one count + one
+    sample collect, then driver-side Lloyd rounds) — DataFrame
+    construction is eager here, like the SRP width derivation in
+    embedding_neardup_pairs."""
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
-    cent = _ivf_centroids(spark, corpus)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     cells = _assign_cells(corpus, cent)
-    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    probed = (
-        queries.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_emb", "cell", _cos6(F.col("q_emb"), F.col("cvec")).alias("cell_cos"))
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "q_emb", F.col("cell").alias("probe_cell"))
+    probed = _probe_cells(queries, cent, 1).select(
+        "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
     scored = cells.join(
         F.broadcast(probed), cells.cell == probed.probe_cell, "inner"
     ).select(
         "query_id", "probe_cell", "corpus_id",
-        _cos6(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -277,21 +388,18 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitioned corpus. Same trained quantizer as ann_ivf_topk
     (eager construction — see that docstring)."""
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
-    cent = _ivf_centroids(spark, corpus)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     cells = _assign_cells(corpus, cent)
-    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    probed = (
-        queries.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_emb", "cell", _cos6(F.col("q_emb"), F.col("cvec")).alias("cell_cos"))
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", F.col("cell").alias("probe_cell"))
+    probed = _probe_cells(queries, cent, N_PROBE).select(
+        "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
     scored = cells.join(
         F.broadcast(probed), cells.cell == probed.probe_cell, "inner"
     ).select(
         "query_id", "corpus_id", "cell",
-        _cos6(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -431,10 +539,10 @@ def _duck_cos(a: str, b: str) -> str:
 
 def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
     """Replay the spherical-k-means coarse quantizer in DuckDB: same
-    seeds (k lowest corpus_ids), same nlist formula, same fixed
-    IVF_ITERS rounds of round-6 cosine assignment + exact-decimal
-    element sums — so both engines derive identical cells at every
-    scale factor."""
+    training sample (corpus_id % tmod = 0), same seeds (nlist lowest
+    sample ids), same nlist/tmod formulas, same fixed IVF_ITERS rounds
+    of round-6 cosine assignment + exact-decimal element sums — so both
+    engines derive identical cells at every scale factor."""
     parts = [f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
@@ -443,12 +551,18 @@ def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
         FROM embeddings WHERE vec_id < {N_QUERIES}
     ), cfg AS (
-        SELECT CAST(LEAST({IVF_MAX_CELLS}, GREATEST({IVF_MIN_CELLS},
-               CEIL(COUNT(*) / {IVF_TARGET_CELL}.0))) AS INTEGER) AS nlist
-        FROM corpus
+        SELECT nlist, GREATEST(1, CAST(FLOOR(cnt / (nlist * {IVF_TRAIN_PER_CELL}.0)) AS INTEGER)) AS tmod
+        FROM (
+            SELECT COUNT(*) AS cnt,
+                   CAST(LEAST({IVF_MAX_CELLS}, GREATEST({IVF_MIN_CELLS},
+                        CEIL(COUNT(*) / {IVF_TARGET_CELL}.0))) AS INTEGER) AS nlist
+            FROM corpus
+        )
+    ), sample AS (
+        SELECT corpus_id, c_emb FROM corpus, cfg WHERE corpus_id % tmod = 0
     ), cent0 AS (
         SELECT CAST(rn - 1 AS INTEGER) AS cell, c_emb AS cvec
-        FROM (SELECT c_emb, ROW_NUMBER() OVER (ORDER BY corpus_id) AS rn FROM corpus), cfg
+        FROM (SELECT c_emb, ROW_NUMBER() OVER (ORDER BY corpus_id) AS rn FROM sample), cfg
         WHERE rn <= nlist
     )"""]
     prev = "cent0"
@@ -458,7 +572,7 @@ def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
             SELECT c.corpus_id, c.c_emb, k.cell,
                    ROW_NUMBER() OVER (PARTITION BY c.corpus_id ORDER BY
                        {_duck_cos('c.c_emb', 'k.cvec')} DESC, k.cell ASC) AS rn
-            FROM corpus c CROSS JOIN {prev} k
+            FROM sample c CROSS JOIN {prev} k
         ) WHERE rn = 1
     ), cent{i}_e AS (
         SELECT cell, i.range AS pos,

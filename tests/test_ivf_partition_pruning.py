@@ -75,6 +75,21 @@ def test_ivf_quantizer_is_deterministic(spark):
     )
 
     corpus, _ = _ivf_corpus_queries(spark, SF)
-    a = sorted((r.cell, tuple(r.cvec)) for r in _ivf_centroids(spark, corpus).collect())
-    b = sorted((r.cell, tuple(r.cvec)) for r in _ivf_centroids(spark, corpus).collect())
+    a = sorted((c, tuple(v)) for c, v in _ivf_centroids(spark, corpus))
+    b = sorted((c, tuple(v)) for c, v in _ivf_centroids(spark, corpus))
     assert a == b
+
+
+def test_ivf_training_sample_is_bounded():
+    """Driver-side training never collects the full corpus: the sample
+    is ~nlist × IVF_TRAIN_PER_CELL vectors regardless of corpus size
+    once nlist saturates (the FAISS train-on-a-sample practice)."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        IVF_TRAIN_PER_CELL, ivf_nlist_for, ivf_train_mod,
+    )
+
+    for n in (10_000, 1_000_000, 100_000_000):
+        nlist = ivf_nlist_for(n)
+        mod = ivf_train_mod(n, nlist)
+        assert n / mod <= 2 * nlist * IVF_TRAIN_PER_CELL
+    assert ivf_train_mod(100, ivf_nlist_for(100)) == 1  # tiny corpus: train on all
