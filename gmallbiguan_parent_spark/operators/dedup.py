@@ -78,24 +78,25 @@ def _shingles(col):
     )
 
 
-def _shingle_hashes(shingle_col):
-    """md5 each shingle once → 60-bit int → reduce mod 2^31-1."""
-    return F.transform(
-        shingle_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P,
-    )
-
-
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact Jaccard confirm.
 
-    Plan: one pass computes shingle hashes + N_PERM affine-permutation
-    minhashes per doc (all expressions, no shuffle), explodes into a
-    SLIM (doc_id, band_id, band_key) table, self-joins on band key (the
-    only wide shuffle — no arrays travel through it), dedupes candidate
-    pairs, then re-derives shingle sets for just the candidates to
-    confirm exact Jaccard. Output: (doc_a, doc_b, jaccard) with a < b
-    and jaccard >= 0.5.
+    Plan: explode distinct shingles, hash each ONCE (md5 → 60-bit int —
+    flat codegen'd row expressions, no interpreted array folds), then
+    take all N_PERM affine-permutation minima as plain min() aggregates.
+    min() partial-aggregates map-side, so the signature shuffle carries
+    ONE slim (doc_id, 15 longs) row per document; signatures then
+    explode into a (doc_id, band_id, band_key) table, self-join on band
+    key (the only wide shuffle — no arrays travel through it), dedupe
+    candidate pairs, and re-derive shingle sets for just the candidates
+    to confirm exact Jaccard. Output: (doc_a, doc_b, jaccard) with
+    a < b and jaccard >= 0.5.
+
+    (The earlier one-pass zip_with fold computed the same minima with
+    zero shuffle, but higher-order functions evaluate interpreted —
+    CodegenFallback — which made the scan stage the bottleneck; the
+    exploded min() aggregates stay inside whole-stage codegen and win
+    on both cold and warm time.)
 
     Scale: band keys are hash-derived so the join partitions evenly;
     skew only appears for true mega-duplicate clusters, which AQE
@@ -104,25 +105,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table_spread(spark, sf_dir, "documents")
 
-    # All N_PERM minima in ONE fold over the shingle hashes: acc is the
-    # 9-wide running-min array, zip_with(least) per shingle. ~7x cheaper
-    # (compile + run) than nine separate array_min(transform) passes,
-    # with bit-identical values.
-    hs = _shingle_hashes(_shingles(F.col("text")))
-    init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(N_PERM)])
-
-    def perms(h):
-        return F.array(*[(F.lit(PERM_A[p]) * h + F.lit(PERM_B[p])) % MERSENNE_P for p in range(N_PERM)])
-
-    sig = docs.select(
-        "doc_id",
-        F.aggregate(hs, init, lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y))).alias("mh"),
+    # Every doc has >=1 shingle (_shingles falls back to the whole-text
+    # token join), so explode never drops a document and the min()
+    # result equals the old fold's running minimum exactly.
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % MERSENNE_P
+    sig = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(*[
+            F.min((F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p])) % MERSENNE_P).alias(f"m{p}")
+            for p in range(N_PERM)
+        ])
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
             F.concat_ws(
-                ":", *[F.element_at("mh", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]
+                ":", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
             ).alias("band_key"),
         )
         for b in range(N_BANDS)
@@ -327,34 +327,43 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is int64 shifts/masks on md5-derived token hashes
     (hex chars 1-8 → the low word's bit source, 9-16 → the high word's),
-    so the DuckDB oracle replays it bit-for-bit."""
+    so the DuckDB oracle replays it bit-for-bit.
+
+    Plan: explode the distinct tokens (explode_outer — a doc with no
+    alphanumeric tokens keeps its row and packs to fingerprint 0, as
+    the oracle does), hash per row with flat codegen'd expressions, and
+    take the 64 per-bit vote totals as plain sum() aggregates — they
+    partial-aggregate map-side, so the shuffle carries one slim row per
+    document. (The earlier nested zip_with vote fold was zero-shuffle
+    but interpreted — CodegenFallback — and dominated the scan stage;
+    the exploded sums stay inside whole-stage codegen.)"""
     docs = load_table_spread(spark, sf_dir, "documents")
     toks = F.array_distinct(
         F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
     )
-    h_lo = F.transform(toks, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
-    h_hi = F.transform(toks, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long"))
-    base = docs.select("doc_id", h_lo.alias("hlo"), h_hi.alias("hhi"))
+    tok = docs.select("doc_id", F.explode_outer(toks).alias("t"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("hlo"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("hhi"),
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col(w), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"{w}{i}")
+            for w in ("hhi", "hlo")
+            for i in range(32)
+        ]
+    )
 
-    def pack(src: str):
-        # ONE fold per word: the accumulator is the 32-wide vote vector
-        # (zip_with per token hash), then the sign vector packs via a
-        # second fold. Variable-shift lambdas keep this a single pass —
-        # 32 separate per-bit folds compile 30x more code and re-walk
-        # the token array per bit.
-        return F.expr(f"""
-          aggregate(
-            zip_with(
-              aggregate({src},
-                array_repeat(cast(0 as long), 32),
-                (acc, h) -> zip_with(acc, sequence(0, 31),
-                    (a, i) -> a + (cast(shiftright(h, cast(i as int)) as long) & 1L) * 2L - 1L)),
-              sequence(0, 31),
-              (c, i) -> IF(c > 0, shiftleft(cast(1 as long), cast(i as int)), cast(0 as long))),
-            cast(0 as long), (a, b) -> a + b)
-        """)
+    def pack(w: str):
+        bit = F.lit(0).cast("long")
+        for i in range(32):
+            bit = bit + F.when(F.col(f"{w}{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return bit
 
-    return base.select("doc_id", pack("hhi").alias("sim_hi"), pack("hlo").alias("sim_lo"))
+    return votes.select("doc_id", pack("hhi").alias("sim_hi"), pack("hlo").alias("sim_lo"))
 
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = None) -> DataFrame:

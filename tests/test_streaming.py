@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gmallbiguan_parent_spark.io import load_table
 from gmallbiguan_parent_spark.streaming.pipelines import (
     run_stream_to_df,
     stream_jump_detect,
@@ -22,10 +23,10 @@ def test_stream_visitor_stats_matches_batch(spark, tmp_path):
     batch = visitor_stats_window(spark, SF)
     # Append mode only emits windows the final watermark (max_ts - delay)
     # has passed — trailing unfinalized windows are legitimately absent.
-    ev = spark.read.parquet(f"{SF}/events.parquet")
-    max_us = ev.select(F.max(F.expr("ts div 1000")).alias("m")).collect()[0].m
+    ev = load_table(spark, SF, "events")
     import datetime
-    cutoff = datetime.datetime.utcfromtimestamp(max_us / 1e6) - datetime.timedelta(seconds=3)
+    max_ts = ev.select(F.max("ts").alias("m")).collect()[0].m
+    cutoff = max_ts - datetime.timedelta(seconds=3)
     g = {(r.stt, r.event_type): (r.pv_ct, str(r.value_sum)) for r in got.collect()}
     b = {
         (r.stt, r.event_type): (r.pv_ct, str(r.value_sum))
@@ -40,9 +41,9 @@ def test_stream_visitor_stats_matches_batch(spark, tmp_path):
 def test_stream_uv_dedup_matches_batch(spark, tmp_path):
     got = run_stream_to_df(spark, SF, stream_uv_dedup, str(tmp_path / "uv"))
     # batch twin: one first event per (user, day)
-    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = load_table(spark, SF, "events")
     n_expected = (
-        ev.select("user_id", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("dt"))
+        ev.select("user_id", F.to_date("ts").alias("dt"))
         .distinct()
         .count()
     )
@@ -58,9 +59,7 @@ def test_stream_is_new_repair_matches_batch(spark, tmp_path):
     got = run_stream_to_df(spark, SF, stream_is_new_repair, str(tmp_path / "inr"))
     stream_flags = {r.event_id: r.is_new for r in got.collect()}
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF, "events")
     w = Window.partitionBy("user_id")
     batch = (
         ev.select("user_id", "event_id", F.to_date("ts").alias("dt"))
@@ -77,9 +76,7 @@ def test_stream_payment_wide_matches_batch_join(spark, tmp_path):
     got = run_stream_to_df(spark, SF, stream_payment_wide, str(tmp_path / "pw"))
     stream_pairs = {(r.pay_id, r.act_id) for r in got.collect()}
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF, "events")
     pay = ev.filter(ev.event_type == "purchase").select(
         F.col("event_id").alias("pay_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
     )
@@ -109,9 +106,7 @@ def test_stream_jump_detect_equals_batch(spark, tmp_path):
     assert got.filter(F.col("event_id") < 0).count() == 0  # no sentinel leaks
     stream_flags = {(r.user_id, r.event_id): r.is_jump for r in got.collect()}
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, SF, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
         ev.select("user_id", "event_id", "ts")
