@@ -296,7 +296,42 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the CCNet/KenLM perplexity
+    filter reduced to its exactly-replayable unigram case: corpus token
+    frequencies give p(tok) = ct/total, each document scores the mean of
+    -ln p(token) over its tokens (lower = more typical text; rare-token
+    gibberish scores high). Used as a curation signal the same way a
+    real LM perplexity is, with the advantage that the oracle can replay
+    it to the last bit.
+
+    Plan: ONE token-keyed aggregate builds the frequency table (partial
+    agg map-side); the exploded tokens join it ON THE SAME KEY, so the
+    join reuses the aggregate's shuffle partitioning (no extra
+    exchange on the freq side), with AQE skew-join splitting stopword
+    hot keys; the corpus total is a 1-row broadcast. Per-token logs are
+    rounded to 9 dp and summed as exact decimal, so per-doc means are
+    order-independent and the DuckDB oracle hash-matches."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("ct"))
+    total = freq.agg(F.sum("ct").alias("total"))
+    lp = F.round(
+        -F.log(F.col("ct").cast("double") / F.col("total").cast("double")), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("tok_ct"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("logprob_score"),
+    )
+
+
 QUERIES = {
+    "unigram_logprob": unigram_logprob,
     "token_count": token_count,
     "text_quality": text_quality,
     "top_tokens": top_tokens,
@@ -312,6 +347,24 @@ QUERIES = {
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
+    "unigram_logprob": """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS ct FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT SUM(ct) AS total FROM freq
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-ln(CAST(f.ct AS DOUBLE) / CAST(tot.total AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS lp
+        FROM toks t JOIN freq f USING (tok), tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_ct,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS logprob_score
+    FROM scored GROUP BY doc_id
+    """,
     "token_count": """
         SELECT doc_id,
                CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS INTEGER) AS ws_token_ct,

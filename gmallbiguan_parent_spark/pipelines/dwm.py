@@ -74,6 +74,49 @@ def user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 30-minute inactivity gap — the classic web-analytics session cut;
+# the reference's jump detection is the 1-event special case of the
+# same gap rule (RT/app/dwm2/UJump2.java:88-137 watermarks a 10 s gap).
+SESSION_GAP_S = 1800
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts at the first event
+    and at every event AT LEAST SESSION_GAP_S after its predecessor
+    (>= not > — the exact merge rule of Spark's session_window, whose
+    per-event window is [ts, ts+gap) — so the streaming twin
+    stream_user_sessions_q produces identical sessions).
+    Batch shape: lag(ts) marks session starts, a running sum numbers
+    them, one (user_id)-partitioned agg summarizes — all three steps
+    share the single (user_id) shuffle (HashPartitioning(user_id)
+    satisfies the (user_id, session_seq) clustering, so Catalyst inserts
+    no second exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= SESSION_GAP_S * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("ev_ct"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
 def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+J3: the OrderWide pipeline. Facts lineitem⋈orders equi-join
     (the reference's ±5 ms interval join is a dedup guard, not
@@ -155,11 +198,35 @@ def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "uv_daily": uv_daily,
     "user_jump": user_jump,
+    "user_sessions": user_sessions,
     "order_wide": order_wide,
     "payment_wide": payment_wide,
 }
 
+_SESSIONS_ORACLE_BODY = f"""
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), seq AS (
+            SELECT user_id, event_id, ts,
+                   SUM(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) >= {SESSION_GAP_S} * 1000000
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marked
+        )
+"""
+
 ORACLES = {
+    "user_sessions": _SESSIONS_ORACLE_BODY + """
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct,
+               CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+        FROM seq GROUP BY user_id, session_seq
+    """,
     "uv_daily": """
         WITH firsts AS (
             SELECT user_id, event_id, CAST(ts AS DATE) AS dt,

@@ -40,6 +40,8 @@ WATERMARK = "3 seconds"     # ST1: bounded out-of-orderness, 3 s
 # because this module is unpickled on Python workers, where importing
 # the pipelines package would recurse back into streaming (circular).
 JUMP_TIMEOUT_S = 600
+# Twin of pipelines.dwm.SESSION_GAP_S (same duplication rationale).
+SESSION_GAP_S = 1800
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, glob: str = "events.parquet") -> DataFrame:
@@ -154,17 +156,20 @@ def _jump_state_fn(key, pdf_iter, state: GroupState):
                             "ts_us": out_ts, "is_jump": out_jump})
 
 
-def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str) -> str:
+def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | None = None) -> str:
     """Copy events.parquet into a temp dir alongside one sentinel row per
-    user at max_ts + JUMP_TIMEOUT_S + 10 s (event_id = -1). Replaying the
-    staged dir makes the stream's watermark pass every real event's
-    timeout, so end-of-input pending events get decided exactly like the
-    reference's CEP timeout emission (UJump2.java:114-137) instead of
-    sitting in state forever. Sentinels never appear in output (the state
-    fn drops them)."""
+    user at max_ts + pad_s (default JUMP_TIMEOUT_S + 10 s; event_id =
+    -1). Replaying the staged dir makes the stream's watermark pass
+    every real event's timeout/window close, so end-of-input state gets
+    decided exactly like the reference's CEP timeout emission
+    (UJump2.java:114-137) instead of sitting in state forever. Callers
+    pick pad_s > their gap/timeout + watermark delay; sentinels never
+    appear in output (state fns drop them, session sentinels stay
+    unemitted because their own window never closes)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pad_s = JUMP_TIMEOUT_S + 10
+    if pad_s is None:
+        pad_s = JUMP_TIMEOUT_S + 10
     max_ts = raw.agg(F.max("ts")).first()[0]
     if dict(raw.dtypes).get("ts") == "bigint":  # raw int64 nanoseconds
         sentinel_ts = F.lit(max_ts + pad_s * 1_000_000_000).cast("long")

@@ -170,12 +170,57 @@ def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization — Spark's session_window merges
+    per-event [ts, ts+gap) windows, the engine capability behind the
+    reference's gap semantics (its jump CEP is the 1-event special
+    case). Append mode emits a session once the watermark passes its
+    close (last event + gap); per-user sentinels staged past
+    max_ts + gap + 10 s push the final watermark far enough that EVERY
+    real session finalizes, while each sentinel's own session never
+    closes and so never emits. The bounded replay therefore equals
+    batch user_sessions exactly (same >= gap merge rule), minus the
+    per-user ordinal which append output cannot order — the oracle is
+    the batch CTE aggregated without session_seq."""
+    from .pipelines import SESSION_GAP_S, _events_stream, _stage_events_with_sentinels
+
+    stage = _stage_events_with_sentinels(spark, sf_dir, pad_s=SESSION_GAP_S + 10)
+    ev = _events_stream(spark, stage, glob="*.parquet")
+    agg = (
+        ev.withWatermark("ts", "3 seconds")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("ev_ct"),
+            F.max("event_id").alias("max_eid"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="usq_")
+    (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}/_chk")
+        .start(f"{out}/data")
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(f"{out}/data")
+        .filter(F.col("max_eid") >= 0)  # belt-and-braces: drop sentinel-only sessions
+        .select(
+            "user_id", "session_start", "session_end", "ev_ct",
+            (F.unix_micros("session_end") - F.unix_micros("session_start")).alias("duration_us"),
+        )
+    )
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_uv_dedup": stream_uv_dedup_q,
     "stream_jump_detect": stream_jump_detect_q,
     "stream_dim_enrich": stream_dim_enrich_q,
     "stream_keyword_stats": stream_keyword_stats_q,
+    "stream_user_sessions": stream_user_sessions_q,
 }
 
 ORACLES = {
@@ -213,6 +258,28 @@ ORACLES = {
                              OR epoch_us(next_ts) - epoch_us(ts) > 600 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
                CAST(COUNT(*) AS BIGINT) AS ev_ct
         FROM j GROUP BY dt
+    """,
+    # stream_user_sessions: the sentinel flush finalizes every real
+    # session, so the oracle is the batch sessionization CTE aggregated
+    # without the per-user ordinal (append output has no stable order).
+    "stream_user_sessions": """
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), seq AS (
+            SELECT user_id, event_id, ts,
+                   SUM(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS ev_ct,
+               CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+        FROM seq GROUP BY user_id, session_seq
     """,
     "stream_keyword_stats": """
         SELECT keyword, source, CAST(COUNT(*) AS BIGINT) AS ct

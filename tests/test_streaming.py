@@ -128,3 +128,15 @@ def test_stream_jump_detect_q_equals_batch_user_jump(spark):
     got = {(r.dt, r.uj_ct, r.ev_ct) for r in stream_jump_detect_q(spark, SF).collect()}
     want = {(r.dt, r.uj_ct, r.ev_ct) for r in user_jump(spark, SF).collect()}
     assert got == want
+
+
+def test_stream_user_sessions_matches_batch(spark):
+    """session_window streaming == lag/cumsum batch sessionization,
+    session for session (the >= gap merge rule is aligned on both)."""
+    from gmallbiguan_parent_spark.pipelines.dwm import user_sessions
+    from gmallbiguan_parent_spark.streaming.queries import stream_user_sessions_q
+
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.ev_ct, r.duration_us)
+    got = sorted(key(r) for r in stream_user_sessions_q(spark, SF).collect())
+    want = sorted(key(r) for r in user_sessions(spark, SF).collect())
+    assert got == want
