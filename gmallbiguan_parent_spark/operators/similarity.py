@@ -68,6 +68,55 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k with the scoring inside an Arrow-batched
+    pandas UDF (numpy matrix product) instead of fold expressions — the
+    REAL 100 TB hot path: one (batch × queries) GEMM per Arrow batch is
+    SIMD-vectorized and allocation-free where the zip_with/aggregate
+    fold interprets per element. Query vectors ride into the closure
+    (they are the broadcast side by definition).
+
+    Registered rows-only: numpy's pairwise summation differs from the
+    sequential fold in the last ulp, so hash-parity over rounded scores
+    is not a contract — tests/test_operators assertion instead: the
+    returned top-k IDS equal ann_cosine_topk's exactly."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    )
+    q_ids = np.array([i for i, _ in q_rows])
+    q_mat = np.array([v for _, v in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            n_c, n_q = cos.shape
+            yield pd.DataFrame({
+                "query_id": np.tile(q_ids, n_c),
+                "corpus_id": np.repeat(pdf["vec_id"].to_numpy(), n_q),
+                "cosine": np.round(cos, 6).ravel(),
+            })
+
+    scored = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "query_id long, corpus_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "corpus_id", "cosine")
+    )
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN classification readout on top of the exact top-k: majority
     label among the TOP_K neighbours per query (ties broken by smaller
@@ -523,6 +572,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,  # rows-only (see docstring)
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,

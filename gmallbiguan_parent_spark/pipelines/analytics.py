@@ -91,8 +91,10 @@ SESSION_GAP_S = 1800
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag() marks session starts, a running sum over the marks assigns
-    session ids — the batch formulation of a streaming session window
-    (F.session_window in the streaming variant). One shuffle on
+    session ids — then rolled up PER USER (session counts/sizes). The
+    per-session detail form, boundary-aligned with Spark's
+    session_window and paired with a genuine streaming twin, is
+    dwm.user_sessions / streaming stream_user_sessions. One shuffle on
     user_id; both window functions reuse the same sort."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -318,3 +318,17 @@ def test_multiprobe_ivf_recall_dominates_single_probe(spark):
         r1 = len(single.get(q, set()) & truth)
         r2 = len(multi.get(q, set()) & truth)
         assert r2 >= r1, f"query {q}: multiprobe recall {r2} < single {r1}"
+
+
+def test_ann_arrow_topk_ids_match_expression_path(spark):
+    """The numpy/Arrow scorer returns the same ranked neighbor IDs as
+    the fold-expression path (scores may differ in the last ulp, which
+    is why the Arrow variant registers rows-only)."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        ann_cosine_topk, ann_cosine_topk_arrow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    expr = {(r.query_id, r.rank): r.corpus_id for r in ann_cosine_topk(spark, sf).collect()}
+    arrow = {(r.query_id, r.rank): r.corpus_id for r in ann_cosine_topk_arrow(spark, sf).collect()}
+    assert expr == arrow

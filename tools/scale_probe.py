@@ -42,6 +42,11 @@ PROBE_QUERIES = [
     "embedding_neardup_pairs",
     "quality_buckets",
     "keyword_stats_cjk",
+    # round-4 reworked/new operators: sampled-training IVF, exploded-agg
+    # signatures (minhash/simhash above), sessionization, token-join LM
+    "ann_ivf_topk",
+    "user_sessions",
+    "unigram_logprob",
 ]
 
 
