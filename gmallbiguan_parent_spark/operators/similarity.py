@@ -267,6 +267,76 @@ def _probe_cells(queries: DataFrame, cent: list[tuple[int, list[float]]], nprobe
 _CENT_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
 
 
+def _seq_dot_rows(mat, v):
+    """Row-wise dot(mat[i], v) with SEQUENTIAL left-fold summation:
+    np.cumsum's partials are defined as prev + x (it cannot be pairwise
+    — each output depends on the last), so the final partial is
+    bit-identical to the Python loop / Spark fold / DuckDB loop."""
+    import numpy as np
+
+    return np.cumsum(mat * v, axis=1, dtype=np.float64)[:, -1]
+
+
+def _round_grid_exact(x, scale: int, spec_round):
+    """Vectorized HALF_UP decimal rounding that is bit-equal to the
+    Decimal(repr(x)) spec: the fast path is rint(x*10^scale)/10^scale
+    (both paths land on the identical correctly-rounded float for any
+    value not at a grid boundary); values within 1e-3 of a half-integer
+    in the scaled domain — where float scaling error or HALF_EVEN could
+    diverge — are redone through the exact spec function (expected hits:
+    a handful per million)."""
+    import numpy as np
+
+    scaled = x * (10.0 ** scale)
+    out = np.rint(scaled) / (10.0 ** scale)
+    sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-3
+    if sus.any():
+        flat, xs = out.ravel(), x.ravel()
+        for i in np.flatnonzero(sus.ravel()):
+            flat[i] = spec_round(float(xs[i]))
+    return out
+
+
+def _ivf_lloyd_vec(sample_vecs: list[list[float]], nlist: int) -> list[tuple[int, list[float]]]:
+    """Vectorized driver-side spherical k-means, bit-equal to the
+    pure-Python spec (_ivf_centroids_spec — asserted by
+    tests/test_ivf_partition_pruning.py): sequential-fold dots via
+    cumsum, HALF_UP round-6 via the grid trick, and exact decimal(18,9)
+    centroid sums as scaled int64 (the quantized values are k*1e-9 with
+    integer k, so integer sums ARE the exact decimal sums; |k| <= ~3e10
+    x <=1e6 members stays far inside int64)."""
+    import decimal
+
+    import numpy as np
+
+    vecs = np.array(sample_vecs, dtype=np.float64)
+    n, dim = vecs.shape
+    norms = np.sqrt(np.cumsum(vecs * vecs, axis=1, dtype=np.float64)[:, -1])
+    # decimal(18,9) quantization of every element, as scaled int64
+    k_all = _round_grid_exact(vecs, 9, lambda v: float(_dec9(v))).astype(np.float64)
+    k_all = np.rint(k_all * 1e9).astype(np.int64)
+
+    cent = [(i, vecs[i]) for i in range(min(nlist, n))]
+    for _ in range(IVF_ITERS):
+        cells = np.array([c for c, _ in cent])
+        cmat = np.array([cv for _, cv in cent], dtype=np.float64)
+        cnorms = np.sqrt(np.cumsum(cmat * cmat, axis=1, dtype=np.float64)[:, -1])
+        cos = np.empty((n, len(cent)), dtype=np.float64)
+        for j in range(len(cent)):
+            cos[:, j] = _seq_dot_rows(vecs, cmat[j]) / (norms * cnorms[j])
+        cos = _round_grid_exact(cos, 6, _round6_half_up)
+        best = cells[np.argmax(cos, axis=1)]  # first max = smallest cell id
+        new_cent = []
+        for c in sorted(set(best.tolist())):
+            sums = k_all[best == c].sum(axis=0)
+            new_cent.append((
+                int(c),
+                [float(decimal.Decimal(int(s)).scaleb(-9)) for s in sums],
+            ))
+        cent = new_cent
+    return [(c, [float(x) for x in cv]) for c, cv in cent]
+
+
 def _ivf_centroids(spark: SparkSession, corpus: DataFrame) -> list[tuple[int, list[float]]]:
     """Train the coarse quantizer DRIVER-SIDE on a deterministic sample:
     SPHERICAL k-means (cosine assignment; centroids stay element-wise
@@ -291,7 +361,14 @@ def _ivf_centroids(spark: SparkSession, corpus: DataFrame) -> list[tuple[int, li
         .collect()
     )
     sample = sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
-    vecs = [v for _, v in sample]
+    return _ivf_lloyd_vec([v for _, v in sample], nlist)
+
+
+def _ivf_centroids_spec(sample_vecs: list[list[float]], nlist: int) -> list[tuple[int, list[float]]]:
+    """Pure-Python reference trainer — the SPEC _ivf_lloyd_vec must equal
+    bit-for-bit (and the DuckDB oracle replays): sequential float64
+    folds, HALF_UP round at 6 dp, exact decimal(18,9) element sums."""
+    vecs = sample_vecs
     norms = [_py_norm(v) for v in vecs]
     cent = [(i, vecs[i]) for i in range(min(nlist, len(vecs)))]
     for _ in range(IVF_ITERS):

@@ -93,3 +93,28 @@ def test_ivf_training_sample_is_bounded():
         mod = ivf_train_mod(n, nlist)
         assert n / mod <= 2 * nlist * IVF_TRAIN_PER_CELL
     assert ivf_train_mod(100, ivf_nlist_for(100)) == 1  # tiny corpus: train on all
+
+
+def test_ivf_vectorized_trainer_equals_spec(spark):
+    """_ivf_lloyd_vec (cumsum folds + grid rounding + int64 decimal
+    sums) must be BIT-equal to the pure-Python spec trainer on real
+    corpus samples — the parity that lets the fast path stand in for
+    the oracle-replayed arithmetic."""
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        _ivf_centroids_spec, _ivf_corpus_queries, _ivf_lloyd_vec,
+        ivf_nlist_for, ivf_train_mod,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        corpus, _ = _ivf_corpus_queries(spark, sf)
+        n = corpus.count()
+        nlist = ivf_nlist_for(n)
+        mod = ivf_train_mod(n, nlist)
+        rows = corpus.filter(F.col("corpus_id") % mod == 0).select("corpus_id", "c_emb").collect()
+        sample = [v for _, v in sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)]
+        fast = _ivf_lloyd_vec(sample, nlist)
+        spec = _ivf_centroids_spec(sample, nlist)
+        assert [(c, list(map(float, v))) for c, v in fast] == \
+               [(c, list(map(float, v))) for c, v in spec]
