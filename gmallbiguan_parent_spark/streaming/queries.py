@@ -214,6 +214,23 @@ def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_payment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, gate-checked (SURVEY §2.8/J2): a
+    purchase joins the same user's preceding view/click within 30 min —
+    the reference's payment⋈order intervalJoin
+    (RT/app/dwm2/PaymentWideApp2.java:70-82) as two watermarked streams.
+    INNER time-bounded joins emit as soon as both rows arrive, so a
+    bounded availableNow replay produces the complete pair set (no
+    end-of-stream flush needed — tests assert exact equality with the
+    batch join) and the batch interval-join SQL is the oracle."""
+    from .pipelines import run_stream_to_df, stream_payment_wide
+
+    pairs = run_stream_to_df(spark, sf_dir, stream_payment_wide)
+    return pairs.select(
+        "pay_id", F.col("pay_user").alias("user_id"), "act_id", "pay_ts", "act_ts"
+    )
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_uv_dedup": stream_uv_dedup_q,
@@ -221,6 +238,7 @@ QUERIES = {
     "stream_dim_enrich": stream_dim_enrich_q,
     "stream_keyword_stats": stream_keyword_stats_q,
     "stream_user_sessions": stream_user_sessions_q,
+    "stream_payment_pairs": stream_payment_pairs_q,
 }
 
 ORACLES = {
@@ -258,6 +276,23 @@ ORACLES = {
                              OR epoch_us(next_ts) - epoch_us(ts) > 600 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
                CAST(COUNT(*) AS BIGINT) AS ev_ct
         FROM j GROUP BY dt
+    """,
+    # stream_payment_pairs: inner time-bounded stream-stream joins emit
+    # on arrival, so the bounded replay is complete and the batch
+    # interval-join SQL applies verbatim.
+    "stream_payment_pairs": """
+        WITH pay AS (
+            SELECT event_id AS pay_id, user_id AS pay_user, ts AS pay_ts
+            FROM events WHERE event_type = 'purchase'
+        ), act AS (
+            SELECT event_id AS act_id, user_id AS act_user, ts AS act_ts
+            FROM events WHERE event_type IN ('view','click')
+        )
+        SELECT pay_id, pay_user AS user_id, act_id, pay_ts, act_ts
+        FROM pay JOIN act
+          ON pay_user = act_user
+         AND act_ts <= pay_ts
+         AND epoch_us(act_ts) > epoch_us(pay_ts) - 1800 * 1000000
     """,
     # stream_user_sessions: the sentinel flush finalizes every real
     # session, so the oracle is the batch sessionization CTE aggregated
