@@ -173,7 +173,35 @@ def _jieba_lexicon(max_words: int = 20000) -> tuple[str, ...] | None:
     return tuple(w for _, w in entries[:max_words]) or None
 
 
-CJK_LEXICON: tuple[str, ...] = _jieba_lexicon() or CJK_LEXICON_BUNDLED
+# Active-lexicon resolution is LAZY and memoized: with jieba present,
+# parsing/sorting its ~350k-entry dictionary is multi-second work that
+# should run once on first segmentation use, not on every `import` of
+# the package (executors unpickling unrelated UDFs included). The
+# module attribute CJK_LEXICON resolves through __getattr__ below.
+_ACTIVE_LEXICON: tuple[str, ...] | None = None
+_LEX_STATE: tuple[frozenset, int] | None = None
+
+
+def active_lexicon() -> tuple[str, ...]:
+    global _ACTIVE_LEXICON
+    if _ACTIVE_LEXICON is None:
+        _ACTIVE_LEXICON = _jieba_lexicon() or CJK_LEXICON_BUNDLED
+    return _ACTIVE_LEXICON
+
+
+def _lex_state() -> tuple[frozenset, int]:
+    """(word set, max word length) of the active lexicon, memoized."""
+    global _LEX_STATE
+    if _LEX_STATE is None:
+        lex = active_lexicon()
+        _LEX_STATE = (frozenset(lex), max(len(w) for w in lex))
+    return _LEX_STATE
+
+
+def __getattr__(name: str):
+    if name == "CJK_LEXICON":
+        return active_lexicon()
+    raise AttributeError(name)
 
 # Gate-query fixture: the driver testdata documents are latin, so the
 # CJK keyword query runs over this inline phrase set (reference-domain
@@ -198,14 +226,15 @@ CJK_FIXTURE_PHRASES: tuple[str, ...] = (
     "平板电脑, 电视 和 音箱",
 )
 
-_LEX_SET = frozenset(CJK_LEXICON)
-_MAX_WORD = max(len(w) for w in CJK_LEXICON)
 _LATIN_RUN = re.compile(r"[a-z0-9]+")
 
 
-def segment(text: str) -> list[str]:
+def segment(text: str, _state: tuple[frozenset, int] | None = None) -> list[str]:
     """Greedy longest-match segmentation — the reference algorithm the
-    pandas_udf vectorizes and the DuckDB CTE replays."""
+    pandas_udf vectorizes and the DuckDB CTE replays. ``_state`` lets a
+    closure pin the DRIVER's resolved lexicon (see tokenize_cjk_column);
+    by default the process-local active lexicon is used."""
+    lex_set, max_word = _state or _lex_state()
     t = text.lower()
     out: list[str] = []
     i, n = 0, len(t)
@@ -213,8 +242,8 @@ def segment(text: str) -> list[str]:
         ch = t[i]
         if _is_cjk(ch):
             word = ch
-            for ln in range(min(_MAX_WORD, n - i), 1, -1):
-                if t[i:i + ln] in _LEX_SET:
+            for ln in range(min(max_word, n - i), 1, -1):
+                if t[i:i + ln] in lex_set:
                     word = t[i:i + ln]
                     break
             out.append(word)
@@ -234,11 +263,17 @@ def tokenize_cjk_column(col):
     Built lazily (pandas_udf creation needs an active session)."""
     from pyspark.sql import functions as F
 
+    # The lexicon state is resolved HERE, on the driver, and travels in
+    # the closure: executors segment with exactly the lexicon the
+    # driver-side oracle CTE inlines, even if their Python environment
+    # resolves jieba differently (or not at all).
     # no type hints: `from __future__ import annotations` stringifies
     # them and pyspark's hint parser rejects the strings — pass the
     # return type explicitly instead.
+    state = _lex_state()
+
     def _seg(s):
-        return s.map(lambda x: [] if x is None else segment(x))
+        return s.map(lambda x: [] if x is None else segment(x, state))
 
     return F.pandas_udf(_seg, "array<string>")(col)
 
@@ -252,7 +287,7 @@ def duck_segment_cte(input_cte: str) -> str:
     a LATERAL subquery picks, at each position: the longest lexicon
     word, else the maximal latin run, else one char (emitted only if
     CJK)."""
-    lex_values = ", ".join(f"('{w}')" for w in CJK_LEXICON)
+    lex_values = ", ".join(f"('{w}')" for w in active_lexicon())
     return f"""
     WITH RECURSIVE {input_cte},
     lex(w) AS (VALUES {lex_values}),

@@ -92,10 +92,18 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat = np.array([v for _, v in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
+    if not np.all(q_norm > 0):
+        raise ArithmeticError("zero-norm query embedding: cosine undefined")
+
     def score(batches):
         for pdf in batches:
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            # Fail loudly like the expression twin (ANSI division) does:
+            # silent 0/0 = NaN would rank the zero vector above every
+            # real neighbor (Spark orders NaN highest).
+            if not np.all(c_norm > 0):
+                raise ArithmeticError("zero-norm corpus embedding: cosine undefined")
             cos = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             n_c, n_q = cos.shape
             yield pd.DataFrame({
@@ -312,6 +320,11 @@ def _ivf_lloyd_vec(sample_vecs: list[list[float]], nlist: int) -> list[tuple[int
     vecs = np.array(sample_vecs, dtype=np.float64)
     n, dim = vecs.shape
     norms = np.sqrt(np.cumsum(vecs * vecs, axis=1, dtype=np.float64)[:, -1])
+    # NaN would sail past the grid-rounding recheck (NaN comparisons are
+    # False) and silently poison centroids; the spec trainer raises
+    # ZeroDivisionError here, so fail the same way, loudly.
+    if not np.all(norms > 0):
+        raise ZeroDivisionError("zero-norm sample embedding: spherical k-means undefined")
     # decimal(18,9) quantization of every element, as scaled int64
     k_all = _round_grid_exact(vecs, 9, lambda v: float(_dec9(v))).astype(np.float64)
     k_all = np.rint(k_all * 1e9).astype(np.int64)

@@ -311,7 +311,15 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on the freq side), with AQE skew-join splitting stopword
     hot keys; the corpus total is a 1-row broadcast. Per-token logs are
     rounded to 9 dp and summed as exact decimal, so per-doc means are
-    order-independent and the DuckDB oracle hash-matches."""
+    order-independent and the DuckDB oracle hash-matches.
+
+    The tokenize+explode subtree is deliberately evaluated twice (freq
+    build + probe side) rather than materialized: at warehouse scale
+    the exploded token table is LARGER than the source text, so
+    re-scanning the column-pruned parquet beats persisting the
+    explosion — the opposite trade from the dedup signature tables
+    (3 longs/doc), which are smaller than their source and do get
+    checkpointed."""
     docs = load_table_spread(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("ct"))

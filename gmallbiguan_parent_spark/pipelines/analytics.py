@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dec
 from ..io import load_table
+from .dwm import SESSION_GAP_S  # single source of the session gap; >= gap starts a session
 
 
 def topn_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,17 +86,14 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_GAP_S = 1800
-
-
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag() marks session starts, a running sum over the marks assigns
-    session ids — then rolled up PER USER (session counts/sizes). The
-    per-session detail form, boundary-aligned with Spark's
-    session_window and paired with a genuine streaming twin, is
-    dwm.user_sessions / streaming stream_user_sessions. One shuffle on
-    user_id; both window functions reuse the same sort."""
+    session ids — then rolled up PER USER (session counts/sizes). Uses
+    the same >= gap rule (and the same SESSION_GAP_S constant) as
+    dwm.user_sessions, whose per-session detail form pairs with the
+    streaming session_window twin. One shuffle on user_id; both window
+    functions reuse the same sort."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
@@ -105,7 +103,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_S * 1_000_000)
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= SESSION_GAP_S * 1_000_000)
             ).cast("int"),
         )
         .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -787,7 +785,7 @@ ORACLES = {
         ), flagged AS (
             SELECT user_id, event_id, ts,
                    CASE WHEN prev_ts IS NULL
-                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM marked
         ), sessions AS (

@@ -88,7 +88,16 @@ except ImportError:  # pragma: no cover - hypothesis is in the base image
 def test_segment_expanded_lexicon_phrases():
     """Phrases built from the round-4 vocabulary expansion — none of
     these words existed in the original ~90-word lexicon (VERDICT r2
-    next-round #6: exercise terms outside the bundled floor)."""
+    next-round #6: exercise terms outside the bundled floor). The
+    expectations encode BUNDLED-lexicon behavior, so skip when a full
+    jieba dictionary is active."""
+    import pytest
+
+    try:
+        import jieba  # noqa: F401
+        pytest.skip("jieba active: segmentation follows the full dictionary")
+    except ImportError:
+        pass
     from gmallbiguan_parent_spark.functions.cjk import segment
 
     assert segment("扫地机器人静音耐用") == ["扫地机器人", "静音", "耐用"]
