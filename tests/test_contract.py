@@ -23,6 +23,10 @@ def test_queries_without_oracle_are_the_declared_exceptions():
         "approx_distinct_stats",
         "approx_value_percentiles",
         "embedding_clusters",
+        # numpy GEMM scorer: last-ulp summation-order differences vs the
+        # fold path make hash parity the wrong contract; an ID-parity
+        # test covers it (tests/test_operators.py)
+        "ann_cosine_topk_arrow",
     }
 
 
