@@ -55,6 +55,21 @@ def parse_json_value(raw: DataFrame, schema: str) -> DataFrame:
     ).select("j.*", "timestamp")
 
 
+def topic_payload(df: DataFrame, topic: str | None = None) -> DataFrame:
+    """The Kafka record projection shared by write_topic_stream and the
+    broker-less format tests: value = to_json(struct(all non-topic
+    cols)) (P11), plus the per-row `topic` column when routing
+    dynamically (S3 — the reference's KafkaSerializationSchema reading
+    sink_table per record). Keeping this separate lets tests drive the
+    EXACT production serialization through a file sink when no broker
+    exists (tests/test_kafka_format.py)."""
+    payload_cols = [c for c in df.columns if c != "topic"]
+    return df.select(
+        *([F.col("topic")] if topic is None else []),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
 def write_topic_stream(
     df: DataFrame,
     checkpoint: str,
@@ -62,14 +77,9 @@ def write_topic_stream(
     bootstrap: str = DEFAULT_BOOTSTRAP,
 ):
     """S2/S3: write a stream to Kafka. With `topic=None`, each row must
-    carry a `topic` column — the dynamic-topic router (the reference's
-    KafkaSerializationSchema reading sink_table per record). The value
-    payload is to_json(struct(*)) (P11)."""
-    payload_cols = [c for c in df.columns if c != "topic"]
-    out = df.select(
-        *( [F.col("topic")] if topic is None else [] ),
-        F.to_json(F.struct(*payload_cols)).alias("value"),
-    )
+    carry a `topic` column — the dynamic-topic router. The value payload
+    is topic_payload's to_json(struct(*))."""
+    out = topic_payload(df, topic)
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
