@@ -422,6 +422,43 @@ LINE_DF_MAX = 3     # a "line" appearing in more than this many docs is boilerpl
 LINE_TOKENS = 6     # the corpus is an unpunctuated token stream: a "line" = 6-token chunk
 
 
+SPAN_TOKENS = 8     # exact-substring window length, in tokens
+
+
+def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detection (the ExactSubstr dedup of
+    Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better', bounded to fixed windows): every OVERLAPPING
+    SPAN_TOKENS-token window of every document, grouped corpus-wide;
+    spans occurring in more than one document are exactly the substrings
+    a suffix-array pass would flag at this granularity. Documents
+    shorter than the window emit nothing.
+
+    Plan: window construction + explode is scan-stage expression work
+    (~n_tokens rows per doc); ONE span-keyed aggregate (partial agg
+    map-side) computes document frequency and occurrence counts; only
+    spans with doc_ct >= 2 survive. At 100 TB the group key would be
+    the span's md5 (16 bytes through the shuffle instead of the text,
+    keeping min(span) for display) — same plan shape."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    idx = F.when(n >= SPAN_TOKENS, F.sequence(F.lit(0), n - SPAN_TOKENS)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SPAN_TOKENS)))
+    exploded = docs.select("doc_id", F.explode(spans).alias("span"))
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_ct"),
+            F.count("*").alias("occ_ct"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("doc_ct") >= 2)
+    )
+
+
 def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (the RefinedWeb/CCNet-style pass
     that strips repeated navigation/footer lines before document-level
@@ -510,6 +547,7 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "line_dedup_stats": line_dedup_stats,
+    "duplicated_spans": duplicated_spans,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
@@ -612,6 +650,28 @@ _DUCK_MINHASH_PAIRS = """
 )
 
 ORACLES = {
+    "duplicated_spans": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), windows AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= {SPAN_TOKENS} THEN
+                   [array_to_string(toks[i:i+{SPAN_TOKENS} - 1], ' ')
+                    for i in range(1, len(toks) - {SPAN_TOKENS} + 2)]
+               ELSE [] END) AS span
+        FROM toks
+    )
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_ct,
+           CAST(COUNT(*) AS BIGINT) AS occ_ct,
+           MIN(doc_id) AS first_doc_id
+    FROM windows
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
     "line_dedup_stats": f"""
         WITH tok AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
