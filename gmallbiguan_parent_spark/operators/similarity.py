@@ -610,6 +610,69 @@ def _srp_signature(v, table: int, bits: int):
     return sig
 
 
+def _srp_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, table_id, sig) for every vector × SRP table, width
+    derived from the corpus count, materialized once (localCheckpoint —
+    the persisted signature table at warehouse scale). Shared by
+    embedding_neardup_pairs and knn_graph."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    bits = srp_bits_for(corpus.count())
+    return corpus.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t, bits).alias("sig"))
+            for t in range(SRP_TABLES)
+        ])).alias("b"),
+    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH: every vector's KNN_GRAPH_K most-similar
+    neighbors among its SRP-LSH bucket-mates — the graph-construction
+    primitive behind clustering/near-dup pipelines at scale (an exact
+    k-NN graph is an all-pairs scan; bucketing bounds candidates the
+    same way the near-dup pair join does, and recall follows the same
+    SRP table/bit math). Ranking is cosine DESC with vec-id tiebreak —
+    deterministic, so the DuckDB oracle replays it exactly.
+
+    Plan: ONE signature materialization (shared helper), the band
+    self-join as the only wide shuffle, distinct directed pairs, then a
+    per-source window over candidate sets that are ~bucket-sized, not
+    corpus-sized."""
+    sigs = _srp_signature_table(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine.alias("cosine"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "rank", "dst", "cosine")
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup family's
     embedding variant): candidate pairs share an SRP-LSH bucket in at
@@ -626,19 +689,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     population stays ~constant at any scale; the oracle computes the
     identical width from count(embeddings), so verification holds at
     every scale factor, not just sf0.01."""
-    emb = load_table_spread(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    bits = srp_bits_for(corpus.count())
-    sigs = corpus.select(
-        "vec_id", "v",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t, bits).alias("sig"))
-            for t in range(SRP_TABLES)
-        ])).alias("b"),
-    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    sigs = _srp_signature_table(spark, sf_dir)
     a, b = sigs.alias("a"), sigs.alias("b")
     cosine = F.round(
         _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
@@ -668,6 +719,7 @@ QUERIES = {
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "ann_truncated_rerank": ann_truncated_rerank,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "knn_graph": knn_graph,
 }
 
 def _duck_cos(a: str, b: str) -> str:
@@ -770,6 +822,32 @@ _DUCK_SCORED = f"""
     )
 """
 
+# width-adaptive SRP signature replay shared by the embedding near-dup
+# and knn-graph oracles: `bits` is computed from count(embeddings) with
+# the same clamp srp_bits_for uses; plane terms beyond the derived
+# width are masked out, so the same SQL verifies every sf.
+_DUCK_SRP_SIGS = (
+    "\n    WITH vecs AS (\n"
+    "        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+    "    ), bcfg AS (\n"
+    f"        SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_BITS},\n"
+    f"            CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / {SRP_TARGET_BUCKET}.0)) AS INTEGER))) AS bits\n"
+    "        FROM vecs\n"
+    "    ), sigs AS (\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS table_id, ("
+        + " + ".join(
+            f"CASE WHEN {p} < bits AND ROUND(list_dot_product(v, "
+            f"[{', '.join(str(s) for s in _SRP_PLANES[t][p])}]), 6) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(SRP_MAX_BITS)
+        )
+        + ") AS sig FROM vecs, bcfg"
+        for t in range(SRP_TABLES)
+    )
+    + "\n    )\n"
+)
+
 ORACLES = {
     "ann_cosine_topk": _DUCK_SCORED + f"""
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
@@ -817,29 +895,7 @@ ORACLES = {
         f"SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id,"
         f" cell AS from_cell, cosine FROM ranked WHERE rank <= {TOP_K}",
     ),
-    # width-adaptive replay: `bits` is computed from count(embeddings)
-    # with the same clamp srp_bits_for uses; plane terms beyond the
-    # derived width are masked out, so the same SQL verifies every sf.
-    "embedding_neardup_pairs": "\n    WITH vecs AS (\n"
-    "        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
-    "    ), bcfg AS (\n"
-    f"        SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_BITS},\n"
-    f"            CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / {SRP_TARGET_BUCKET}.0)) AS INTEGER))) AS bits\n"
-    "        FROM vecs\n"
-    "    ), sigs AS (\n        "
-    + "\n        UNION ALL ".join(
-        f"SELECT vec_id, v, {t} AS table_id, ("
-        + " + ".join(
-            f"CASE WHEN {p} < bits AND ROUND(list_dot_product(v, "
-            f"[{', '.join(str(s) for s in _SRP_PLANES[t][p])}]), 6) > 0 "
-            f"THEN {1 << p} ELSE 0 END"
-            for p in range(SRP_MAX_BITS)
-        )
-        + ") AS sig FROM vecs, bcfg"
-        for t in range(SRP_TABLES)
-    )
-    + f"""
-    )
+    "embedding_neardup_pairs": _DUCK_SRP_SIGS + f"""
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
@@ -847,6 +903,21 @@ ORACLES = {
       ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
+    """,
+    "knn_graph": _DUCK_SRP_SIGS + f"""
+    , cand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM sigs a JOIN sigs b
+          ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT src, dst, cosine,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+        FROM cand
+    )
+    SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
+    FROM ranked WHERE rnk <= {KNN_GRAPH_K}
     """,
     "knn_label_vote": _DUCK_SCORED + f"""
     , votes AS (
