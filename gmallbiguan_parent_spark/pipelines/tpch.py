@@ -191,6 +191,58 @@ def order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape: promotion revenue share within one shipdate month — a
+    conditional-aggregate ratio over lineitem⋈part. The month filter is
+    pushed into the lineitem parquet scan, part broadcasts, and the two
+    revenue sums stay exact decimal until the final double division
+    (the proven ratio recipe)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("promo_revenue"),
+            F.sum(disc).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        F.round(
+            F.col("promo_revenue").cast("double") * 100 / F.col("total_revenue").cast("double"), 2
+        ).alias("promo_pct"),
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shape: revenue matching three OR'd (brand × part-size ×
+    quantity) branches. The disjunction mixes columns from BOTH join
+    sides, so it evaluates post-join, while the per-side implications
+    Catalyst can extract (and the partkey equi-join itself) still prune;
+    part broadcasts and the whole thing is one scan + one conditional
+    aggregate — the optimizer showcase of the original Q19."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(16, 30) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(31, 50) & q.between(20, 30))
+    )
+    disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .filter(cond)
+        .agg(
+            F.sum(disc).alias("revenue"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "price_band_stats": price_band_stats,
@@ -199,9 +251,36 @@ QUERIES = {
     "local_supplier_volume": local_supplier_volume,
     "late_shipment_check": late_shipment_check,
     "small_qty_revenue": small_qty_revenue,
+    "promo_revenue_share": promo_revenue_share,
+    "disjunctive_revenue": disjunctive_revenue,
 }
 
 ORACLES = {
+    "promo_revenue_share": """
+        WITH j AS (
+            SELECT CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS disc,
+                   p.p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-03-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+        ), agg AS (
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS promo_revenue,
+                   CAST(SUM(disc) AS DECIMAL(28,6)) AS total_revenue
+            FROM j
+        )
+        SELECT promo_revenue, total_revenue,
+               ROUND(CAST(promo_revenue AS DOUBLE) * 100 / CAST(total_revenue AS DOUBLE), 2) AS promo_pct
+        FROM agg
+    """,
+    "disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 16 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
