@@ -243,6 +243,173 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shape: shipping volume between two nations — supplier nation ⋈
+    customer nation with a DISJUNCTIVE cross-pair condition ((N1→N2) OR
+    (N2→N1)), revenue per (supp_nation, cust_nation, ship_year). The
+    disjunction references both join sides so it evaluates post-join,
+    but each nation dim broadcasts and the only shuffles are the
+    lineitem⋈orders key join and the final 3-key groupBy — the plan the
+    original Q7 is designed to elicit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "inner"
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner"
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(disc).alias("revenue"), F.count("*").alias("line_ct"))
+    )
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shape: top 20 customers by revenue lost to returns
+    (l_returnflag = 'R') in a half-year window, with their nation. The
+    returnflag + date filters push into the scans, customer and nation
+    broadcast, and the top-20 plans as TakeOrderedAndProject over the
+    per-customer aggregate (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(disc).alias("returned_revenue"), F.count("*").alias("returned_lines"))
+        .orderBy(F.desc("returned_revenue"), F.asc("customer_id"))
+        .limit(20)
+    )
+
+
+def ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape: order-priority counts per shipping-delay bucket — the
+    conditional CASE-sum split of high (1-URGENT/2-HIGH) vs low
+    priority, bucketed by days between order and ship date (the
+    testdata schema has no shipmode/commitdate, so the delay bucket
+    plays Q12's shipmode role). One lineitem⋈orders key join, bucket
+    derived in projection, one small groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay > 60, "late").when(delay > 30, "slow").otherwise("ontime")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .select(bucket.alias("delay_bucket"), high.alias("is_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_priority_ct"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_priority_ct"),
+        )
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shape: distinct-supplier counts per (brand, type, size) with
+    a NOT IN exclusion subquery. The lineitem (partkey, suppkey) pairs
+    stand in for partsupp; the NOT IN plans as Spark's NULL-AWARE anti
+    join (s_suppkey is non-null, so it degenerates to a broadcast anti
+    join — the planner feature this query exists to exercise). The
+    count(distinct) is a two-phase exact distinct aggregate."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p.p_brand AS brand, p.p_type AS part_type, p.p_size AS part_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_ct
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """)
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shape: suppliers who were the LAST to ship on finalized
+    multi-supplier orders — a doubly-correlated EXISTS (another supplier
+    participated) + NOT EXISTS (no other supplier shipped later). Both
+    subqueries decorrelate to semi/anti joins of lineitem against
+    itself on the order key; at scale all three lineitem legs shuffle
+    on l_orderkey once (co-partitioned), and the supplier dim
+    broadcasts. Top 10 by count with name tiebreak."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s.s_name AS supplier_name, COUNT(*) AS waiting_ct
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+        ORDER BY waiting_ct DESC, supplier_name ASC
+        LIMIT 10
+    """)
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape: for each small part, the supplier(s) offering its
+    MINIMUM unit cost — a correlated scalar-MIN subquery that Catalyst
+    decorrelates into a per-part aggregate joined back on (partkey,
+    cost) equality. Unit cost is extendedprice/quantity (the lineitem
+    bridge stands in for partsupp.ps_supplycost); IEEE division and MIN
+    are bit-deterministic on both engines, so the equality join-back
+    is exact. Ordered by supplier balance like the original."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p.p_partkey AS part_id, p.p_brand AS brand, s.s_name AS supplier_name,
+               s.s_acctbal AS acctbal, c.unit_cost AS unit_cost
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        WHERE p.p_size <= 10
+          AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                             WHERE c2.l_partkey = p.p_partkey)
+        ORDER BY acctbal DESC, part_id ASC, supplier_name ASC
+        LIMIT 25
+    """)
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "price_band_stats": price_band_stats,
@@ -253,6 +420,12 @@ QUERIES = {
     "small_qty_revenue": small_qty_revenue,
     "promo_revenue_share": promo_revenue_share,
     "disjunctive_revenue": disjunctive_revenue,
+    "two_nation_volume": two_nation_volume,
+    "returned_item_report": returned_item_report,
+    "ship_delay_priority": ship_delay_priority,
+    "supplier_part_counts": supplier_part_counts,
+    "waiting_suppliers": waiting_suppliers,
+    "min_cost_supplier": min_cost_supplier,
 }
 
 ORACLES = {
@@ -355,6 +528,89 @@ ORACLES = {
           AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
                               FROM lineitem l2
                               WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "two_nation_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "returned_item_report": """
+        SELECT c.c_custkey AS customer_id, c.c_name AS customer_name, n.n_name AS nation_name,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS returned_revenue,
+               CAST(COUNT(*) AS BIGINT) AS returned_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+            AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY returned_revenue DESC, customer_id ASC
+        LIMIT 20
+    """,
+    "ship_delay_priority": """
+        SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60 THEN 'late'
+                    WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 30 THEN 'slow'
+                    ELSE 'ontime' END AS delay_bucket,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_ct,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_ct
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+    "supplier_part_counts": """
+        SELECT p.p_brand AS brand, p.p_type AS part_type, p.p_size AS part_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_ct
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "waiting_suppliers": """
+        SELECT s.s_name AS supplier_name, CAST(COUNT(*) AS BIGINT) AS waiting_ct
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+        ORDER BY waiting_ct DESC, supplier_name ASC
+        LIMIT 10
+    """,
+    "min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p.p_partkey AS part_id, p.p_brand AS brand, s.s_name AS supplier_name,
+               s.s_acctbal AS acctbal, c.unit_cost AS unit_cost
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        WHERE p.p_size <= 10
+          AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                             WHERE c2.l_partkey = p.p_partkey)
+        ORDER BY acctbal DESC, part_id ASC, supplier_name ASC
+        LIMIT 25
     """,
     "local_supplier_volume": """
         SELECT n.n_name AS nation_name,
