@@ -109,8 +109,39 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+
+
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — the
+    epoch-order primitive of a training-data pipeline: every document
+    gets a (shard, position) such that reading shards 0..N-1 in
+    position order is a reproducible random permutation of the corpus.
+
+    Scale: this is the shuffle WITHOUT a global sort — shard assignment
+    is a pure md5 expression in the scan stage, and the position is a
+    row_number partitioned BY SHARD (each shard sorts independently,
+    the in-partition sort a partitionBy(shard) write does anyway).
+    N_SHARDS scales with the corpus (shard ≈ one output file); no
+    single-reducer total order anywhere. Re-runs and both engines
+    produce the identical permutation because the sort key is
+    md5-derived from doc_id, not RNG state."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    shard = md5_bigint(F.col("doc_id").cast("string"), salt="shard:") % N_SHARDS
+    w = Window.partitionBy("shard").orderBy(F.asc("sort_key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", shard.alias("shard"), key.alias("sort_key"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 QUERIES = {
     "corpus_sample": corpus_sample,
+    "corpus_shards": corpus_shards,
     "stratified_sample": stratified_sample,
     "weighted_sample": weighted_sample,
     "mixture_weights": mixture_weights,
@@ -119,6 +150,17 @@ QUERIES = {
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
 
 ORACLES = {
+    "corpus_shards": """
+        WITH keyed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key ASC, doc_id ASC) AS INTEGER) AS pos
+        FROM keyed
+    """,
     "weighted_sample": f"""
         WITH t AS (
             SELECT doc_id, lang, n_chars,

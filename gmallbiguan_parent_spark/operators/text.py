@@ -338,8 +338,116 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "vector", "stream")
+BM25_TOP = 15
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a fixed term query —
+    the classic lexical search scorer (idf × saturated tf, normalized
+    by doc length vs the corpus average).
+
+    Plan: the exploded token stream filters to the query terms BEFORE
+    aggregating, so the tf table carries only matching docs (at 100 TB,
+    a posting-list-sized fraction); doc lengths come from the same scan
+    with no explode (size of the token array in the scan stage). One
+    shuffle builds tf, the df/idf table is 3 rows (broadcast), the
+    corpus stats are a 1-row broadcast, and the dl join keys on doc_id
+    with the tf side small enough to broadcast. Top-15 plans as
+    TakeOrderedAndProject.
+
+    Determinism: the idf log is computed in ONE identical expression
+    tree on both engines, the per-term contribution rounds to 9 dp and
+    sums as exact decimal (the unigram_logprob recipe), so ranking and
+    hashes match to the last bit."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    dl = docs.select("doc_id", F.size(tokenize("text")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("tok_total")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    avgdl = F.col("tok_total").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", contrib.alias("contrib"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("matched_terms"),
+            F.round(F.sum("contrib").cast("double"), 6).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+TFIDF_TOP = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    document-representation primitive. Document frequencies aggregate
+    over the FULL corpus (tf is already unique per (doc, tok), so df is
+    a plain count); the per-doc ranking window then runs only on a 2%
+    doc subset to bound output. At scale both aggregates are
+    partial/final hash aggs on token-derived keys (even partitioning),
+    and the ranking window partitions by doc_id — many small
+    partitions, no global sort. Scores round to 9 dp before ranking so
+    both engines rank identical values; token tiebreak keeps the
+    window total."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        9,
+    ).cast("decimal(18,9)")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", F.col("tok").alias("token"), score.alias("tfidf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "rank", "token", "tfidf")
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "bm25_rank": bm25_rank,
+    "tfidf_top_terms": tfidf_top_terms,
     "token_count": token_count,
     "text_quality": text_quality,
     "top_tokens": top_tokens,
@@ -355,6 +463,63 @@ QUERIES = {
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
+    "bm25_rank": """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tok_total FROM dl
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('hash', 'vector', 'stream')
+        GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                            / (CAST(f.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * 2.2)
+                   / (CAST(t.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)
+                                              / (CAST(s.tok_total AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))),
+                   9) AS DECIMAL(18,9)) AS contrib
+        FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+           ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id ASC
+    LIMIT 15
+    """,
+    "tfidf_top_terms": """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.tok AS token,
+               CAST(ROUND(CAST(t.tf AS DOUBLE)
+                    * ln(CAST(n.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS tfidf
+        FROM tf t JOIN dfreq f USING (tok), n
+        WHERE t.doc_id % 50 = 0
+    )
+    SELECT doc_id, rank, token, tfidf FROM (
+        SELECT doc_id, token, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
     "unigram_logprob": """
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
