@@ -66,9 +66,14 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle builds the edge set (order-key self-join), one
     degree aggregate, then per iteration exactly one join (edges ⋈
     ranks on src — broadcast while ranks stay dim-sized, shuffle-on-key
-    at graph scale) and one dst-keyed aggregate."""
-    edges = _co_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    at graph scale) and one dst-keyed aggregate. The edge set is
+    localCheckpoint'd (the connected_components recipe, dedup.py:170)
+    so each iteration joins the MATERIALIZED edges instead of replaying
+    the self-join lineage three times — at graph scale this is the
+    'build the adjacency once, iterate over it' structure every BSP
+    engine uses."""
+    edges = _co_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     n1 = deg.agg(F.count("*").alias("n"))
 
     # r0 = 1/n for every node, rounded like every later iterate.
