@@ -231,8 +231,90 @@ def stream_payment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via foreachBatch — the
+    serving-layer pattern the reference implements as per-record
+    ClickHouse upserts (SURVEY §2.1 S10), done the Structured Streaming
+    way: orders replay as a MULTI-FILE stream (maxFilesPerTrigger=1 →
+    one micro-batch per file), each batch computes per-day decimal
+    partial sums, and foreachBatch MERGEs them into the accumulator
+    table (read → union → re-aggregate → atomic swap). Because the
+    partials are exact decimal, merge order is irrelevant and the final
+    accumulator equals batch gmv_daily to the last bit — that batch SQL
+    is the oracle.
+
+    Scale: each micro-batch shuffles only its delta (one day-keyed agg);
+    the merge touches the day-grain accumulator (rows = days, not
+    orders). On a real deployment the swap is a transactional MERGE
+    INTO (Delta/Iceberg) or ClickHouse ReplacingMergeTree insert — the
+    idempotent-overwrite swap here is the same contract the io.py sinks
+    test. Restart safety comes from the checkpoint: a replayed batch
+    re-merges the same partials over the PRE-batch snapshot, not a
+    double-count (re-aggregation is idempotent per batch id)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+    from ..pipelines.serving import GMV_MONTH
+
+    stage = tempfile.mkdtemp(prefix="gmvinc_src_")
+    acc_root = tempfile.mkdtemp(prefix="gmvinc_acc_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(4).write.mode("overwrite").parquet(f"{stage}/orders")
+
+    schema = spark.read.parquet(f"{stage}/orders").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/orders")
+    )
+
+    acc_dir = f"{acc_root}/acc"
+    batches: list[int] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.filter(
+                (F.col("o_orderdate") >= GMV_MONTH[0])
+                & (F.col("o_orderdate") < GMV_MONTH[1])
+            )
+            .groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("dt"))
+            .agg(F.sum(dec("o_totalprice")).alias("order_amount"))
+        )
+        if os.path.exists(acc_dir):
+            prev = batch_df.sparkSession.read.parquet(acc_dir)
+            merged = (
+                part.unionByName(prev)
+                .groupBy("dt")
+                .agg(F.sum("order_amount").cast("decimal(28,4)").alias("order_amount"))
+            )
+        else:
+            merged = part.select("dt", F.col("order_amount").cast("decimal(28,4)").alias("order_amount"))
+        new_dir = f"{acc_root}/acc_v{batch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        old = f"{acc_root}/acc_old_{batch_id}"
+        if os.path.exists(acc_dir):
+            shutil.move(acc_dir, old)
+        shutil.move(new_dir, acc_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        batches.append(batch_id)
+
+    (
+        src.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{acc_root}/_chk")
+        .start()
+        .awaitTermination()
+    )
+    assert len(batches) >= 2, f"expected a multi-batch replay, got {batches}"
+    return spark.read.parquet(acc_dir)
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
+    "stream_gmv_incremental": stream_gmv_incremental_q,
     "stream_uv_dedup": stream_uv_dedup_q,
     "stream_jump_detect": stream_jump_detect_q,
     "stream_dim_enrich": stream_dim_enrich_q,
@@ -242,6 +324,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_gmv_incremental": """
+        SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    """,
     "stream_visitor_stats": """
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS stt,
                time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS edt,
