@@ -550,8 +550,42 @@ def priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the daily event-value
+    series — the monitoring primitive (spike/drop flags vs a 7-day
+    trailing mean). The window ORDER BY runs over the per-day aggregate
+    (rows = days, dimension-bounded — allowlisted single-partition
+    series like running_gmv), never the raw events. The trailing frame
+    EXCLUDES the current day (ROWS -7..-1) so a spike can't mask
+    itself; days with under 3 trailing observations are warm-up and
+    dropped. Frame sums stay exact decimal; only the mean division and
+    ratio happen in double, and flags compare the ROUNDED ratio so both
+    engines decide identically at the threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("dt")).agg(
+        F.sum(dec("value")).alias("day_value")
+    )
+    w = Window.orderBy("dt").rowsBetween(-7, -1)
+    base_sum = F.sum("day_value").over(w)
+    base_ct = F.count("day_value").over(w)
+    mean = base_sum.cast("double") / base_ct.cast("double")
+    ratio = F.round(F.col("day_value").cast("double") / mean, 6)
+    scored = daily.select(
+        "dt",
+        "day_value",
+        base_ct.alias("trail_ct"),
+        F.round(mean, 6).alias("trail_mean"),
+        ratio.alias("ratio"),
+    )
+    return scored.filter(F.col("trail_ct") >= 3).select(
+        "dt", "day_value", "trail_ct", "trail_mean", "ratio",
+        ((F.col("ratio") > 1.3) | (F.col("ratio") < 0.7)).alias("is_spike"),
+    )
+
+
 QUERIES = {
     "topn_orders_per_priority": topn_orders_per_priority,
+    "event_spike_days": event_spike_days,
     "order_seasonality": order_seasonality,
     "user_daily_gapfill": user_daily_gapfill,
     "sales_grouping_sets": sales_grouping_sets,
@@ -576,6 +610,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_spike_days": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS dt,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS day_value
+            FROM events GROUP BY 1
+        ), win AS (
+            SELECT dt, day_value,
+                   SUM(day_value) OVER w AS base_sum,
+                   COUNT(day_value) OVER w AS base_ct
+            FROM daily
+            WINDOW w AS (ORDER BY dt ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT dt, day_value,
+               CAST(base_ct AS BIGINT) AS trail_ct,
+               ROUND(CAST(base_sum AS DOUBLE) / CAST(base_ct AS DOUBLE), 6) AS trail_mean,
+               ROUND(CAST(day_value AS DOUBLE) / (CAST(base_sum AS DOUBLE) / CAST(base_ct AS DOUBLE)), 6) AS ratio,
+               (ROUND(CAST(day_value AS DOUBLE) / (CAST(base_sum AS DOUBLE) / CAST(base_ct AS DOUBLE)), 6) > 1.3
+                OR ROUND(CAST(day_value AS DOUBLE) / (CAST(base_sum AS DOUBLE) / CAST(base_ct AS DOUBLE)), 6) < 0.7) AS is_spike
+        FROM win
+        WHERE base_ct >= 3
+    """,
     "priority_share": """
         WITH agg AS (
             SELECT o_orderpriority AS priority,

@@ -410,6 +410,77 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shape: the supplier(s) with MAXIMUM quarterly revenue — an
+    aggregate view referenced twice (once as the join input, once under
+    MAX) with an equality filter against the scalar. Catalyst computes
+    the revenue aggregate, broadcasts the 1-row MAX, and the equality
+    compares exact decimals, so ties surface deterministically (the
+    original Q15's correctness subtlety)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY supplier_id ASC
+    """)
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shape: parts whose shipped value exceeds a FRACTION of the
+    corpus-adaptive threshold (1.5x the mean part value) — a grouped
+    aggregate filtered against a scalar subquery over the same
+    aggregate. The per-part sums stay exact
+    decimal; only the threshold comparison happens in double (identical
+    cast + multiply on both engines)."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH pv AS (
+            SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey AS part_id, part_value
+        FROM pv
+        WHERE CAST(part_value AS DOUBLE) >
+              (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) * 1.5 FROM pv)
+        ORDER BY part_value DESC, part_id ASC
+    """)
+
+
+def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shape: suppliers who shipped a LARGE volume of promo parts —
+    nested IN chains (supplier IN (grouped-HAVING subquery whose rows
+    filter on part IN (...))). Both INs decorrelate to left-semi joins;
+    the inner HAVING aggregate groups on (suppkey, partkey) — the
+    partsupp grain."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+        )
+        ORDER BY supplier_id ASC
+    """)
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "price_band_stats": price_band_stats,
@@ -426,6 +497,9 @@ QUERIES = {
     "supplier_part_counts": supplier_part_counts,
     "waiting_suppliers": waiting_suppliers,
     "min_cost_supplier": min_cost_supplier,
+    "top_revenue_supplier": top_revenue_supplier,
+    "important_part_values": important_part_values,
+    "promo_stock_suppliers": promo_stock_suppliers,
 }
 
 ORACLES = {
@@ -611,6 +685,42 @@ ORACLES = {
                              WHERE c2.l_partkey = p.p_partkey)
         ORDER BY acctbal DESC, part_id ASC, supplier_name ASC
         LIMIT 25
+    """,
+    "top_revenue_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY supplier_id ASC
+    """,
+    "important_part_values": """
+        WITH pv AS (
+            SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey AS part_id, part_value
+        FROM pv
+        WHERE CAST(part_value AS DOUBLE) >
+              (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) * 1.5 FROM pv)
+        ORDER BY part_value DESC, part_id ASC
+    """,
+    "promo_stock_suppliers": """
+        SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+        )
+        ORDER BY supplier_id ASC
     """,
     "local_supplier_volume": """
         SELECT n.n_name AS nation_name,
