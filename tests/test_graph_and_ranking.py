@@ -1,0 +1,85 @@
+"""Structural invariants for the graph/ranking/sharding operators —
+properties the oracle hash can't see (mass conservation, permutation
+completeness, bound relationships), mirroring the reference's
+invariant-style tests (SURVEY §5)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def test_pagerank_mass_and_bounds(spark):
+    from gmallbiguan_parent_spark.operators.graph import _co_edges, supplier_pagerank
+
+    rows = supplier_pagerank(spark, SF_DIR).collect()
+    assert rows, "graph must be non-empty at sf0.001"
+    # ranks positive, sorted desc with id tiebreak
+    ranks = [float(r.pagerank) for r in rows]
+    assert all(x > 0 for x in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    # symmetric edge set: (a,b) present iff (b,a) present
+    edges = {(r.src, r.dst) for r in _co_edges(spark, SF_DIR).collect()}
+    assert edges == {(b, a) for a, b in edges}
+    # total rank mass stays ~1 (per-node teleport + damped mass; the
+    # 9dp per-step rounding bounds drift far below 1e-3 per node)
+    # recompute the FULL rank table (not just top-20) cheaply at this SF
+    # by rerunning the operator body's final iterate via its public
+    # surface: top-20 covers >= 20/N of mass; instead assert the top-20
+    # masses are each <= 1 and their sum <= 1 + tolerance.
+    assert sum(ranks) <= 1.0 + 1e-6
+
+
+def test_corpus_shards_is_a_complete_permutation(spark):
+    from gmallbiguan_parent_spark.operators.sampling import N_SHARDS, corpus_shards
+
+    df = corpus_shards(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    rows = df.collect()
+    # every doc exactly once
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    # shards in range; positions contiguous 1..k per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), f"shard {shard} gaps"
+    # deterministic across runs
+    again = {(r.doc_id, r.shard, r.pos) for r in corpus_shards(spark, SF_DIR).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_bm25_scores_are_positive_and_bounded(spark):
+    from gmallbiguan_parent_spark.operators.text import BM25_TERMS, BM25_TOP, bm25_rank
+
+    rows = bm25_rank(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= BM25_TOP
+    for r in rows:
+        assert 1 <= r.matched_terms <= len(BM25_TERMS)
+        assert float(r.bm25_score) > 0
+    scores = [float(r.bm25_score) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_copurchase_lift_count_bounds(spark):
+    from gmallbiguan_parent_spark.operators.graph import copurchase_lift
+
+    for r in copurchase_lift(spark, SF_DIR).collect():
+        assert r.part_a < r.part_b
+        assert r.pair_ct <= min(r.ct_a, r.ct_b)
+        assert float(r.lift) > 0
+
+
+def test_tfidf_ranks_are_dense_per_doc(spark):
+    from gmallbiguan_parent_spark.operators.text import TFIDF_TOP, tfidf_top_terms
+
+    rows = tfidf_top_terms(spark, SF_DIR).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.rank)
+    assert by_doc, "subset must be non-empty"
+    for doc, rr in by_doc.items():
+        assert sorted(rr) == list(range(1, len(rr) + 1))
+        assert len(rr) <= TFIDF_TOP
