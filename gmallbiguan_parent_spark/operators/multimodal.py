@@ -172,13 +172,110 @@ def media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, schema="doc_id long, frame_id int, frame_bytes long")
 
 
+PHASH_BITS = 32
+PHASH_BLOCK_BITS = 8   # 4 blocks; pigeonhole: hamming<=3 pairs share >= 1 block
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode payload bytes (utf-8 — the one decode
+    that IS available in-container) and compute a 32-bit histogram-
+    parity perceptual hash: bit_i = parity of the count of codepoints
+    falling in bucket i (codepoint % 32). Local edits perturb few
+    bucket counts, so near-duplicate payloads land within a small
+    hamming distance — the property a real DCT pHash provides for
+    images, produced here by the same batch-vectorized numpy shape a
+    real implementation would use. Empty payloads are dropped (no
+    histogram to hash)."""
+    import numpy as np
+
+    weights = (np.int64(1) << np.arange(PHASH_BITS, dtype=np.int64))
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            s = bytes(content).decode("utf-8")
+            if not s:
+                continue
+            cps = np.fromiter((ord(c) for c in s), dtype=np.int64, count=len(s))
+            parity = np.bincount(cps % PHASH_BITS, minlength=PHASH_BITS) & 1
+            ids.append(doc_id)
+            hashes.append(int(np.dot(parity, weights)))
+        yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "phash": pd.Series(hashes, dtype="int64")})
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over the media table — the
+    image-dedup pattern (pHash + banded hamming join) running on the
+    real Arrow lane, with the DCT step stubbed by the histogram-parity
+    hash (_phash_batches). The pair search reuses the SimHash pigeonhole
+    design (dedup.py:299): 4 blocks of 8 bits key the candidate join —
+    any pair at hamming<=3 agrees on >= 1 whole block — and bit_count
+    confirms in-bucket, so no all-pairs scan ever happens. The oracle
+    is BRUTE-FORCE all-pairs over the replayed hash, independently
+    proving the banding finds the complete hamming<=3 set.
+
+    Scale: hashes are one long per asset (localCheckpoint'd — the blobs
+    never reach the join); 2^8 buckets/block is the sf-sized setting and
+    widens like SIMHASH_BAND_BITS at corpus scale."""
+    media = media_table(spark, sf_dir)
+    ph = media.mapInPandas(_phash_batches, schema="doc_id long, phash long").localCheckpoint()
+    n_blocks = PHASH_BITS // PHASH_BLOCK_BITS
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftright("phash", i * PHASH_BLOCK_BITS)
+            .bitwiseAND(F.lit((1 << PHASH_BLOCK_BITS) - 1))
+            .alias("block_key"),
+        )
+        for i in range(n_blocks)
+    ])
+    banded = ph.select("doc_id", "phash", F.explode(blocks).alias("b")).select(
+        "doc_id", "phash", "b.block_id", "b.block_key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, ["block_id", "block_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 QUERIES = {
     "media_features": media_features,
     "media_frame_stats": media_frame_stats,
     "media_decode_features": media_decode_features,
+    "media_phash_neardup": media_phash_neardup,
 }
 
 ORACLES = {
+    # brute-force all-pairs over the replayed histogram-parity hash —
+    # independently proves the banded join's hamming<=3 completeness
+    # (the simhash oracle strategy, dedup.py).
+    "media_phash_neardup": """
+        WITH chars AS (
+            SELECT doc_id, unnest(split(text, '')) AS ch
+            FROM documents WHERE length(text) > 0
+        ), bits AS (
+            SELECT doc_id, unicode(ch) % 32 AS bucket, COUNT(*) % 2 AS parity
+            FROM chars GROUP BY 1, 2
+        ), ph AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN parity = 1 THEN 1::BIGINT << bucket ELSE 0 END) AS BIGINT) AS phash
+            FROM bits GROUP BY 1
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
     # payload is utf-8 text, so the oracle recomputes the binary features
     # from the text itself (md5(text) == md5(utf8 bytes)).
     "media_features": """
