@@ -207,7 +207,74 @@ def order_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_EVAL_TOP = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation, evaluated against exact
+    truth for the corpus's top tokens. The sketch is CMS_DEPTH x
+    CMS_WIDTH counters; each token increments one bucket per row
+    (md5-salted hash, portable to the oracle), and a point estimate is
+    the MIN over its row buckets — always >= the true count (the CMS
+    guarantee; tests assert it).
+
+    Why this is the 100 TB shape: the sketch build is ONE (row, bucket)
+    keyed aggregate — partial aggregation merges counters map-side, so
+    the shuffle carries at most DEPTH*WIDTH rows per task regardless of
+    corpus size (this additive mergeability is the whole point of CMS;
+    the same plan serves streaming via update-mode agg). The evaluation
+    join probes CMS_EVAL_TOP tokens x DEPTH buckets — broadcast-tiny.
+    Every arithmetic step is exact integers, so the DuckDB oracle
+    replays the sketch bit-for-bit."""
+    from ..functions import md5_bigint, tokenize
+    from ..io import load_table_spread
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    rows = toks.select(
+        "token",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (md5_bigint(F.col("token"), salt=f"cms{r}:") % CMS_WIDTH).alias("bucket"),
+                )
+                for r in range(CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select("token", "h.r", "h.bucket")
+    sketch = rows.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+    truth = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_ct"))
+        .orderBy(F.desc("true_ct"), F.asc("token"))
+        .limit(CMS_EVAL_TOP)
+    )
+    probes = truth.select(
+        "token", "true_ct",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (md5_bigint(F.col("token"), salt=f"cms{r}:") % CMS_WIDTH).alias("bucket"),
+                )
+                for r in range(CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select("token", "true_ct", "h.r", "h.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "inner")
+        .groupBy("token", "true_ct")
+        .agg(F.min("cnt").alias("est_ct"))
+        .orderBy(F.desc("true_ct"), F.asc("token"))
+    )
+
+
 QUERIES = {
+    "cms_heavy_hitters": cms_heavy_hitters,
     "order_outlier_stats": order_outlier_stats,
     "value_percentiles": value_percentiles,
     "value_correlation": value_correlation,
@@ -220,6 +287,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cms_heavy_hitters": """
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+            FROM documents
+        ), hashes AS (
+            SELECT token, r.r AS r,
+                   (('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 1024) AS bucket
+            FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(r)
+        ), sketch AS (
+            SELECT r, bucket, COUNT(*) AS cnt FROM hashes GROUP BY 1, 2
+        ), truth AS (
+            SELECT token, COUNT(*) AS true_ct FROM toks GROUP BY 1
+            ORDER BY true_ct DESC, token ASC LIMIT 20
+        ), probes AS (
+            SELECT t.token, t.true_ct, r.r AS r,
+                   (('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || t.token), 1, 15))::BIGINT % 1024) AS bucket
+            FROM truth t CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(r)
+        )
+        SELECT p.token, CAST(p.true_ct AS BIGINT) AS true_ct,
+               CAST(MIN(s.cnt) AS BIGINT) AS est_ct
+        FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+        GROUP BY 1, 2
+        ORDER BY true_ct DESC, token ASC
+    """,
     "order_outlier_stats": """
         WITH base AS (
             SELECT o_orderpriority AS priority,

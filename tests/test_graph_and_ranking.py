@@ -83,3 +83,13 @@ def test_tfidf_ranks_are_dense_per_doc(spark):
     for doc, rr in by_doc.items():
         assert sorted(rr) == list(range(1, len(rr) + 1))
         assert len(rr) <= TFIDF_TOP
+
+
+def test_cms_estimates_never_undercount(spark):
+    from gmallbiguan_parent_spark.operators.sketches import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # the Count-Min guarantee: point estimates only over-count
+        assert r.est_ct >= r.true_ct
