@@ -72,6 +72,25 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-join lineage three times — at graph scale this is the
     'build the adjacency once, iterate over it' structure every BSP
     engine uses."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        _pagerank_ranks(spark, sf_dir)
+        .join(F.broadcast(supp), F.col("node") == supp.s_suppkey, "inner")
+        .select(
+            F.col("node").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("outdeg").alias("degree"),
+            F.col("rank").alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("supplier_id"))
+        .limit(PR_TOP)
+    )
+
+
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (node, outdeg, n, rank) table after PR_ITERS iterations —
+    split out so tests can assert mass conservation over ALL nodes, not
+    just the top-20 report."""
     edges = _co_edges(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     n1 = deg.agg(F.count("*").alias("n"))
@@ -116,18 +135,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rank"),
             )
         )
-    supp = load_table(spark, sf_dir, "supplier")
-    return (
-        ranks.join(F.broadcast(supp), ranks.node == supp.s_suppkey, "inner")
-        .select(
-            F.col("node").alias("supplier_id"),
-            F.col("s_name").alias("supplier_name"),
-            F.col("outdeg").alias("degree"),
-            F.col("rank").alias("pagerank"),
-        )
-        .orderBy(F.desc("pagerank"), F.asc("supplier_id"))
-        .limit(PR_TOP)
-    )
+    return ranks
 
 
 LIFT_MIN_PAIR = 3
@@ -148,7 +156,10 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical values."""
     li = load_table(spark, sf_dir, "lineitem")
     bridge = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = bridge.select("l_orderkey").distinct().count()
+    # Lazy 1-row basket count broadcast into the lift projection (the
+    # supplier_pagerank n1 pattern) — constructing the DataFrame runs
+    # no job and the plan is data-independent.
+    n1 = bridge.agg(F.countDistinct("l_orderkey").alias("n"))
     a = bridge.alias("a")
     b = bridge.alias("b")
     pair_ct = (
@@ -164,11 +175,12 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_ct = bridge.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count("*").alias("part_ct")
     )
+    n_d = F.col("n").cast("double")
     lift = F.round(
-        (F.col("pair_ct").cast("double") / F.lit(float(n_orders)))
+        (F.col("pair_ct").cast("double") / n_d)
         / (
-            (F.col("ct_a").cast("double") / F.lit(float(n_orders)))
-            * (F.col("ct_b").cast("double") / F.lit(float(n_orders)))
+            (F.col("ct_a").cast("double") / n_d)
+            * (F.col("ct_b").cast("double") / n_d)
         ),
         6,
     )
@@ -183,6 +195,7 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_b") == F.col("pk"),
         )
         .drop("pk")
+        .crossJoin(F.broadcast(n1))
         .select("part_a", "part_b", "pair_ct", "ct_a", "ct_b", lift.alias("lift"))
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(LIFT_TOP)

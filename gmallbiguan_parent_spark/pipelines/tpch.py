@@ -464,7 +464,9 @@ def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested IN chains (supplier IN (grouped-HAVING subquery whose rows
     filter on part IN (...))). Both INs decorrelate to left-semi joins;
     the inner HAVING aggregate groups on (suppkey, partkey) — the
-    partsupp grain."""
+    partsupp grain. Quantities FLOOR before the integer cast because
+    CAST(DOUBLE AS BIGINT) truncates in Spark but rounds in DuckDB —
+    FLOOR is engine-identical."""
     from ..io import register_views
 
     register_views(spark, sf_dir)
@@ -475,7 +477,7 @@ def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_suppkey FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
             GROUP BY l_suppkey, l_partkey
-            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+            HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 50
         )
         ORDER BY supplier_id ASC
     """)
@@ -718,7 +720,7 @@ ORACLES = {
             SELECT l_suppkey FROM lineitem
             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
             GROUP BY l_suppkey, l_partkey
-            HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+            HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 50
         )
         ORDER BY supplier_id ASC
     """,

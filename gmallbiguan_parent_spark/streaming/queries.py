@@ -246,12 +246,17 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each micro-batch shuffles only its delta (one day-keyed agg);
     the merge touches the day-grain accumulator (rows = days, not
     orders). On a real deployment the swap is a transactional MERGE
-    INTO (Delta/Iceberg) or ClickHouse ReplacingMergeTree insert — the
-    idempotent-overwrite swap here is the same contract the io.py sinks
-    test. Restart safety comes from the checkpoint: a replayed batch
-    re-merges the same partials over the PRE-batch snapshot, not a
-    double-count (re-aggregation is idempotent per batch id)."""
+    INTO (Delta/Iceberg) or ClickHouse ReplacingMergeTree insert.
+    Restart safety against foreachBatch's at-least-once contract comes
+    from VERSIONED snapshots keyed by batch id: batch N atomically
+    renames its merged output to acc_upto_N, and a replayed batch that
+    finds a snapshot at-or-past its id SKIPS (the merge already
+    happened) — the os.rename is the commit point, so a crash on either
+    side of it replays into either a clean retry or a no-op, never a
+    double-count. This is exactly the version-ledger trick transactional
+    table formats implement for real."""
     import os
+    import re
     import shutil
     import tempfile
 
@@ -270,10 +275,20 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{stage}/orders")
     )
 
-    acc_dir = f"{acc_root}/acc"
     batches: list[int] = []
 
+    def _snapshots() -> dict[int, str]:
+        out = {}
+        for name in os.listdir(acc_root):
+            m = re.fullmatch(r"acc_upto_(\d+)", name)
+            if m:
+                out[int(m.group(1))] = f"{acc_root}/{name}"
+        return out
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snaps = _snapshots()
+        if snaps and max(snaps) >= batch_id:
+            return  # at-least-once replay of an already-committed batch
         part = (
             batch_df.filter(
                 (F.col("o_orderdate") >= GMV_MONTH[0])
@@ -282,8 +297,8 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("dt"))
             .agg(F.sum(dec("o_totalprice")).alias("order_amount"))
         )
-        if os.path.exists(acc_dir):
-            prev = batch_df.sparkSession.read.parquet(acc_dir)
+        if snaps:
+            prev = batch_df.sparkSession.read.parquet(snaps[max(snaps)])
             merged = (
                 part.unionByName(prev)
                 .groupBy("dt")
@@ -291,14 +306,11 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = part.select("dt", F.col("order_amount").cast("decimal(28,4)").alias("order_amount"))
-        new_dir = f"{acc_root}/acc_v{batch_id}"
-        merged.write.mode("overwrite").parquet(new_dir)
-        old = f"{acc_root}/acc_old_{batch_id}"
-        if os.path.exists(acc_dir):
-            shutil.move(acc_dir, old)
-        shutil.move(new_dir, acc_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        tmp_dir = f"{acc_root}/_tmp_{batch_id}"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)  # half-written attempt from a crash
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, f"{acc_root}/acc_upto_{batch_id}")  # commit point
         batches.append(batch_id)
 
     (
@@ -309,7 +321,8 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     assert len(batches) >= 2, f"expected a multi-batch replay, got {batches}"
-    return spark.read.parquet(acc_dir)
+    final = _snapshots()
+    return spark.read.parquet(final[max(final)])
 
 
 QUERIES = {

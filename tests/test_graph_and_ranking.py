@@ -20,13 +20,17 @@ def test_pagerank_mass_and_bounds(spark):
     # symmetric edge set: (a,b) present iff (b,a) present
     edges = {(r.src, r.dst) for r in _co_edges(spark, SF_DIR).collect()}
     assert edges == {(b, a) for a, b in edges}
-    # total rank mass stays ~1 (per-node teleport + damped mass; the
-    # 9dp per-step rounding bounds drift far below 1e-3 per node)
-    # recompute the FULL rank table (not just top-20) cheaply at this SF
-    # by rerunning the operator body's final iterate via its public
-    # surface: top-20 covers >= 20/N of mass; instead assert the top-20
-    # masses are each <= 1 and their sum <= 1 + tolerance.
-    assert sum(ranks) <= 1.0 + 1e-6
+    # mass conservation over ALL nodes: a symmetric graph has no
+    # dangling nodes, so each iterate preserves total mass exactly
+    # ((1-d) teleport + d * 1); only the 9dp per-step rounding drifts,
+    # bounded by ~n * 5e-10 per iteration.
+    from gmallbiguan_parent_spark.operators.graph import PR_ITERS, _pagerank_ranks
+
+    full = _pagerank_ranks(spark, SF_DIR).collect()
+    n = len(full)
+    total = sum(float(r.rank) for r in full)
+    tol = max(1e-6, 3 * (PR_ITERS + 1) * n * 5e-10)
+    assert abs(total - 1.0) <= tol, f"rank mass {total} drifted past {tol}"
 
 
 def test_corpus_shards_is_a_complete_permutation(spark):
