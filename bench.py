@@ -49,6 +49,20 @@ HEADLINE = [
     "media_features",
 ]
 
+# Cold-timed separately (queries_extended) — NOT part of the headline
+# total, which must stay comparable across rounds.
+EXTENDED = [
+    "bm25_rank",
+    "tfidf_top_terms",
+    "media_phash_neardup",
+    "supplier_pagerank",
+    "copurchase_lift",
+    "cms_heavy_hitters",
+    "corpus_shards",
+    "waiting_suppliers",
+    "returned_item_report",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +120,17 @@ def main() -> None:
         warm_total += dt
         print(f"# warm {name}: {dt}s", file=sys.stderr)
 
+    # Extended set: round-4 additions, reported under their own key so
+    # the headline total stays comparable with BENCH_r01..r03.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        extended[name] = dt
+        print(f"# ext {name}: {n} rows in {dt}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -113,6 +138,7 @@ def main() -> None:
         "queries": times,
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
+        "queries_extended": extended,
         "calib_jvm_sec": calib_jvm,
         "calib_python_worker_sec": calib_py,
         "sf": float(sf),

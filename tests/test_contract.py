@@ -37,6 +37,9 @@ def test_bench_headline_names_resolve():
 
     unknown = set(bench.HEADLINE) - set(e.queries())
     assert not unknown, f"bench names not in queries(): {unknown}"
+    unknown_ext = set(bench.EXTENDED) - set(e.queries())
+    assert not unknown_ext, f"bench extended names not in queries(): {unknown_ext}"
+    assert not set(bench.EXTENDED) & set(bench.HEADLINE), "extended must not overlap headline"
 
 
 def test_query_names_are_stable_identifiers():

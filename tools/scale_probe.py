@@ -47,6 +47,13 @@ PROBE_QUERIES = [
     "ann_ivf_topk",
     "user_sessions",
     "unigram_logprob",
+    # round-4 continuation: ranking/graph/sketch/multimodal additions
+    "bm25_rank",
+    "media_phash_neardup",
+    "supplier_pagerank",
+    "copurchase_lift",
+    "cms_heavy_hitters",
+    "corpus_shards",
 ]
 
 
