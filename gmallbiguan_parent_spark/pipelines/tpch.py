@@ -483,6 +483,97 @@ def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shape: one nation's share of regional revenue per year — a
+    conditional-sum ratio over the full multi-way join (lineitem ⋈
+    orders ⋈ customer ⋈ nation ⋈ region on the customer side, supplier
+    joined for the share predicate). Numerator and denominator stay
+    exact decimal per year; the share divides in double (the proven
+    ratio recipe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey, "inner")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .filter(F.col("r_name") == "ASIA")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(
+            F.when(F.col("s_nationkey") == 1, disc).otherwise(zero)
+        ).alias("nation_revenue"),
+        F.sum(disc).alias("region_revenue"),
+    )
+    return agg.select(
+        "order_year", "nation_revenue", "region_revenue",
+        F.round(
+            F.col("nation_revenue").cast("double") / F.col("region_revenue").cast("double"), 6
+        ).alias("market_share"),
+    )
+
+
+def product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shape: profit per supplier-nation per year over a part-name
+    filtered join. Profit = discounted revenue minus a quantity-scaled
+    cost (retailprice stands in for ps_supplycost); every term stays
+    exact decimal through the two-key groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    # Unit cost = 10% of retail, derived in DOUBLE (IEEE-identical on
+    # both engines) then cast through the repo-standard dec() edge;
+    # quantity FLOORs before the integer cast (Spark truncates, DuckDB
+    # rounds). Decimal products/differences stay exact from there.
+    unit_cost = (F.col("p_retailprice") * 0.1).cast("decimal(18,4)")
+    qty = F.floor("l_quantity").cast("long")
+    profit = (
+        dec("l_extendedprice") * (1 - dec("l_discount")) - unit_cost * qty
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey, "inner")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(profit).alias("profit"), F.count("*").alias("line_ct"))
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers — a LEFT OUTER join aggregated twice (count
+    per customer, then customers per count). The outer join keeps the
+    null group (order_ct = 0 bucket); two cheap key-partitioned
+    aggregates, no skew (counts are bounded)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_ct"))
+    )
+    return (
+        per_cust.groupBy("order_ct")
+        .agg(F.count("*").alias("customer_ct"))
+        .orderBy(F.desc("customer_ct"), F.desc("order_ct"))
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "price_band_stats": price_band_stats,
@@ -502,6 +593,9 @@ QUERIES = {
     "top_revenue_supplier": top_revenue_supplier,
     "important_part_values": important_part_values,
     "promo_stock_suppliers": promo_stock_suppliers,
+    "nation_market_share": nation_market_share,
+    "product_profit_rollup": product_profit_rollup,
+    "customer_order_distribution": customer_order_distribution,
 }
 
 ORACLES = {
@@ -723,6 +817,54 @@ ORACLES = {
             HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 50
         )
         ORDER BY supplier_id ASC
+    """,
+    "nation_market_share": """
+        WITH j AS (
+            SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+                   s.s_nationkey,
+                   CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS disc
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        ), agg AS (
+            SELECT CAST(order_year AS INTEGER) AS order_year,
+                   CAST(SUM(CASE WHEN s_nationkey = 1 THEN disc ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS nation_revenue,
+                   CAST(SUM(disc) AS DECIMAL(28,6)) AS region_revenue
+            FROM j GROUP BY 1
+        )
+        SELECT order_year, nation_revenue, region_revenue,
+               ROUND(CAST(nation_revenue AS DOUBLE) / CAST(region_revenue AS DOUBLE), 6) AS market_share
+        FROM agg
+    """,
+    "product_profit_rollup": """
+        SELECT n.n_name AS nation_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+               CAST(SUM(CAST(
+                   CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                   - CAST(p.p_retailprice * 0.1 AS DECIMAL(18,4)) * CAST(FLOOR(l.l_quantity) AS BIGINT)
+               AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS profit,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """,
+    "customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_ct
+            FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1
+        )
+        SELECT order_ct, CAST(COUNT(*) AS BIGINT) AS customer_ct
+        FROM per_cust GROUP BY 1
+        ORDER BY customer_ct DESC, order_ct DESC
     """,
     "local_supplier_volume": """
         SELECT n.n_name AS nation_name,
