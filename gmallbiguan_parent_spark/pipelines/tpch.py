@@ -574,8 +574,31 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape: pure scan-side filter + single aggregate — the
+    predicate-pushdown showcase (year x discount-band x quantity cap,
+    all reaching the parquet scan; no join, no groupBy key, one
+    partial/final agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,6)"))
+            .alias("forecast_revenue"),
+            F.count("*").alias("line_ct"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "forecast_revenue_change": forecast_revenue_change,
     "price_band_stats": price_band_stats,
     "order_lifecycle": order_lifecycle,
     "shipping_priority": shipping_priority,
@@ -865,6 +888,15 @@ ORACLES = {
         SELECT order_ct, CAST(COUNT(*) AS BIGINT) AS customer_ct
         FROM per_cust GROUP BY 1
         ORDER BY customer_ct DESC, order_ct DESC
+    """,
+    "forecast_revenue_change": """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS forecast_revenue,
+               CAST(COUNT(*) AS BIGINT) AS line_ct
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24
     """,
     "local_supplier_volume": """
         SELECT n.n_name AS nation_name,
