@@ -444,10 +444,50 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_MERGES = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-weighted
+    adjacent-symbol-pair frequencies over the word vocabulary, ranked —
+    the argmax IS the first merge rule. (Full BPE training is a
+    sequential merge loop — each iteration re-pairs the vocabulary with
+    the previous winner fused, a driver loop over this same aggregate;
+    one step is the oracle-checkable unit.)
+
+    Plan: the vocabulary aggregate (token → count) collapses the corpus
+    to unique words FIRST — pair explosion then runs over the vocab
+    (bounded by distinct words, not corpus tokens), weighted by word
+    count. Pure codegen expressions: chars via split, adjacent pairs
+    via arrays_zip of two slices, one (pair)-keyed weighted sum."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("wct"))
+    )
+    chars = F.split(F.col("tok"), "")
+    n = F.size(chars)
+    pairs = F.arrays_zip(
+        F.slice(chars, 1, n - 1).alias("a"),
+        F.slice(chars, 2, n - 1).alias("b"),
+    )
+    return (
+        vocab.filter(n >= 2)
+        .select("wct", F.explode(pairs).alias("p"))
+        .select(F.concat(F.col("p.a"), F.col("p.b")).alias("pair"), "wct")
+        .groupBy("pair")
+        .agg(F.sum("wct").alias("pair_ct"))
+        .orderBy(F.desc("pair_ct"), F.asc("pair"))
+        .limit(BPE_TOP_MERGES)
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "bm25_rank": bm25_rank,
     "tfidf_top_terms": tfidf_top_terms,
+    "bpe_merge_candidates": bpe_merge_candidates,
     "token_count": token_count,
     "text_quality": text_quality,
     "top_tokens": top_tokens,
@@ -463,6 +503,22 @@ QUERIES = {
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
+    "bpe_merge_candidates": """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS wct FROM toks GROUP BY tok
+    ), pairs AS (
+        SELECT wct, substr(tok, CAST(gs.i AS INTEGER), 2) AS pair
+        FROM vocab, unnest(range(1, length(tok))) AS gs(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(wct) AS BIGINT) AS pair_ct
+    FROM pairs GROUP BY pair
+    ORDER BY pair_ct DESC, pair ASC
+    LIMIT 20
+    """,
     "bm25_rank": """
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
