@@ -483,11 +483,133 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 8
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word vocabulary with symbol strings: (tok, wct, syms) where syms
+    is the space-delimited symbol sequence ' c1 c2 ... cn ' (leading and
+    trailing space so merge patterns match at word edges)."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("wct"))
+        .select(
+            "tok", "wct",
+            F.concat(F.lit(" "), F.regexp_replace("tok", "(.)", "$1 ")).alias("syms"),
+        )
+    )
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-symbol-pair counts over the vocabulary's
+    current symbol sequences. Pure codegen: split on single spaces,
+    adjacent pairs via arrays_zip of two slices, one weighted sum."""
+    s = F.split(F.trim(F.col("syms")), " ")
+    n = F.size(s)
+    pairs = F.arrays_zip(
+        F.slice(s, 1, n - 1).alias("lhs"),
+        F.slice(s, 2, n - 1).alias("rhs"),
+    )
+    return (
+        vocab.filter(n >= 2)
+        .select("wct", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("wct").alias("pair_ct"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training loop (BPE_TRAIN_MERGES sequential
+    merges), the way production trainers run it: collapse the corpus to
+    word counts ONCE (the only corpus-scale shuffle — HuggingFace /
+    SentencePiece trainers do exactly this collapse), then iterate over
+    the vocabulary: count adjacent-symbol pairs weighted by word count,
+    pick the argmax (count DESC, then lexicographic lhs/rhs — fully
+    deterministic), fuse it everywhere, repeat. Returns the learned
+    merge table (step, lhs, rhs, merged, pair_ct) — the trained
+    artifact a tokenizer ships.
+
+    The per-iteration argmax is a 1-row collect (like k-means
+    centroids, clustering.py); each iteration's pair count runs over
+    the vocab (distinct words, not corpus tokens), so at 100 TB the
+    loop cost is independent of corpus size after the first aggregate.
+
+    Merge semantics are defined as TWO sequential non-overlapping
+    leftmost string replaces of ' lhs rhs ' -> ' lhsrhs ' — Spark's
+    replace() and DuckDB's replace() scan identically (verified:
+    ' a b a b a b ' -> ' ab a b ab ' on both), so the unrolled oracle
+    replays the loop exactly. Two fixed passes (not replace-to-
+    fixpoint) keep the operator a finite expression; the pass-2 catch
+    re-merges occurrences whose leading space pass 1 consumed."""
+    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint()
+    rules: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        best = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("pair_ct"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, ct = best[0].lhs, best[0].rhs, int(best[0].pair_ct)
+        rules.append((step, lhs, rhs, lhs + rhs, ct))
+        pat, rep = F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+        merged = F.replace(F.replace(F.col("syms"), pat, rep), pat, rep)
+        vocab = vocab.select("tok", "wct", merged.alias("syms"))
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_ct bigint"
+    ).orderBy("step")
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-CTE replay of the BPE training loop (the supplier_
+    pagerank / IVF-quantizer pattern): per iteration, pair counts from
+    the split symbol strings, a deterministic argmax, and the same
+    two-pass replace fuse."""
+    parts = ["""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), vocab0 AS (
+        SELECT tok, COUNT(*) AS wct,
+               ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g') AS syms
+        FROM toks GROUP BY tok
+    )"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""", split{i} AS (
+        SELECT wct, string_split(trim(syms), ' ') AS s FROM vocab{i - 1}
+    ), pairs{i} AS (
+        SELECT s[CAST(g.i AS INTEGER)] AS lhs, s[CAST(g.i AS INTEGER) + 1] AS rhs, wct
+        FROM split{i}, unnest(range(1, len(s))) AS g(i)
+    ), best{i} AS (
+        SELECT lhs, rhs, CAST(SUM(wct) AS BIGINT) AS pair_ct
+        FROM pairs{i} GROUP BY lhs, rhs
+        ORDER BY pair_ct DESC, lhs ASC, rhs ASC LIMIT 1
+    ), vocab{i} AS (
+        SELECT v.tok, v.wct,
+               replace(replace(v.syms, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                                       ' ' || b.lhs || b.rhs || ' '),
+                       ' ' || b.lhs || ' ' || b.rhs || ' ',
+                       ' ' || b.lhs || b.rhs || ' ') AS syms
+        FROM vocab{i - 1} v CROSS JOIN best{i} b
+    )""")
+    rules = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_ct FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    {rules}\n    ORDER BY step\n    ")
+    return "".join(parts)
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "bm25_rank": bm25_rank,
     "tfidf_top_terms": tfidf_top_terms,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_train_merges": bpe_train_merges,
     "token_count": token_count,
     "text_quality": text_quality,
     "top_tokens": top_tokens,
@@ -503,6 +625,7 @@ QUERIES = {
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
+    "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_MERGES),
     "bpe_merge_candidates": """
     WITH toks AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -97,3 +97,35 @@ def test_cms_estimates_never_undercount(spark):
     for r in rows:
         # the Count-Min guarantee: point estimates only over-count
         assert r.est_ct >= r.true_ct
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Spec check independent of the DuckDB oracle: replay the full
+    training loop in plain Python (same vocab collapse, same argmax
+    tiebreak, same two-pass str.replace merge — Python's str.replace
+    has the identical non-overlapping leftmost scan) and demand the
+    identical merge table."""
+    from gmallbiguan_parent_spark.operators.text import (
+        BPE_TRAIN_MERGES, _bpe_vocab, bpe_train_merges,
+    )
+
+    vocab = {r.tok: (r.wct, r.syms) for r in _bpe_vocab(spark, SF_DIR).collect()}
+    syms = {t: s for t, (w, s) in vocab.items()}
+    expected = []
+    for step in range(1, BPE_TRAIN_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for t, s in syms.items():
+            parts = s.strip().split(" ")
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[t][0]
+        if not counts:
+            break
+        (lhs, rhs), ct = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, lhs, rhs, lhs + rhs, ct))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        syms = {t: s.replace(pat, rep).replace(pat, rep) for t, s in syms.items()}
+
+    got = [tuple(r) for r in bpe_train_merges(spark, SF_DIR).collect()]
+    assert got == expected
+    # merges compound: at least one rule must fuse a multi-char symbol
+    assert len(got) == BPE_TRAIN_MERGES
