@@ -202,6 +202,87 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRI_TOP = 20
+
+
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    supplier co-occurrence graph — the cohesion/community primitive
+    (top TRI_TOP by triangle count).
+
+    Algorithm: DEGREE-ORDERED edge orientation (the scalable
+    triangle-enumeration standard): each undirected edge {u,v} is kept
+    once, oriented toward the higher (degree, id) endpoint, so every
+    triangle is enumerated exactly once from its lowest-ordered vertex
+    and wedge fan-out is bounded by O(sqrt(m)) per node even on skewed
+    graphs — a hub of degree d generates wedges only from its ~sqrt(m)
+    lower-ordered neighbors, not d^2. The (deg, id) order is total and
+    deterministic, so the DuckDB oracle replays it exactly.
+
+    Plan: one edge build (self-join on order key), one degree agg, the
+    orientation joins, ONE wedge self-join (the only quadratic-ish
+    step, bounded by orientation), closed by an inner join against the
+    oriented edge set; per-node attribution explodes each triangle's
+    three corners. All shuffles key on node/edge ids — AQE splits any
+    residual hot key."""
+    edges = _co_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    half = edges.filter(F.col("src") < F.col("dst"))
+    o = (
+        half.join(F.broadcast(deg).withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "deg_src")
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "dst").withColumnRenamed("deg", "deg_dst"),
+            "dst",
+        )
+        .select(
+            F.when(
+                (F.col("deg_src") < F.col("deg_dst"))
+                | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))),
+                F.col("src"),
+            ).otherwise(F.col("dst")).alias("lo"),
+            F.when(
+                (F.col("deg_src") < F.col("deg_dst"))
+                | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))),
+                F.col("dst"),
+            ).otherwise(F.col("src")).alias("hi"),
+        )
+    )
+    w1, w2, e3 = o.alias("w1"), o.alias("w2"), o.alias("e3")
+    tri = (
+        w1.join(w2, F.col("w1.lo") == F.col("w2.lo"))
+        .filter(F.col("w1.hi") != F.col("w2.hi"))
+        .join(
+            e3,
+            (F.col("w1.hi") == F.col("e3.lo")) & (F.col("w2.hi") == F.col("e3.hi")),
+        )
+        .select(
+            F.col("w1.lo").alias("x"), F.col("w1.hi").alias("y"), F.col("w2.hi").alias("z")
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_ct"))
+    )
+    coef = F.round(
+        2.0 * F.col("tri_ct").cast("double")
+        / (F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)),
+        6,
+    )
+    return (
+        per_node.join(F.broadcast(deg), "node")
+        .select(
+            F.col("node").alias("supplier_id"),
+            F.col("deg").alias("degree"),
+            "tri_ct",
+            coef.alias("clust_coef"),
+        )
+        .orderBy(F.desc("tri_ct"), F.asc("supplier_id"))
+        .limit(TRI_TOP)
+    )
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out}_c AS (
@@ -220,9 +301,43 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 QUERIES = {
     "supplier_pagerank": supplier_pagerank,
     "copurchase_lift": copurchase_lift,
+    "supplier_triangles": supplier_triangles,
 }
 
 ORACLES = {
+    "supplier_triangles": f"""
+    WITH bridge AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey <> b.l_suppkey
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), o AS (
+        SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS lo,
+               CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS hi
+        FROM edges e
+        JOIN deg ds ON e.src = ds.node
+        JOIN deg dd ON e.dst = dd.node
+        WHERE e.src < e.dst
+    ), tri AS (
+        SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+        FROM o w1
+        JOIN o w2 ON w1.lo = w2.lo AND w1.hi <> w2.hi
+        JOIN o e3 ON w1.hi = e3.lo AND w2.hi = e3.hi
+    ), per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_ct
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT p.node AS supplier_id, CAST(d.deg AS BIGINT) AS degree, p.tri_ct,
+           ROUND(2.0 * CAST(p.tri_ct AS DOUBLE)
+                 / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6) AS clust_coef
+    FROM per_node p JOIN deg d ON p.node = d.node
+    ORDER BY tri_ct DESC, supplier_id ASC
+    LIMIT {TRI_TOP}
+    """,
     "supplier_pagerank": f"""
     WITH bridge AS (
         SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
