@@ -483,6 +483,41 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nfc_col(col):
+    """Unicode NFC normalization — genuinely Python (Spark has no NFC
+    built-in), so an Arrow-batched pandas_udf like the CJK segmenter
+    (functions/cjk.py); unicodedata.normalize is vectorized per batch
+    and blobs of text cross once, already column-pruned."""
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    return F.pandas_udf(_nfc, "string")(col)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pre-dedup text cleanup: strip HTML-ish tags, NFC
+    normalize, lowercase, collapse whitespace runs, trim. Emits per-doc
+    before/after lengths and the md5 of the normalized text — the
+    normalized fingerprint exact dedup keys on downstream.
+
+    Every step except NFC is codegen (regexp_replace / lower / trim);
+    NFC is the one honest Python stage (Arrow-batched). The DuckDB
+    oracle replays the identical pipeline with its native
+    nfc_normalize; cross-engine NFC agreement on non-ASCII is asserted
+    in tests/test_graph_and_ranking.py against unicodedata directly."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    stripped = F.regexp_replace(F.col("text"), "<[^>]*>", " ")
+    norm = F.trim(F.regexp_replace(F.lower(_nfc_col(stripped)), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 BPE_TRAIN_MERGES = 8
 
 
@@ -610,6 +645,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_train_merges": bpe_train_merges,
+    "text_normalize": text_normalize,
     "token_count": token_count,
     "text_quality": text_quality,
     "top_tokens": top_tokens,
@@ -626,6 +662,18 @@ _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_MERGES),
+    "text_normalize": r"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS raw_len,
+           CAST(length(norm) AS INTEGER) AS norm_len,
+           md5(norm) AS norm_md5
+    FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(nfc_normalize(
+                   regexp_replace(text, '<[^>]*>', ' ', 'g'))), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    """,
     "bpe_merge_candidates": """
     WITH toks AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -145,3 +145,33 @@ def test_triangle_counts_invariants(spark):
     assert [(-r.tri_ct, r.supplier_id) for r in rows] == sorted(
         (-r.tri_ct, r.supplier_id) for r in rows
     )
+
+
+def test_text_normalize_nfc_cross_engine_on_non_ascii(spark):
+    """The sf corpus is ASCII, so the oracle gate can't prove the NFC
+    stage: feed combining sequences / HTML / ragged whitespace through
+    BOTH engines' full pipelines and demand identical md5s."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.operators.text import _nfc_col
+
+    samples = [
+        "Café  <b>MENU</b>\tdu  jour",   # combining acute -> é
+        "Ångström <i>unit</i>",     # Å and ö composed
+        "  plain   ascii  text  ",
+        "Å LOVE ﬁsh",                  # Angstrom sign, fi-ligature (NFC keeps both)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, text string")
+    stripped = F.regexp_replace(F.col("text"), "<[^>]*>", " ")
+    norm = F.trim(F.regexp_replace(F.lower(_nfc_col(stripped)), r"\s+", " "))
+    got = {r.i: r.h for r in df.select("i", F.md5(norm).alias("h")).collect()}
+
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        (h,) = con.execute(
+            r"SELECT md5(trim(regexp_replace(lower(nfc_normalize("
+            r"regexp_replace(?, '<[^>]*>', ' ', 'g'))), '\s+', ' ', 'g')))",
+            [s],
+        ).fetchone()
+        assert got[i] == h, f"sample {i} diverged"
