@@ -711,6 +711,87 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ8_LEVELS = 254  # int8 code range 0..254 (255 levels), FAISS SQ8-style
+
+
+def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact rerank — the COMPRSSED-
+    domain scale path that complements IVF's pruning path: each corpus
+    vector is stored as 64 int8 codes (per-dimension min/max affine
+    quantization, the FAISS ScalarQuantizer recipe), an 8x memory/IO
+    reduction, scored approximately in the compressed domain, and only
+    TOP_K*RERANK_FACTOR candidates per query touch the full-precision
+    vectors. At 100 TB the full-precision corpus stays on cold storage;
+    the scan reads the codes table (12.5% of the bytes) and the rerank
+    is a candidates-only join — the same confirm-candidates-only shape
+    as the LSH dedup family.
+
+    Determinism: per-dim min/max are exact double aggregates both
+    engines compute identically; codes use FLOOR(x + 0.5) (identical
+    floor semantics everywhere, no ROUND half-mode trap); approx and
+    exact cosines round to 6 dp with corpus_id tiebreaks. The stats
+    row stays IN-PLAN (1-row broadcast crossJoin) — no driver collect."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    stats = (
+        corpus.select(F.posexplode("c_emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda e: e.mn).alias("mn_arr"),
+            F.transform("s", lambda e: (e.mx - e.mn) / float(SQ8_LEVELS)).alias("sc_arr"),
+        )
+    )
+    with_stats = corpus.crossJoin(F.broadcast(stats))
+    codes = F.zip_with(
+        F.zip_with(F.col("c_emb"), F.col("mn_arr"), lambda x, m: x - m),
+        F.col("sc_arr"),
+        lambda d, s: F.when(s == 0.0, 0.0).otherwise(F.floor(d / s + 0.5).cast("double")),
+    )
+    dequant = F.zip_with(
+        F.zip_with(codes, F.col("sc_arr"), lambda c, s: c * s),
+        F.col("mn_arr"),
+        lambda t, m: t + m,
+    )
+    dq = with_stats.select("corpus_id", "c_emb", dequant.alias("dq_emb"))
+
+    approx = dq.crossJoin(F.broadcast(queries)).select(
+        "query_id", "corpus_id", "c_emb", "q_emb",
+        F.round(
+            _dot(F.col("q_emb"), F.col("dq_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("dq_emb"))),
+            6,
+        ).alias("approx_cosine"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("approx_cosine"), F.asc("corpus_id"))
+    cand = approx.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= TOP_K * RERANK_FACTOR
+    )
+    fine = cand.select(
+        "query_id", "corpus_id", "approx_cosine",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        fine.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "corpus_id", "cosine", "approx_cosine")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,  # rows-only (see docstring)
@@ -718,6 +799,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "ann_truncated_rerank": ann_truncated_rerank,
+    "ann_sq8_rerank": ann_sq8_rerank,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "knn_graph": knn_graph,
 }
@@ -889,6 +971,55 @@ ORACLES = {
     )
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_sq8_rerank": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), stats AS (
+        SELECT CAST(g.range AS INTEGER) AS pos,
+               MIN(c_emb[CAST(g.range AS INTEGER) + 1]) AS mn,
+               MAX(c_emb[CAST(g.range AS INTEGER) + 1]) AS mx
+        FROM corpus, range({SRP_DIM}) g GROUP BY 1
+    ), deq AS (
+        SELECT corpus_id,
+               list(CASE WHEN s.mx = s.mn THEN s.mn
+                    ELSE FLOOR((c_emb[s.pos + 1] - s.mn) / ((s.mx - s.mn) / {SQ8_LEVELS}.0) + 0.5)
+                         * ((s.mx - s.mn) / {SQ8_LEVELS}.0) + s.mn
+                    END ORDER BY s.pos) AS dq_emb
+        FROM corpus, stats s GROUP BY corpus_id
+    ), approx AS (
+        SELECT q.query_id, d.corpus_id,
+               ROUND(list_dot_product(q.q_emb, d.dq_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(d.dq_emb, d.dq_emb))), 6) AS approx_cosine
+        FROM deq d CROSS JOIN queries q
+    ), cand AS (
+        SELECT * FROM (
+            SELECT query_id, corpus_id, approx_cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY approx_cosine DESC, corpus_id ASC) AS crank
+            FROM approx
+        ) WHERE crank <= {TOP_K * RERANK_FACTOR}
+    ), fine AS (
+        SELECT a.query_id, a.corpus_id, a.approx_cosine,
+               ROUND(list_dot_product(q.q_emb, c.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cosine
+        FROM cand a
+        JOIN corpus c ON a.corpus_id = c.corpus_id
+        JOIN queries q ON a.query_id = q.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine, approx_cosine
+    FROM (
+        SELECT query_id, corpus_id, cosine, approx_cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM fine
+    ) WHERE rank <= {TOP_K}
     """,
     "ann_ivf_multiprobe": _ivf_oracle(
         f"rn <= {N_PROBE}",

@@ -332,3 +332,29 @@ def test_ann_arrow_topk_ids_match_expression_path(spark):
     expr = {(r.query_id, r.rank): r.corpus_id for r in ann_cosine_topk(spark, sf).collect()}
     arrow = {(r.query_id, r.rank): r.corpus_id for r in ann_cosine_topk_arrow(spark, sf).collect()}
     assert expr == arrow
+
+
+def test_sq8_rerank_recall_and_code_bounds(spark):
+    """SQ8 quantization noise is tiny relative to cosine gaps, so the
+    reranked top-k should recover most of the exact top-k; and the
+    approximate score must stay within quantization error of the exact
+    one for every surviving candidate."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        ann_cosine_topk, ann_sq8_rerank,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.corpus_id)
+        return out
+
+    rows = ann_sq8_rerank(spark, SF_DIR).collect()
+    exact = topk_sets(ann_cosine_topk(spark, SF_DIR))
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.corpus_id)
+        assert abs(float(r.cosine) - float(r.approx_cosine)) < 0.05
+    hits = sum(len(got[q] & truth) for q, truth in exact.items())
+    total = sum(len(t) for t in exact.values())
+    assert hits / total >= 0.8, f"SQ8 recall {hits}/{total} too low"
