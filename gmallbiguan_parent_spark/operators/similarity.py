@@ -711,6 +711,158 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011), the standard embedding
+# compression behind FAISS IndexPQ: split each vector into PQ_M
+# subvectors, k-means each subspace into PQ_K codes, store PQ_M bytes
+# per vector (here 8 bytes vs 512 — 64x), score queries against the
+# RECONSTRUCTED vectors (asymmetric distance computation, ADC).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                  # subspaces
+PQ_SUB = SRP_DIM // PQ_M  # dims per subspace
+PQ_K = 16                 # codes per subspace (4-bit PQ)
+PQ_ITERS = 2              # fixed Lloyd rounds, oracle-replayable
+PQ_TRAIN_PER_CODE = 32    # sample budget per code, FAISS-style
+PQ_SHORTLIST = TOP_K * 10 # ADC shortlist width before exact rerank —
+                          # PQ shortlists run wide (FAISS k_factor-style)
+                          # because 4-bit reconstruction blurs fine ranks
+
+
+def pq_train_mod(n: int) -> int:
+    return max(1, n // (PQ_K * PQ_TRAIN_PER_CODE))
+
+
+def _py_l2_6(a: list[float], b: list[float]) -> float:
+    """Squared L2 by sequential left fold, HALF_UP-rounded at 6 dp —
+    bit-equal to the Spark zip_with/aggregate fold and DuckDB's
+    list_dot_product over the element-difference list (probed bit-exact
+    across all three engines)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return _round6_half_up(acc)
+
+
+def _pq_codebooks_spec(sample: list[tuple[int, list[float]]]) -> list[list[tuple[int, list[float]]]]:
+    """Driver-side PQ training, exact-replay semantics per subspace:
+    seeds are the PQ_K lowest-id sample subvectors; assignment is
+    round-6 squared-L2 with smallest-code tiebreak; centroids are true
+    MEANS (L2 k-means — reconstruction needs magnitudes, unlike the
+    spherical IVF quantizer) computed as exact decimal(18,9) element
+    sums divided by member count, rounded HALF_UP at 6 dp. Every step
+    is replayed verbatim by the DuckDB oracle."""
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(PQ_M):
+        vecs = [v[m * PQ_SUB:(m + 1) * PQ_SUB] for _, v in sample]
+        cent = [(c, vecs[c]) for c in range(min(PQ_K, len(vecs)))]
+        for _ in range(PQ_ITERS):
+            members: dict[int, list[list[float]]] = {}
+            for v in vecs:
+                best = min((_py_l2_6(v, cv), c) for c, cv in cent)
+                members.setdefault(best[1], []).append(v)
+            cent = [
+                (
+                    c,
+                    [
+                        _round6_half_up(
+                            float(sum((_dec9(v[i]) for v in members[c]), start=_dec9(0.0)))
+                            / len(members[c])
+                        )
+                        for i in range(PQ_SUB)
+                    ],
+                )
+                for c in sorted(members)
+            ]
+        books.append(cent)
+    return books
+
+
+_PQ_CACHE: dict[tuple[str, str], list[list[tuple[int, list[float]]]]] = {}
+
+
+def _pq_cached_codebooks(spark: SparkSession, sf_dir: str, corpus: DataFrame):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        n = corpus.count()
+        mod = pq_train_mod(n)
+        rows = (
+            corpus.filter(F.col("corpus_id") % mod == 0)
+            .select("corpus_id", "c_emb")
+            .collect()
+        )
+        sample = sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
+        _PQ_CACHE[key] = _pq_codebooks_spec(sample)
+    return _PQ_CACHE[key]
+
+
+def _l2_6(a, b):
+    return F.round(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v),
+        6,
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN via asymmetric distance computation: corpus
+    vectors live as PQ_M 4-bit codes (64x smaller than float64), the
+    query scores against each vector's RECONSTRUCTION (codebook
+    concatenation) — at 100 TB the scored scan reads ~1.6% of the
+    embedding bytes, and the codebook (PQ_M x PQ_K x PQ_SUB doubles,
+    ~8 KB) broadcasts as plan literals exactly like the IVF centroids.
+    Output carries both the ADC score (what the index ranks by) and
+    the exact cosine of the surviving top-k (the rerank a production
+    stack would serve).
+
+    Training is a driver-side sample collect (the FAISS pattern — a
+    quantizer never sees the full corpus) memoized per session;
+    encoding + scoring are pure codegen expressions, one window per
+    query for the top-k."""
+    corpus, queries = _ivf_corpus_queries(spark, sf_dir)
+    books = _pq_cached_codebooks(spark, sf_dir, corpus)
+
+    recon_parts = []
+    for m, cent in enumerate(books):
+        subv = F.slice("c_emb", m * PQ_SUB + 1, PQ_SUB)
+        scored = F.array(*[
+            F.struct(_l2_6(subv, F.array(*[F.lit(x) for x in cv])).alias("d"),
+                     F.lit(c).alias("code"))
+            for c, cv in cent
+        ])
+        code = F.sort_array(scored).getItem(0).getField("code")
+        lookup = F.create_map(*[
+            e for c, cv in cent
+            for e in (F.lit(c), F.array(*[F.lit(x) for x in cv]))
+        ])
+        recon_parts.append(F.element_at(lookup, code))
+    recon = F.concat(*recon_parts)
+
+    encoded = corpus.select("corpus_id", "c_emb", recon.alias("r_emb"))
+    adc = F.round(
+        _dot(F.col("q_emb"), F.col("r_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("r_emb"))),
+        6,
+    )
+    exact = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+        6,
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("corpus_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        encoded.crossJoin(F.broadcast(queries))
+        .select("query_id", "corpus_id", "c_emb", "q_emb", adc.alias("adc_cosine"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= PQ_SHORTLIST)
+        .select("query_id", "corpus_id", "adc_cosine", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "corpus_id", "cosine", "adc_cosine")
+    )
+
+
 SQ8_LEVELS = 254  # int8 code range 0..254 (255 levels), FAISS SQ8-style
 
 
@@ -800,6 +952,7 @@ QUERIES = {
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
+    "ann_pq_adc": ann_pq_adc,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "knn_graph": knn_graph,
 }
@@ -881,6 +1034,107 @@ def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
         FROM scored
     )
     {select_tail}
+    """)
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
+    """Replay PQ training + encoding + ADC in DuckDB: same sample
+    (corpus_id % tmod = 0), same seeds (PQ_K lowest-id subvectors),
+    same round-6 squared-L2 assignment with code tiebreak, same
+    exact-decimal mean centroids rounded at 6 dp — one CTE chain
+    carrying the subspace id instead of PQ_M copies."""
+    d2 = (
+        "ROUND(list_dot_product("
+        "list_transform(list_zip(s.v, k.cvec), x -> x[1] - x[2]), "
+        "list_transform(list_zip(s.v, k.cvec), x -> x[1] - x[2])), 6)"
+    )
+    parts = [f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), cfg AS (
+        SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {PQ_K * PQ_TRAIN_PER_CODE}.0) AS INTEGER)) AS tmod
+        FROM corpus
+    ), sub AS (
+        SELECT corpus_id, CAST(g.range AS INTEGER) AS m,
+               c_emb[CAST(g.range AS INTEGER) * {PQ_SUB} + 1 :
+                     CAST(g.range AS INTEGER) * {PQ_SUB} + {PQ_SUB}] AS v
+        FROM corpus, cfg, range({PQ_M}) g
+        WHERE corpus_id % tmod = 0
+    ), cb0 AS (
+        SELECT m, CAST(rn - 1 AS INTEGER) AS code, v AS cvec FROM (
+            SELECT m, v, ROW_NUMBER() OVER (PARTITION BY m ORDER BY corpus_id) AS rn
+            FROM sub
+        ) WHERE rn <= {PQ_K}
+    )"""]
+    prev = "cb0"
+    for i in range(1, PQ_ITERS + 1):
+        parts.append(f""", asg{i} AS (
+        SELECT corpus_id, m, v, code FROM (
+            SELECT s.corpus_id, s.m, s.v, k.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.corpus_id, s.m
+                       ORDER BY {d2} ASC, k.code ASC) AS rn
+            FROM sub s JOIN {prev} k ON s.m = k.m
+        ) WHERE rn = 1
+    ), cbe{i} AS (
+        SELECT m, code, CAST(g.range AS INTEGER) AS pos,
+               ROUND(CAST(SUM(CAST(v[CAST(g.range AS INTEGER) + 1] AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS e
+        FROM asg{i}, range({PQ_SUB}) g
+        GROUP BY 1, 2, 3
+    ), cb{i} AS (
+        SELECT m, code, list(e ORDER BY pos) AS cvec FROM cbe{i} GROUP BY m, code
+    )""")
+        prev = f"cb{i}"
+    parts.append(f""", csub AS (
+        SELECT corpus_id, CAST(g.range AS INTEGER) AS m,
+               c_emb[CAST(g.range AS INTEGER) * {PQ_SUB} + 1 :
+                     CAST(g.range AS INTEGER) * {PQ_SUB} + {PQ_SUB}] AS v
+        FROM corpus, range({PQ_M}) g
+    ), codes AS (
+        SELECT corpus_id, m, code FROM (
+            SELECT s.corpus_id, s.m, k.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.corpus_id, s.m
+                       ORDER BY {d2} ASC, k.code ASC) AS rn
+            FROM csub s JOIN {prev} k ON s.m = k.m
+        ) WHERE rn = 1
+    ), recon AS (
+        SELECT c.corpus_id, flatten(list(k.cvec ORDER BY c.m)) AS r_emb
+        FROM codes c JOIN {prev} k ON c.m = k.m AND c.code = k.code
+        GROUP BY c.corpus_id
+    ), adc AS (
+        SELECT q.query_id, r.corpus_id,
+               ROUND(list_dot_product(q.q_emb, r.r_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(r.r_emb, r.r_emb))), 6) AS adc_cosine
+        FROM recon r CROSS JOIN queries q
+    ), cand AS (
+        SELECT query_id, corpus_id, adc_cosine FROM (
+            SELECT a.query_id, a.corpus_id, a.adc_cosine,
+                   ROW_NUMBER() OVER (PARTITION BY a.query_id
+                       ORDER BY a.adc_cosine DESC, a.corpus_id ASC) AS crank
+            FROM adc a
+        ) WHERE crank <= {PQ_SHORTLIST}
+    ), fine AS (
+        SELECT d.query_id, d.corpus_id, d.adc_cosine,
+               ROUND(list_dot_product(q.q_emb, c.c_emb)
+                     / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                        * sqrt(list_dot_product(c.c_emb, c.c_emb))), 6) AS cosine
+        FROM cand d
+        JOIN corpus c ON d.corpus_id = c.corpus_id
+        JOIN queries q ON d.query_id = q.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine, adc_cosine
+    FROM (
+        SELECT query_id, corpus_id, cosine, adc_cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM fine
+    ) WHERE rank <= {TOP_K}
     """)
     return "".join(parts)
 
@@ -972,6 +1226,7 @@ ORACLES = {
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
+    "ann_pq_adc": _pq_oracle(),
     "ann_sq8_rerank": f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb

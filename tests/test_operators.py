@@ -358,3 +358,35 @@ def test_sq8_rerank_recall_and_code_bounds(spark):
     hits = sum(len(got[q] & truth) for q, truth in exact.items())
     total = sum(len(t) for t in exact.values())
     assert hits / total >= 0.8, f"SQ8 recall {hits}/{total} too low"
+
+
+def test_pq_adc_recall_and_codebook_shape(spark):
+    """PQ codebooks: <= PQ_K entries per subspace, each PQ_SUB wide,
+    training deterministic (memo aside); ADC top-k must recover a
+    majority of the exact top-k at sf0.001."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        PQ_K, PQ_M, PQ_SUB, _ivf_corpus_queries, _pq_codebooks_spec,
+        ann_cosine_topk, ann_pq_adc,
+    )
+
+    corpus, _ = _ivf_corpus_queries(spark, SF_DIR)
+    rows = sorted((int(r.corpus_id), [float(x) for x in r.c_emb])
+                  for r in corpus.collect())
+    books = _pq_codebooks_spec(rows)
+    assert len(books) == PQ_M
+    for cent in books:
+        assert 1 <= len(cent) <= PQ_K
+        assert all(len(cv) == PQ_SUB for _, cv in cent)
+    assert books == _pq_codebooks_spec(rows)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.corpus_id)
+        return out
+
+    exact = topk_sets(ann_cosine_topk(spark, SF_DIR))
+    got = topk_sets(ann_pq_adc(spark, SF_DIR))
+    hits = sum(len(got.get(q, set()) & truth) for q, truth in exact.items())
+    total = sum(len(t) for t in exact.values())
+    assert hits / total >= 0.5, f"PQ-ADC recall {hits}/{total} too low"
