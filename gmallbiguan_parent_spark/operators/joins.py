@@ -61,3 +61,115 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> 
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning — the "runtime filter" every
+# warehouse engine builds for selective dim⋈fact joins: hash the
+# surviving build-side keys into a bit mask, broadcast the mask, and
+# drop probe-side rows BEFORE they reach the shuffle. False positives
+# are fine (the real join still runs); false negatives are impossible,
+# so the result is bit-identical to the unfiltered join and the oracle
+# is the plain SQL join. At 100 TB this is the difference between
+# shuffling all of lineitem and shuffling the ~1% that can match.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16      # 65536 bits = 1024 longs, broadcast as one array
+BLOOM_HASHES = 3          # k=3 at ~10 bits/key keeps fp-rate ~1-2%
+BLOOM_PRICE_MIN = 350000.0  # selective build-side predicate (~few % of orders)
+
+
+def bloom_mask(keys: DataFrame, key: str) -> DataFrame:
+    """1-row DataFrame with column `mask: array<bigint>` — the Bloom
+    bit mask over `keys[key]`, built fully in-plan: k hash positions
+    per key (xxhash64 seeded by the hash index), positions folded into
+    64-bit words with bit_or (map-side combinable), missing words
+    zero-filled via a sequence transform. No driver collect."""
+    positions = F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_HASHES)
+    ])).alias("pos")
+    words = keys.select(positions).select(
+        (F.col("pos") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(1L, int(pos % 64))").alias("b"),
+    )
+    return (
+        words.groupBy("w").agg(F.bit_or("b").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mmap"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_BITS // 64 - 1)),
+                lambda w: F.coalesce(F.element_at(F.col("mmap"), w), F.lit(0).cast("bigint")),
+            ).alias("mask")
+        )
+    )
+
+
+def bloom_probe_predicate(key: str):
+    """Probe-side predicate testing all BLOOM_HASHES bits against the
+    broadcast `mask` column. Pure codegen (xxhash64 + array subscript +
+    bitwise and), evaluated in the scan stage before any shuffle."""
+    tests = [
+        F.expr(
+            f"(element_at(mask, int(pmod(xxhash64({key}, {i}), {BLOOM_BITS}) / 64) + 1)"
+            f" & shiftleft(1L, int(pmod(xxhash64({key}, {i}), {BLOOM_BITS}) % 64))) != 0"
+        )
+        for i in range(BLOOM_HASHES)
+    ]
+    pred = tests[0]
+    for t in tests[1:]:
+        pred = pred & t
+    return pred
+
+
+def bloom_filtered_revenue(spark, sf_dir: str) -> DataFrame:
+    """Revenue by order priority for high-value orders, with the
+    lineitem side pruned by a Bloom runtime filter on the surviving
+    order keys before the join shuffle. Result provably equals the
+    plain join (tests assert both equality and that the bloom pruned
+    rows pre-join), so the oracle is the straightforward SQL join."""
+    from ..functions import dec
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    mask = bloom_mask(sel, "o_orderkey")
+    li_pruned = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(mask))
+        .filter(bloom_probe_predicate("l_orderkey"))
+        .drop("mask")
+    )
+    disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
+    return (
+        li_pruned.join(sel, li_pruned.l_orderkey == sel.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(disc).alias("revenue"),
+            F.count("*").alias("line_ct"),
+            F.countDistinct("o_orderkey").alias("order_ct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "bloom_filtered_revenue": bloom_filtered_revenue,
+}
+
+ORACLES = {
+    "bloom_filtered_revenue": f"""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS line_ct,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_ct
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > {BLOOM_PRICE_MIN}
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+}
