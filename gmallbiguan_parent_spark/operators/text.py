@@ -578,6 +578,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the loop exactly. Two fixed passes (not replace-to-
     fixpoint) keep the operator a finite expression; the pass-2 catch
     re-merges occurrences whose leading space pass 1 consumed."""
+    rules, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, merged string, pair_ct bigint"
+    ).orderBy("step")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (merge rules, final vocab DF
+    with the merged symbol sequences)."""
     vocab = _bpe_vocab(spark, sf_dir).localCheckpoint()
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, BPE_TRAIN_MERGES + 1):
@@ -594,12 +603,32 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat, rep = F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
         merged = F.replace(F.replace(F.col("syms"), pat, rep), pat, rep)
         vocab = vocab.select("tok", "wct", merged.alias("syms"))
-    return spark.createDataFrame(
-        rules, "step int, lhs string, rhs string, merged string, pair_ct bigint"
-    ).orderBy("step")
+    return rules, vocab
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
+BPE_VOCAB_TOP = 50
+
+
+def bpe_segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the trained tokenizer: the BPE_VOCAB_TOP most
+    frequent words with their post-training symbol segmentation and
+    piece count — i.e. how the learned merges actually tokenize the
+    corpus (the compression a token-budget planner reads). Distributed
+    exactly like training: the merge chain is a nested codegen
+    expression over the vocab, no Python in the path."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    return (
+        vocab.select(
+            "tok", "wct",
+            F.trim(F.col("syms")).alias("pieces"),
+            F.size(F.split(F.trim(F.col("syms")), " ")).alias("n_pieces"),
+        )
+        .orderBy(F.desc("wct"), F.asc("tok"))
+        .limit(BPE_VOCAB_TOP)
+    )
+
+
+def _bpe_train_oracle(n_merges: int, tail: str | None = None) -> str:
     """Unrolled-CTE replay of the BPE training loop (the supplier_
     pagerank / IVF-quantizer pattern): per iteration, pair counts from
     the split symbol strings, a deterministic argmax, and the same
@@ -631,11 +660,13 @@ def _bpe_train_oracle(n_merges: int) -> str:
                        ' ' || b.lhs || b.rhs || ' ') AS syms
         FROM vocab{i - 1} v CROSS JOIN best{i} b
     )""")
-    rules = "\n    UNION ALL ".join(
-        f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_ct FROM best{i}"
-        for i in range(1, n_merges + 1)
-    )
-    parts.append(f"\n    {rules}\n    ORDER BY step\n    ")
+    if tail is None:
+        rules = "\n    UNION ALL ".join(
+            f"SELECT {i} AS step, lhs, rhs, lhs || rhs AS merged, pair_ct FROM best{i}"
+            for i in range(1, n_merges + 1)
+        )
+        tail = f"{rules}\n    ORDER BY step"
+    parts.append(f"\n    {tail}\n    ")
     return "".join(parts)
 
 
@@ -645,6 +676,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_segmented_vocab": bpe_segmented_vocab,
     "text_normalize": text_normalize,
     "token_count": token_count,
     "text_quality": text_quality,
@@ -662,6 +694,13 @@ _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_MERGES),
+    "bpe_segmented_vocab": _bpe_train_oracle(
+        BPE_TRAIN_MERGES,
+        f"""SELECT tok, CAST(wct AS BIGINT) AS wct, trim(syms) AS pieces,
+               CAST(len(string_split(trim(syms), ' ')) AS INTEGER) AS n_pieces
+    FROM vocab{BPE_TRAIN_MERGES}
+    ORDER BY wct DESC, tok ASC LIMIT {BPE_VOCAB_TOP}""",
+    ),
     "text_normalize": r"""
     SELECT doc_id,
            CAST(length(text) AS INTEGER) AS raw_len,
