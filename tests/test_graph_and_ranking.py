@@ -175,3 +175,22 @@ def test_text_normalize_nfc_cross_engine_on_non_ascii(spark):
             [s],
         ).fetchone()
         assert got[i] == h, f"sample {i} diverged"
+
+
+def test_zorder_buckets_partition_and_cluster_both_dims(spark):
+    """Buckets must partition the table exactly, and the mean
+    per-bucket span must be well under the global span on BOTH
+    interleaved dimensions — the two-dimensional pruning property a
+    single-column sort cannot deliver (its secondary dim spans ~100%)."""
+    from gmallbiguan_parent_spark.operators.layout import zorder_layout_stats
+
+    rows = zorder_layout_stats(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    assert sum(r.n_rows for r in rows) == orders.count()
+
+    ck_glob = max(r.cust_hi for r in rows) - min(r.cust_lo for r in rows)
+    dy_glob = max(r.day_hi for r in rows) - min(r.day_lo for r in rows)
+    ck_frac = sum((r.cust_hi - r.cust_lo) / ck_glob for r in rows) / len(rows)
+    dy_frac = sum((r.day_hi - r.day_lo) / dy_glob for r in rows) / len(rows)
+    assert ck_frac < 0.6, f"custkey mean span fraction {ck_frac}"
+    assert dy_frac < 0.6, f"day mean span fraction {dy_frac}"
