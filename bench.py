@@ -61,6 +61,14 @@ EXTENDED = [
     "corpus_shards",
     "waiting_suppliers",
     "returned_item_report",
+    # round-4 continuation additions
+    "bpe_train_merges",
+    "supplier_triangles",
+    "text_normalize",
+    "ann_sq8_rerank",
+    "ann_pq_adc",
+    "bloom_filtered_revenue",
+    "zorder_layout_stats",
 ]
 
 

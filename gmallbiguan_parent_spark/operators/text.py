@@ -483,6 +483,42 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution KL divergence against the whole
+    corpus — the drift/diversity diagnostic a mixture-weight planner
+    reads (a source with high KL is lexically unlike the corpus; near
+    zero means redundant). KL(p_source || p_corpus) over the shared
+    vocabulary (every source token also appears in the corpus
+    distribution by construction, so no zero-denominator terms).
+
+    Plan: one tokenize/explode scan feeding two aggregates (per-source
+    per-token and corpus per-token) joined on token — the join keys on
+    the token, so at 100 TB it shuffles vocab-sized data, not corpus-
+    sized. Each KL term is rounded and summed in DECIMAL so the
+    per-source sum is order-independent and the oracle hash-matches."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize("text")).alias("tok"))
+    per_src = toks.groupBy("source", "tok").agg(F.count("*").alias("ct_s"))
+    src_tot = per_src.groupBy("source").agg(F.sum("ct_s").alias("n_s"))
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("ct_c"))
+    n_tot = corpus.agg(F.sum("ct_c").alias("n_c"))
+    p_s = F.col("ct_s").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("ct_c").cast("double") / F.col("n_c").cast("double")
+    term = F.round(p_s * F.log(p_s / p_c), 12).cast("decimal(28,12)")
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(term).cast("double").alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
 def _nfc_col(col):
     """Unicode NFC normalization — genuinely Python (Spark has no NFC
     built-in), so an Arrow-batched pandas_udf like the CJK segmenter
@@ -677,6 +713,7 @@ QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_train_merges": bpe_train_merges,
     "bpe_segmented_vocab": bpe_segmented_vocab,
+    "source_kl_divergence": source_kl_divergence,
     "text_normalize": text_normalize,
     "token_count": token_count,
     "text_quality": text_quality,
@@ -701,6 +738,33 @@ ORACLES = {
     FROM vocab{BPE_TRAIN_MERGES}
     ORDER BY wct DESC, tok ASC LIMIT {BPE_VOCAB_TOP}""",
     ),
+    "source_kl_divergence": """
+    WITH toks AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), per_src AS (
+        SELECT source, tok, COUNT(*) AS ct_s FROM toks GROUP BY 1, 2
+    ), src_tot AS (
+        SELECT source, CAST(SUM(ct_s) AS BIGINT) AS n_s FROM per_src GROUP BY 1
+    ), corpus AS (
+        SELECT tok, COUNT(*) AS ct_c FROM toks GROUP BY 1
+    ), n_tot AS (
+        SELECT CAST(SUM(ct_c) AS BIGINT) AS n_c FROM corpus
+    )
+    SELECT p.source,
+           CAST(MAX(s.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(ROUND(
+               (CAST(p.ct_s AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+               * ln((CAST(p.ct_s AS DOUBLE) / CAST(s.n_s AS DOUBLE))
+                    / (CAST(c.ct_c AS DOUBLE) / CAST(n.n_c AS DOUBLE))), 12)
+               AS DECIMAL(28,12))) AS DOUBLE) AS kl
+    FROM per_src p
+    JOIN src_tot s ON p.source = s.source
+    JOIN corpus c ON p.tok = c.tok, n_tot n
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
     "text_normalize": r"""
     SELECT doc_id,
            CAST(length(text) AS INTEGER) AS raw_len,

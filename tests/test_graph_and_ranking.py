@@ -194,3 +194,22 @@ def test_zorder_buckets_partition_and_cluster_both_dims(spark):
     dy_frac = sum((r.day_hi - r.day_lo) / dy_glob for r in rows) / len(rows)
     assert ck_frac < 0.6, f"custkey mean span fraction {ck_frac}"
     assert dy_frac < 0.6, f"day mean span fraction {dy_frac}"
+
+
+def test_source_kl_nonnegative_and_totals(spark):
+    """Gibbs' inequality: every per-source KL is >= 0 (up to the 1e-12
+    term rounding); token totals across sources must sum to the corpus
+    token count."""
+    from gmallbiguan_parent_spark.operators.text import source_kl_divergence, token_count
+
+    rows = source_kl_divergence(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert float(r.kl) >= -1e-9, f"{r.source}: negative KL {r.kl}"
+        assert r.n_distinct <= r.n_tokens
+    n_tok = sum(r.n_tokens for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+    from gmallbiguan_parent_spark.functions import tokenize
+    want = docs.select(F.explode(tokenize("text")).alias("t")).count()
+    assert n_tok == want
