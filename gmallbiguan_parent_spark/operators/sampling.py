@@ -85,6 +85,37 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIO_K = 20
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
+    Spiridakis priority sampling): each doc draws a deterministic
+    uniform u from its id hash and gets key = -ln(u)/w with w = its
+    char count; the PRIO_K smallest keys ARE a weighted sample without
+    replacement — the exact-size, budget-aware variant the Bernoulli
+    weighted_sample can't give (its sample size is random). Used for
+    token-budget-proportional corpus draws that must be reproducible.
+
+    Plan: key is a pure scan-stage expression; the global top-k is a
+    TakeOrdered (no full sort). Keys are rounded to 9 dp before
+    ranking so both engines order identically; md5-derived u keeps the
+    draw portable and partition-independent."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_bigint(F.col("doc_id").cast("string"), salt="prio:")
+    u = (h + 1).cast("double") / float(1 << 60)
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 9)
+    w = Window.orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PRIO_K)
+        .select("rank", "doc_id", "source", "n_chars", "key")
+    )
+
+
 MIX_ALPHA = 0.5
 
 
@@ -144,12 +175,27 @@ QUERIES = {
     "corpus_shards": corpus_shards,
     "stratified_sample": stratified_sample,
     "weighted_sample": weighted_sample,
+    "priority_sample": priority_sample,
     "mixture_weights": mixture_weights,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
 
 ORACLES = {
+    "priority_sample": """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(-ln(CAST((('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1) AS DOUBLE)
+                         / 1152921504606846976.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS key
+        FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS INTEGER) AS rank,
+           doc_id, source, n_chars, key
+    FROM keyed
+    ORDER BY key ASC, doc_id ASC
+    LIMIT {PRIO_K}
+    """.replace("{PRIO_K}", str(PRIO_K)),
     "corpus_shards": """
         WITH keyed AS (
             SELECT doc_id,

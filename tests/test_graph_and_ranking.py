@@ -213,3 +213,20 @@ def test_source_kl_nonnegative_and_totals(spark):
     from gmallbiguan_parent_spark.functions import tokenize
     want = docs.select(F.explode(tokenize("text")).alias("t")).count()
     assert n_tok == want
+
+
+def test_priority_sample_is_length_biased(spark):
+    """Weight-proportional draws must overrepresent long documents:
+    the sample's mean char count exceeds the corpus mean, sample size
+    is exactly PRIO_K, and ids are distinct (without replacement)."""
+    from gmallbiguan_parent_spark.operators.sampling import PRIO_K, priority_sample
+
+    rows = priority_sample(spark, SF_DIR).collect()
+    assert len(rows) == PRIO_K
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == PRIO_K
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pyspark.sql.functions as F
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
