@@ -78,6 +78,45 @@ def _shingles(col):
     )
 
 
+SRC_OVERLAP_TOP = 20
+
+
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap BETWEEN sources (provenance dedup
+    triage): per source-pair, the shared distinct 3-token shingles and
+    the Jaccard of the two shingle sets — how a curation pipeline spots
+    mirrored / scraped-twice corpora before any doc-level dedup runs.
+
+    Plan: ONE distinct (source, shingle) projection (shuffle keyed on
+    the pair), source sizes as a tiny broadcast, and a shingle-keyed
+    self-join for intersections — at 100 TB the join shuffles the
+    distinct shingle vocabulary, not the corpus, and a hot shingle
+    splits under AQE."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(_shingles(F.col("text"))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .select("src_a", "src_b", "shared", "n_a", "n_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("src_a"), F.asc("src_b"))
+        .limit(SRC_OVERLAP_TOP)
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact Jaccard confirm.
 
@@ -551,6 +590,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
+    "source_shingle_overlap": source_shingle_overlap,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
@@ -743,6 +783,36 @@ ORACLES = {
     )
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
+    """,
+    "source_shingle_overlap": """
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sh0 AS (
+        SELECT source,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+               ELSE [array_to_string(toks, ' ')] END AS shingles
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT source, unnest(shingles) AS sh FROM sh0
+    ), sizes AS (
+        SELECT source, COUNT(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, CAST(i.shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           ROUND(CAST(i.shared AS DOUBLE) / CAST(sa.n + sb.n - i.shared AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY jaccard DESC, src_a ASC, src_b ASC
+    LIMIT 20
     """,
     "ngram_jaccard_stats": _DUCK_SHINGLES + """
     SELECT doc_id,
