@@ -483,6 +483,65 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_LAMBDA = 0.7     # bigram weight; 0.3 backs off to unigram
+PPL_DOC_MOD = 25     # score every 25th doc (bounded gate output)
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an interpolated bigram LM trained
+    on the corpus itself — the classic fluency/quality filter signal
+    (spam and boilerplate sit at the distribution tails). p(t|prev) =
+    l*bigram_mle + (1-l)*unigram_mle; ppl = exp(-mean log p).
+
+    Plan: the token arrays build bigrams ARRAY-SIDE (two slices +
+    arrays_zip, the BPE pairing trick) so the only corpus-scale
+    shuffles are the two count aggregates (bigram + unigram vocab,
+    both vocabulary-sized with map-side combine) and the scoring join,
+    keyed on the bigram. Log terms round at 12 dp into DECIMAL sums —
+    order-independent, so both engines hash-match."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("prev"),
+        F.slice(toks, 2, n - 1).alias("cur"),
+    )
+    big = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    bigram_ct = big.groupBy("prev", "cur").agg(F.count("*").alias("bc"))
+    unigram_ct = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("uc"))
+    )
+    prev_ct = unigram_ct.select(F.col("tok").alias("prev"), F.col("uc").alias("pc"))
+    n_tot = unigram_ct.agg(F.sum("uc").alias("n_c"))
+    p = (
+        F.lit(PPL_LAMBDA) * (F.col("bc").cast("double") / F.col("pc").cast("double"))
+        + F.lit(1.0 - PPL_LAMBDA) * (F.col("uc").cast("double") / F.col("n_c").cast("double"))
+    )
+    term = F.round(F.log(p), 12).cast("decimal(28,12)")
+    return (
+        big.filter(F.col("doc_id") % PPL_DOC_MOD == 0)
+        .join(bigram_ct, ["prev", "cur"])
+        .join(prev_ct, "prev")
+        .join(unigram_ct.withColumnRenamed("tok", "cur"), "cur")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(term).alias("logp_sum"))
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(
+                F.exp(-(F.col("logp_sum").cast("double") / F.col("n_bigrams").cast("double"))),
+                6,
+            ).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram-distribution KL divergence against the whole
     corpus — the drift/diversity diagnostic a mixture-weight planner
@@ -714,6 +773,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_segmented_vocab": bpe_segmented_vocab,
     "source_kl_divergence": source_kl_divergence,
+    "doc_perplexity": doc_perplexity,
     "text_normalize": text_normalize,
     "token_count": token_count,
     "text_quality": text_quality,
@@ -738,6 +798,41 @@ ORACLES = {
     FROM vocab{BPE_TRAIN_MERGES}
     ORDER BY wct DESC, tok ASC LIMIT {BPE_VOCAB_TOP}""",
     ),
+    "doc_perplexity": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents
+    ), big AS (
+        SELECT doc_id, toks[CAST(g.i AS INTEGER)] AS prev, toks[CAST(g.i AS INTEGER) + 1] AS cur
+        FROM toks, unnest(range(1, len(toks))) AS g(i)
+        WHERE len(toks) >= 2
+    ), bigram_ct AS (
+        SELECT prev, cur, COUNT(*) AS bc FROM big GROUP BY 1, 2
+    ), unigram_ct AS (
+        SELECT tok, COUNT(*) AS uc
+        FROM (SELECT unnest(toks) AS tok FROM toks)
+        GROUP BY 1
+    ), n_tot AS (
+        SELECT CAST(SUM(uc) AS BIGINT) AS n_c FROM unigram_ct
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(ROUND(ln(
+                   {PPL_LAMBDA} * (CAST(bg.bc AS DOUBLE) / CAST(pv.uc AS DOUBLE))
+                   + {1.0 - PPL_LAMBDA} * (CAST(cu.uc AS DOUBLE) / CAST(n.n_c AS DOUBLE))
+               ), 12) AS DECIMAL(28,12)) AS term
+        FROM big b
+        JOIN bigram_ct bg ON b.prev = bg.prev AND b.cur = bg.cur
+        JOIN unigram_ct pv ON b.prev = pv.tok
+        JOIN unigram_ct cu ON b.cur = cu.tok, n_tot n
+        WHERE b.doc_id % {PPL_DOC_MOD} = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(exp(-(CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))), 6) AS ppl
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
     "source_kl_divergence": """
     WITH toks AS (
         SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

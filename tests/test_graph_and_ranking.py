@@ -230,3 +230,17 @@ def test_priority_sample_is_length_biased(spark):
     corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_doc_perplexity_bounds(spark):
+    """Perplexity under any LM is >= 1; an interpolated bigram model
+    trained on the corpus itself must stay far below the unigram
+    vocabulary size; every scored doc has doc_id % PPL_DOC_MOD == 0."""
+    from gmallbiguan_parent_spark.operators.text import PPL_DOC_MOD, doc_perplexity
+
+    rows = doc_perplexity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % PPL_DOC_MOD == 0
+        assert float(r.ppl) >= 1.0
+        assert r.n_bigrams >= 1
