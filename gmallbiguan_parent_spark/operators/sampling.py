@@ -98,20 +98,25 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-budget-proportional corpus draws that must be reproducible.
 
     Plan: key is a pure scan-stage expression; the global top-k is a
-    TakeOrdered (no full sort). Keys are rounded to 9 dp before
-    ranking so both engines order identically; md5-derived u keeps the
-    draw portable and partition-independent."""
+    TakeOrderedAndProject (distributed per-partition top-k + driver
+    merge — NOT a single-partition sort), and only the PRIO_K
+    surviving rows see the rank window. Keys are rounded to 9 dp
+    before ranking so both engines order identically; md5-derived u
+    keeps the draw portable and partition-independent."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     h = md5_bigint(F.col("doc_id").cast("string"), salt="prio:")
     u = (h + 1).cast("double") / float(1 << 60)
     key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 9)
+    cand = (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .orderBy(F.asc("key"), F.asc("doc_id"))
+        .limit(PRIO_K)
+    )
     w = Window.orderBy(F.asc("key"), F.asc("doc_id"))
     return (
-        docs.select("doc_id", "source", "n_chars", key.alias("key"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PRIO_K)
+        cand.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "source", "n_chars", "key")
     )
 
