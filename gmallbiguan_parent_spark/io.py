@@ -185,3 +185,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format table IO — the source/sink surface a warehouse exposes
+# beyond parquet. Format choice is a parameter, not a code path: the
+# same declarative plan reads/writes any of them, and Catalyst still
+# prunes columns (CSV/JSON prune at parse; parquet/ORC prune at the
+# footer). CSV and JSON are schema-on-read: pass the schema back in to
+# round-trip exactly (untyped reads widen ints and parse dates as
+# strings, the usual lake-ingest caveat).
+# ---------------------------------------------------------------------------
+
+IO_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table_format(df: DataFrame, path: str, fmt: str, **options) -> None:
+    """Write `df` at `path` in `fmt` (parquet/orc/json/csv). CSV gets a
+    header by default; all formats overwrite idempotently."""
+    if fmt not in IO_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; known: {IO_FORMATS}")
+    opts = dict(options)
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+    df.write.mode("overwrite").options(**opts).format(fmt).save(path)
+
+
+def read_table_format(spark: SparkSession, path: str, fmt: str, schema=None, **options):
+    """Read a table written by write_table_format. Pass `schema` for
+    CSV/JSON to recover exact types (schema-on-read formats infer
+    strings/widened numerics otherwise)."""
+    if fmt not in IO_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; known: {IO_FORMATS}")
+    opts = dict(options)
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)

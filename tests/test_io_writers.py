@@ -70,3 +70,39 @@ def test_jdbc_write_drops_transient_cols(spark):
     # the transient-drop path is a plain DataFrame.drop — assert shape
     df = spark.createDataFrame([(1, "x", "helper")], "id long, name string, tmp string")
     assert df.drop(*["tmp"]).columns == ["id", "name"]
+
+
+def test_multi_format_round_trips(spark, tmp_path):
+    """parquet/orc are self-describing; csv/json round-trip exactly
+    when the writer's schema is passed back to the reader."""
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.io import (
+        IO_FORMATS, load_table, read_table_format, write_table_format,
+    )
+    from tests.conftest import SF_DIR
+
+    src = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .limit(200)
+    )
+    want = sorted(tuple(r) for r in src.collect())
+    for fmt in IO_FORMATS:
+        path = str(tmp_path / f"t_{fmt}")
+        write_table_format(src, path, fmt)
+        back = read_table_format(spark, path, fmt, schema=src.schema)
+        assert back.schema == src.schema, fmt
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want, f"{fmt} round-trip mismatch"
+
+
+def test_untyped_csv_read_is_schema_on_read(spark, tmp_path):
+    from gmallbiguan_parent_spark.io import read_table_format, write_table_format
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    path = str(tmp_path / "untyped_csv")
+    write_table_format(df, path, "csv")
+    raw = read_table_format(spark, path, "csv")
+    # no schema passed: everything comes back as strings
+    assert all(t == "string" for _, t in raw.dtypes)
