@@ -63,7 +63,7 @@ EXTENDED = [
     "returned_item_report",
     # round-4 continuation additions
     "bpe_train_merges",
-    "supplier_triangles",
+    "copurchase_triangles",
     "text_normalize",
     "ann_sq8_rerank",
     "ann_pq_adc",

@@ -203,12 +203,22 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRI_TOP = 20
+TRI_MIN_SUPPORT = 2   # co-purchase support threshold: the raw pair set
+                      # grows linearly with the corpus, but pairs seen
+                      # >= 2 times saturate at catalog scale (probed:
+                      # 2.4M raw vs 7k thresholded directed edges at
+                      # sf0.1) — the graph a recommender actually keeps
 
 
-def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
-    supplier co-occurrence graph — the cohesion/community primitive
-    (top TRI_TOP by triangle count).
+    SUPPORT-THRESHOLDED part co-purchase graph — the cohesion/community
+    primitive (top TRI_TOP by triangle count). The supplier
+    co-occurrence graph is near-complete (1000 nodes sharing 150k
+    orders), so triangles there are a cubic blowup with no meaning;
+    the thresholded part graph is sparse AND shrinks relative to the
+    corpus, which is what makes exact triangle enumeration viable at
+    100 TB.
 
     Algorithm: DEGREE-ORDERED edge orientation (the scalable
     triangle-enumeration standard): each undirected edge {u,v} is kept
@@ -225,7 +235,19 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented edge set; per-node attribution explodes each triangle's
     three corners. All shuffles key on node/edge ids — AQE splits any
     residual hot key."""
-    edges = _co_edges(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    bridge = li.select("l_orderkey", "l_partkey").distinct()
+    a0, b0 = bridge.alias("a0"), bridge.alias("b0")
+    edges = (
+        a0.join(b0, "l_orderkey")
+        .filter(F.col("a0.l_partkey") != F.col("b0.l_partkey"))
+        .groupBy(
+            F.col("a0.l_partkey").alias("src"), F.col("b0.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("src", "dst")
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     half = edges.filter(F.col("src") < F.col("dst"))
     o = (
@@ -273,12 +295,12 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_node.join(F.broadcast(deg), "node")
         .select(
-            F.col("node").alias("supplier_id"),
+            F.col("node").alias("part_id"),
             F.col("deg").alias("degree"),
             "tri_ct",
             coef.alias("clust_coef"),
         )
-        .orderBy(F.desc("tri_ct"), F.asc("supplier_id"))
+        .orderBy(F.desc("tri_ct"), F.asc("part_id"))
         .limit(TRI_TOP)
     )
 
@@ -301,17 +323,19 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 QUERIES = {
     "supplier_pagerank": supplier_pagerank,
     "copurchase_lift": copurchase_lift,
-    "supplier_triangles": supplier_triangles,
+    "copurchase_triangles": copurchase_triangles,
 }
 
 ORACLES = {
-    "supplier_triangles": f"""
+    "copurchase_triangles": f"""
     WITH bridge AS (
-        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), edges AS (
-        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey
-        WHERE a.l_suppkey <> b.l_suppkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
     ), deg AS (
         SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
     ), o AS (
@@ -331,11 +355,11 @@ ORACLES = {
         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
         GROUP BY node
     )
-    SELECT p.node AS supplier_id, CAST(d.deg AS BIGINT) AS degree, p.tri_ct,
+    SELECT p.node AS part_id, CAST(d.deg AS BIGINT) AS degree, p.tri_ct,
            ROUND(2.0 * CAST(p.tri_ct AS DOUBLE)
                  / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6) AS clust_coef
     FROM per_node p JOIN deg d ON p.node = d.node
-    ORDER BY tri_ct DESC, supplier_id ASC
+    ORDER BY tri_ct DESC, part_id ASC
     LIMIT {TRI_TOP}
     """,
     "supplier_pagerank": f"""

@@ -135,15 +135,15 @@ def test_triangle_counts_invariants(spark):
     """Handshake identity and coefficient bounds the oracle hash can't
     see: the per-node counts must sum to 3x the distinct-triangle
     total, and every local clustering coefficient lies in (0, 1]."""
-    from gmallbiguan_parent_spark.operators.graph import supplier_triangles
+    from gmallbiguan_parent_spark.operators.graph import copurchase_triangles
 
-    rows = supplier_triangles(spark, SF_DIR).collect()
-    assert rows, "co-occurrence graph must contain triangles at sf0.001"
+    rows = copurchase_triangles(spark, SF_DIR).collect()
+    assert rows, "co-purchase graph must contain triangles at sf0.001"
     for r in rows:
         assert 0 < float(r.clust_coef) <= 1.0
         assert r.tri_ct <= r.degree * (r.degree - 1) // 2
-    assert [(-r.tri_ct, r.supplier_id) for r in rows] == sorted(
-        (-r.tri_ct, r.supplier_id) for r in rows
+    assert [(-r.tri_ct, r.part_id) for r in rows] == sorted(
+        (-r.tri_ct, r.part_id) for r in rows
     )
 
 
