@@ -944,6 +944,40 @@ def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding corpus —
+    the batch QA step before indexing (a dead dimension, a variance
+    collapse, or an exploded range signals a bad embedding run, and
+    the min/max feed the SQ8 quantizer directly). One posexplode +
+    one 64-key aggregate with map-side combine; sums run in exact
+    DECIMAL so the profile is order-independent and hash-stable."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    x = F.col("x")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    s1 = F.sum(F.round(x, 9).cast("decimal(28,9)"))
+    s2 = F.sum(F.round(x * x, 12).cast("decimal(28,12)"))
+    agg = exploded.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    mean = F.round(F.col("s1").cast("double") / F.col("n").cast("double"), 9)
+    var = F.round(
+        F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean, 9
+    )
+    return agg.select(
+        "pos", "n",
+        mean.alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
+        F.round("mn", 9).alias("mn"),
+        F.round("mx", 9).alias("mx"),
+    ).orderBy("pos")
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,  # rows-only (see docstring)
@@ -953,6 +987,7 @@ QUERIES = {
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
     "ann_pq_adc": ann_pq_adc,
+    "embedding_dim_stats": embedding_dim_stats,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "knn_graph": knn_graph,
 }
@@ -1227,6 +1262,27 @@ ORACLES = {
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_pq_adc": _pq_oracle(),
+    "embedding_dim_stats": f"""
+    WITH x AS (
+        SELECT CAST(g.range AS INTEGER) AS pos,
+               embedding[CAST(g.range AS INTEGER) + 1]::DOUBLE AS x
+        FROM embeddings, range({SRP_DIM}) g
+    ), agg AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS s2,
+               MIN(x) AS mn, MAX(x) AS mx
+        FROM x GROUP BY pos
+    )
+    SELECT pos, n,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean,
+           ROUND(sqrt(GREATEST(ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   * ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9), 9), 0.0)), 9) AS std,
+           ROUND(mn, 9) AS mn, ROUND(mx, 9) AS mx
+    FROM agg
+    ORDER BY pos
+    """,
     "ann_sq8_rerank": f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb

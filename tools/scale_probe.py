@@ -54,6 +54,19 @@ PROBE_QUERIES = [
     "copurchase_lift",
     "cms_heavy_hitters",
     "corpus_shards",
+    # this session's additions: compressed ANN, tokenizer training,
+    # runtime-filtered join, layout, graph, text distribution ops
+    "ann_sq8_rerank",
+    "ann_pq_adc",
+    "bpe_train_merges",
+    "bloom_filtered_revenue",
+    "zorder_layout_stats",
+    "copurchase_triangles",
+    "source_kl_divergence",
+    "doc_perplexity",
+    "source_shingle_overlap",
+    "priority_sample",
+    "text_normalize",
 ]
 
 
