@@ -125,8 +125,42 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5
+QUASI_IDS = ("c_nationkey", "c_mktsegment")
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: k-anonymity of the customer table
+    under its quasi-identifier combination (nation x market segment).
+    A released dataset is k-anonymous iff every quasi-identifier
+    equivalence class holds >= k records; classes below k re-identify.
+    Emits each class with its size and an at_risk flag plus dataset-
+    level rollup columns — the report a release gate reads.
+
+    One groupBy on the quasi-identifier tuple (map-side combined), a
+    1-row summary broadcast back; nothing scales past the class count."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(*QUASI_IDS).agg(F.count("*").alias("class_size"))
+    summary = classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < K_ANON, 1).otherwise(0)).alias("n_at_risk"),
+        F.min("class_size").alias("k_effective"),
+    )
+    return (
+        classes.crossJoin(F.broadcast(summary))
+        .select(
+            *QUASI_IDS,
+            "class_size",
+            (F.col("class_size") < K_ANON).alias("at_risk"),
+            "n_classes", "n_at_risk", "k_effective",
+        )
+        .orderBy("class_size", *QUASI_IDS)
+    )
+
+
 QUERIES = {
     "table_profile": table_profile,
+    "k_anonymity_audit": k_anonymity_audit,
     "integrity_audit": integrity_audit,
     "benford_digit_audit": benford_digit_audit,
 }
@@ -136,6 +170,22 @@ _BENFORD_CASE = "CASE digit " + " ".join(
 ) + " ELSE 0.0 END"
 
 ORACLES = {
+    "k_anonymity_audit": f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer GROUP BY 1, 2
+    ), summary AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+               MIN(class_size) AS k_effective
+        FROM classes
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, c.class_size,
+           c.class_size < {K_ANON} AS at_risk,
+           s.n_classes, s.n_at_risk, s.k_effective
+    FROM classes c, summary s
+    ORDER BY c.class_size, c.c_nationkey, c.c_mktsegment
+    """,
     "benford_digit_audit": f"""
         WITH digits AS (
             SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS digit
