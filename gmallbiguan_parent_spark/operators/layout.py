@@ -95,6 +95,38 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_zordered(
+    df: DataFrame, path: str, x: str, y: str, n_files: int = 16
+) -> None:
+    """The WRITE path `zorder_layout_stats` models: normalize the two
+    cluster columns to the Morton scale (bounds from one tiny agg),
+    range-partition by the interleaved code (sampled bounds — the
+    distributed analog of the stats query's exact ntile), sort within
+    partitions, and write — every output file then carries narrow
+    parquet min/max footers on BOTH columns, which is what makes
+    two-predicate scan pruning real (asserted file-by-file in
+    tests/test_zorder_write.py)."""
+    row = df.agg(
+        F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
+        F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
+    ).collect()[0]
+    scale = (1 << Z_BITS) - 1
+    xs = max(int(row.x_mx - row.x_mn), 1)
+    ys = max(int(row.y_mx - row.y_mn), 1)
+    zd = df.withColumn(
+        "__zx", ((F.col(x) - F.lit(int(row.x_mn))) * scale / xs).cast("bigint")
+    ).withColumn(
+        "__zy", ((F.col(y) - F.lit(int(row.y_mn))) * scale / ys).cast("bigint")
+    ).withColumn("__z", _z_spark("__zx", "__zy"))
+    (
+        zd.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__zx", "__zy", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 QUERIES = {
     "zorder_layout_stats": zorder_layout_stats,
 }
