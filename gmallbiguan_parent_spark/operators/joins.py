@@ -66,27 +66,41 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> 
 # ---------------------------------------------------------------------------
 # Bloom-filter runtime join pruning — the "runtime filter" every
 # warehouse engine builds for selective dim⋈fact joins: hash the
-# surviving build-side keys into a bit mask, broadcast the mask, and
-# drop probe-side rows BEFORE they reach the shuffle. False positives
-# are fine (the real join still runs); false negatives are impossible,
-# so the result is bit-identical to the unfiltered join and the oracle
-# is the plain SQL join. At 100 TB this is the difference between
-# shuffling all of lineitem and shuffling the ~1% that can match.
+# surviving build-side keys into a bit mask (sized from the key count
+# so it never saturates), broadcast the mask, and drop probe-side rows
+# BEFORE they reach the shuffle. False positives are fine (the real
+# join still runs); false negatives are impossible, so the result is
+# bit-identical to the unfiltered join and the oracle is the plain SQL
+# join. At 100 TB this is the difference between shuffling all of
+# lineitem and shuffling the ~4% that can match.
 # ---------------------------------------------------------------------------
 
-BLOOM_BITS = 1 << 16      # 65536 bits = 1024 longs, broadcast as one array
-BLOOM_HASHES = 3          # k=3 at ~10 bits/key keeps fp-rate ~1-2%
-BLOOM_PRICE_MIN = 350000.0  # selective build-side predicate (~few % of orders)
+BLOOM_MIN_BITS = 1 << 16  # floor: 1024 longs
+BLOOM_MAX_BITS = 1 << 22  # cap: 64K longs (~512 KB broadcast)
+BLOOM_HASHES = 3
+BLOOM_PRICE_MIN = 480000.0  # selective build-side predicate (~4% of orders
+                            # at every shipped SF — measured)
 
 
-def bloom_mask(keys: DataFrame, key: str) -> DataFrame:
+def bloom_bits_for(n_keys: int) -> int:
+    """Mask width from the build-side key count: ~16 bits/key (k=3 ->
+    fp well under 1%), power-of-two, clamped to [2^16, 2^22]. Sizing
+    from n is what keeps the filter useful at ANY scale — a fixed
+    width saturates (all-ones) as the build side grows."""
+    bits = BLOOM_MIN_BITS
+    while bits < min(BLOOM_MAX_BITS, 16 * max(n_keys, 1)):
+        bits <<= 1
+    return bits
+
+
+def bloom_mask(keys: DataFrame, key: str, n_bits: int) -> DataFrame:
     """1-row DataFrame with column `mask: array<bigint>` — the Bloom
     bit mask over `keys[key]`, built fully in-plan: k hash positions
     per key (xxhash64 seeded by the hash index), positions folded into
     64-bit words with bit_or (map-side combinable), missing words
     zero-filled via a sequence transform. No driver collect."""
     positions = F.explode(F.array(*[
-        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(BLOOM_BITS))
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
         for i in range(BLOOM_HASHES)
     ])).alias("pos")
     words = keys.select(positions).select(
@@ -98,21 +112,21 @@ def bloom_mask(keys: DataFrame, key: str) -> DataFrame:
         .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mmap"))
         .select(
             F.transform(
-                F.sequence(F.lit(0), F.lit(BLOOM_BITS // 64 - 1)),
+                F.sequence(F.lit(0), F.lit(n_bits // 64 - 1)),
                 lambda w: F.coalesce(F.element_at(F.col("mmap"), w), F.lit(0).cast("bigint")),
             ).alias("mask")
         )
     )
 
 
-def bloom_probe_predicate(key: str):
+def bloom_probe_predicate(key: str, n_bits: int):
     """Probe-side predicate testing all BLOOM_HASHES bits against the
     broadcast `mask` column. Pure codegen (xxhash64 + array subscript +
     bitwise and), evaluated in the scan stage before any shuffle."""
     tests = [
         F.expr(
-            f"(element_at(mask, int(pmod(xxhash64({key}, {i}), {BLOOM_BITS}) / 64) + 1)"
-            f" & shiftleft(1L, int(pmod(xxhash64({key}, {i}), {BLOOM_BITS}) % 64))) != 0"
+            f"(element_at(mask, int(pmod(xxhash64({key}, {i}), {n_bits}) / 64) + 1)"
+            f" & shiftleft(1L, int(pmod(xxhash64({key}, {i}), {n_bits}) % 64))) != 0"
         )
         for i in range(BLOOM_HASHES)
     ]
@@ -136,11 +150,14 @@ def bloom_filtered_revenue(spark, sf_dir: str) -> DataFrame:
     sel = orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN).select(
         "o_orderkey", "o_orderpriority"
     )
-    mask = bloom_mask(sel, "o_orderkey")
+    # size the mask from the build side (one cheap count, the IVF-
+    # trainer pattern) so it never saturates as the data grows
+    n_bits = bloom_bits_for(sel.count())
+    mask = bloom_mask(sel, "o_orderkey", n_bits)
     li_pruned = (
         li.select("l_orderkey", "l_extendedprice", "l_discount")
         .crossJoin(F.broadcast(mask))
-        .filter(bloom_probe_predicate("l_orderkey"))
+        .filter(bloom_probe_predicate("l_orderkey", n_bits))
         .drop("mask")
     )
     disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")

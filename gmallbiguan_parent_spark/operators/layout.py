@@ -110,6 +110,11 @@ def write_zordered(
         F.min(x).alias("x_mn"), F.max(x).alias("x_mx"),
         F.min(y).alias("y_mn"), F.max(y).alias("y_mx"),
     ).collect()[0]
+    if row.x_mn is None or row.y_mn is None:
+        # empty (or all-NULL) input: write the empty table as-is rather
+        # than crash on NULL bounds arithmetic
+        df.write.mode("overwrite").parquet(path)
+        return
     scale = (1 << Z_BITS) - 1
     xs = max(int(row.x_mx - row.x_mn), 1)
     ys = max(int(row.y_mx - row.y_mn), 1)

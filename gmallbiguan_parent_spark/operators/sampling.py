@@ -110,7 +110,11 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (h + 1).cast("double") / float(1 << 60)
     key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 9)
     cand = (
-        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        # weight 0 means "never sampled" — and guards the NULL key a
+        # zero division would produce (Spark sorts NULLs first ASC,
+        # DuckDB last: a silent cross-engine order flip)
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("key"))
         .orderBy(F.asc("key"), F.asc("doc_id"))
         .limit(PRIO_K)
     )
@@ -193,7 +197,7 @@ ORACLES = {
                ROUND(-ln(CAST((('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1) AS DOUBLE)
                          / 1152921504606846976.0)
                      / CAST(n_chars AS DOUBLE), 9) AS key
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY key ASC, doc_id ASC) AS INTEGER) AS rank,
            doc_id, source, n_chars, key

@@ -500,7 +500,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the bigram. Log terms round at 12 dp into DECIMAL sums —
     order-independent, so both engines hash-match."""
     docs = load_table_spread(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+    toks = tokenize("text")
     n = F.size(toks)
     pairs = F.arrays_zip(
         F.slice(toks, 1, n - 1).alias("prev"),
@@ -748,12 +748,17 @@ def _bpe_train_oracle(n_merges: int, tail: str | None = None) -> str:
         FROM pairs{i} GROUP BY lhs, rhs
         ORDER BY pair_ct DESC, lhs ASC, rhs ASC LIMIT 1
     ), vocab{i} AS (
+        -- LEFT JOIN pass-through: if a step finds no pairs (vocab fully
+        -- merged), best{i} is empty and the vocabulary must flow on
+        -- unchanged, matching the Python loop's break.
         SELECT v.tok, v.wct,
-               replace(replace(v.syms, ' ' || b.lhs || ' ' || b.rhs || ' ',
-                                       ' ' || b.lhs || b.rhs || ' '),
-                       ' ' || b.lhs || ' ' || b.rhs || ' ',
-                       ' ' || b.lhs || b.rhs || ' ') AS syms
-        FROM vocab{i - 1} v CROSS JOIN best{i} b
+               CASE WHEN b.lhs IS NULL THEN v.syms
+                    ELSE replace(replace(v.syms, ' ' || b.lhs || ' ' || b.rhs || ' ',
+                                                 ' ' || b.lhs || b.rhs || ' '),
+                                 ' ' || b.lhs || ' ' || b.rhs || ' ',
+                                 ' ' || b.lhs || b.rhs || ' ')
+               END AS syms
+        FROM vocab{i - 1} v LEFT JOIN best{i} b ON TRUE
     )""")
     if tail is None:
         rules = "\n    UNION ALL ".join(
