@@ -158,8 +158,45 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RATE_CAP = 5  # events allowed per user per hour
+
+
+def rate_limited_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate limiting (abuse/bot damping for log ingest): keep
+    the first RATE_CAP events per (user, hour) in event-time order,
+    report per-hour admission stats. The keep rule is a row_number
+    window partitioned by (user, hour) — state bounded per key, the
+    same shape a streaming limiter holds in keyed state; at 100 TB the
+    shuffle keys on (user, hour) so no task sees more than one user-
+    hour's events (AQE splits a runaway bot key).
+
+    Tiebreak (ts, event_id) is total, so both engines admit the same
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    flagged = (
+        ev.select("event_id", "ts", "user_id", hour.alias("hr"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("kept", F.col("rn") <= RATE_CAP)
+    )
+    return (
+        flagged.groupBy("hr")
+        .agg(
+            F.count("*").alias("total_ct"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_ct"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("dropped_ct"),
+            F.countDistinct(F.when(~F.col("kept"), F.col("user_id"))).alias("n_users_capped"),
+        )
+        .orderBy("hr")
+    )
+
+
 QUERIES = {
     "table_profile": table_profile,
+    "rate_limited_events": rate_limited_events,
     "k_anonymity_audit": k_anonymity_audit,
     "integrity_audit": integrity_audit,
     "benford_digit_audit": benford_digit_audit,
@@ -170,6 +207,22 @@ _BENFORD_CASE = "CASE digit " + " ".join(
 ) + " ELSE 0.0 END"
 
 ORACLES = {
+    "rate_limited_events": f"""
+    WITH flagged AS (
+        SELECT event_id, ts, user_id, date_trunc('hour', ts) AS hr,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) <= {RATE_CAP} AS kept
+        FROM events
+    )
+    SELECT hr,
+           CAST(COUNT(*) AS BIGINT) AS total_ct,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct,
+           CAST(SUM(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS dropped_ct,
+           CAST(COUNT(DISTINCT CASE WHEN NOT kept THEN user_id END) AS BIGINT) AS n_users_capped
+    FROM flagged
+    GROUP BY hr
+    ORDER BY hr
+    """,
     "k_anonymity_audit": f"""
     WITH classes AS (
         SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size

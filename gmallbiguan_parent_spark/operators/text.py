@@ -701,6 +701,44 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     return rules, vocab
 
 
+BPE_DOC_MOD = 10
+
+
+def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level tokenizer application: per doc, word count vs
+    BPE-piece count and the compression ratio — the token-budget
+    numbers an epoch planner needs AFTER training a tokenizer (char
+    count over-estimates, whitespace words under-estimate).
+
+    The trick that scales: documents join the MERGED VOCABULARY (token
+    -> n_pieces), so the merge chain never re-runs per corpus token —
+    one explode, one vocab-keyed join (vocab is small: broadcast), one
+    doc-keyed aggregate. This is how a trained tokenizer is applied in
+    production: segment the vocab once, look up."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    pieces = vocab.select(
+        "tok", F.size(F.split(F.trim(F.col("syms")), " ")).alias("n_pieces")
+    )
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("doc_id") % BPE_DOC_MOD == 0)
+        .select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    )
+    ratio = F.round(
+        F.col("piece_ct").cast("double") / F.col("word_ct").cast("double"), 6
+    )
+    return (
+        toks.join(F.broadcast(pieces), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("word_ct"),
+            F.sum("n_pieces").alias("piece_ct"),
+        )
+        .select("doc_id", "word_ct", "piece_ct", ratio.alias("pieces_per_word"))
+        .orderBy("doc_id")
+    )
+
+
 BPE_VOCAB_TOP = 50
 
 
@@ -777,6 +815,7 @@ QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_train_merges": bpe_train_merges,
     "bpe_segmented_vocab": bpe_segmented_vocab,
+    "bpe_doc_tokens": bpe_doc_tokens,
     "source_kl_divergence": source_kl_divergence,
     "doc_perplexity": doc_perplexity,
     "text_normalize": text_normalize,
@@ -796,6 +835,25 @@ _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
 ORACLES = {
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_MERGES),
+    "bpe_doc_tokens": _bpe_train_oracle(
+        BPE_TRAIN_MERGES,
+        f"""SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS word_ct,
+               CAST(SUM(n_pieces) AS BIGINT) AS piece_ct,
+               ROUND(CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pieces_per_word
+    FROM (
+        SELECT d.doc_id, p.n_pieces
+        FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents WHERE doc_id % {BPE_DOC_MOD} = 0
+        ) d
+        JOIN (
+            SELECT tok, len(string_split(trim(syms), ' ')) AS n_pieces
+            FROM vocab{BPE_TRAIN_MERGES}
+        ) p ON d.tok = p.tok
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id""",
+    ),
     "bpe_segmented_vocab": _bpe_train_oracle(
         BPE_TRAIN_MERGES,
         f"""SELECT tok, CAST(wct AS BIGINT) AS wct, trim(syms) AS pieces,
