@@ -194,8 +194,71 @@ def rate_limited_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_SPLIT_DATE = "1996-01-01"
+PSI_BUCKETS = 10
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    reference window (orders before PSI_SPLIT_DATE) vs current window
+    (after) — the standard ML-monitoring drift score (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 action). Buckets are the reference
+    window's value deciles (exact percentile_disc cut points, the
+    quality_buckets recipe: a tiny 1-row broadcast, no global sort);
+    both windows bucket with the same when-chain, one shuffle each.
+
+    Terms use the symmetric PSI form (q - p) * ln(q / p), rounded into
+    DECIMAL so the sum is order-independent; empty buckets on either
+    side are excluded (documented PSI practice) via the term filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < PSI_SPLIT_DATE)
+    cur = orders.filter(F.col("o_orderdate") >= PSI_SPLIT_DATE)
+    cuts = ref.agg(*[
+        F.expr(f"percentile_disc({p / PSI_BUCKETS}) WITHIN GROUP (ORDER BY o_totalprice)").alias(f"c{p}")
+        for p in range(1, PSI_BUCKETS)
+    ])
+
+    def bucketed(df):
+        b = F.lit(1)
+        for p in range(1, PSI_BUCKETS):
+            b = b + F.when(F.col("o_totalprice") > F.col(f"c{p}"), 1).otherwise(0)
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("ct"))
+        )
+
+    r = bucketed(ref).select("bucket", F.col("ct").alias("ref_ct"))
+    c = bucketed(cur).select("bucket", F.col("ct").alias("cur_ct"))
+    r_tot = r.agg(F.sum("ref_ct").alias("ref_n"))
+    c_tot = c.agg(F.sum("cur_ct").alias("cur_n"))
+    p = F.col("ref_ct").cast("double") / F.col("ref_n").cast("double")
+    q = F.col("cur_ct").cast("double") / F.col("cur_n").cast("double")
+    term = F.round((q - p) * F.log(q / p), 12).cast("decimal(28,12)")
+    detail = (
+        r.join(c, "bucket")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "bucket", "ref_ct", "cur_ct",
+            F.round(p, 9).alias("p"),
+            F.round(q, 9).alias("q"),
+            term.alias("term"),
+        )
+    )
+    total = detail.agg(F.sum("term").cast("double").alias("psi"))
+    return (
+        detail.crossJoin(F.broadcast(total))
+        .select("bucket", "ref_ct", "cur_ct", "p", "q",
+                F.col("term").cast("double").alias("term"), "psi")
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "table_profile": table_profile,
+    "psi_drift": psi_drift,
     "rate_limited_events": rate_limited_events,
     "k_anonymity_audit": k_anonymity_audit,
     "integrity_audit": integrity_audit,
@@ -206,7 +269,47 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     f"WHEN '{d}' THEN {BENFORD_EXP[d]}" for d in range(1, 10)
 ) + " ELSE 0.0 END"
 
+_PSI_CUTS = ", ".join(
+    f"quantile_disc(o_totalprice, {p / PSI_BUCKETS}) AS c{p}" for p in range(1, PSI_BUCKETS)
+)
+_PSI_BUCKET_EXPR = "1 + " + " + ".join(
+    f"CASE WHEN o_totalprice > c{p} THEN 1 ELSE 0 END" for p in range(1, PSI_BUCKETS)
+)
+
 ORACLES = {
+    "psi_drift": f"""
+    WITH ref AS (
+        SELECT o_totalprice FROM orders WHERE o_orderdate < DATE '{PSI_SPLIT_DATE}'
+    ), cur AS (
+        SELECT o_totalprice FROM orders WHERE o_orderdate >= DATE '{PSI_SPLIT_DATE}'
+    ), cuts AS (
+        SELECT {_PSI_CUTS} FROM ref
+    ), rb AS (
+        SELECT {_PSI_BUCKET_EXPR} AS bucket, COUNT(*) AS ref_ct
+        FROM ref, cuts GROUP BY 1
+    ), cb AS (
+        SELECT {_PSI_BUCKET_EXPR} AS bucket, COUNT(*) AS cur_ct
+        FROM cur, cuts GROUP BY 1
+    ), rt AS (SELECT CAST(SUM(ref_ct) AS BIGINT) AS ref_n FROM rb),
+    ct AS (SELECT CAST(SUM(cur_ct) AS BIGINT) AS cur_n FROM cb),
+    detail AS (
+        SELECT r.bucket, CAST(r.ref_ct AS BIGINT) AS ref_ct, CAST(c.cur_ct AS BIGINT) AS cur_ct,
+               ROUND(CAST(r.ref_ct AS DOUBLE) / CAST(rt.ref_n AS DOUBLE), 9) AS p,
+               ROUND(CAST(c.cur_ct AS DOUBLE) / CAST(ct.cur_n AS DOUBLE), 9) AS q,
+               CAST(ROUND((CAST(c.cur_ct AS DOUBLE) / CAST(ct.cur_n AS DOUBLE)
+                           - CAST(r.ref_ct AS DOUBLE) / CAST(rt.ref_n AS DOUBLE))
+                          * ln((CAST(c.cur_ct AS DOUBLE) / CAST(ct.cur_n AS DOUBLE))
+                               / (CAST(r.ref_ct AS DOUBLE) / CAST(rt.ref_n AS DOUBLE))), 12)
+                    AS DECIMAL(28,12)) AS term
+        FROM rb r JOIN cb c ON r.bucket = c.bucket, rt, ct
+    ), tot AS (
+        SELECT CAST(SUM(term) AS DOUBLE) AS psi FROM detail
+    )
+    SELECT d.bucket, d.ref_ct, d.cur_ct, d.p, d.q,
+           CAST(d.term AS DOUBLE) AS term, t.psi
+    FROM detail d, tot t
+    ORDER BY d.bucket
+    """,
     "rate_limited_events": f"""
     WITH flagged AS (
         SELECT event_id, ts, user_id, date_trunc('hour', ts) AS hr,
