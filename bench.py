@@ -130,14 +130,20 @@ def main() -> None:
 
     # Extended set: round-4 additions, reported under their own key so
     # the headline total stays comparable with BENCH_r01..r03.
+    # Warm pass included: several extended operators front-load heavy
+    # codegen / driver-side training whose cost the warm number strips.
     extended: dict[str, float] = {}
+    extended_warm: dict[str, float] = {}
     for name in EXTENDED:
         fn = qs[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         dt = round(time.time() - t0, 3)
         extended[name] = dt
-        print(f"# ext {name}: {n} rows in {dt}s", file=sys.stderr)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        extended_warm[name] = round(time.time() - t0, 3)
+        print(f"# ext {name}: {n} rows in {dt}s (warm {extended_warm[name]}s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -147,6 +153,7 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
         "queries_extended": extended,
+        "queries_extended_warm": extended_warm,
         "calib_jvm_sec": calib_jvm,
         "calib_python_worker_sec": calib_py,
         "sf": float(sf),
