@@ -273,6 +273,64 @@ def stream_is_new_repair(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     )
 
 
+def _rate_state_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState body for per-(user, hour) rate limiting:
+    state = events seen so far for the key; an event is admitted iff
+    its arrival position is within RATE_CAP (exactly the batch
+    row_number <= cap rule — order (ts, event_id) is total, so batch
+    and stream admit identical events). On event-time timeout (an hour
+    past the window) the counter is dropped — bounded keyed state."""
+    from ..operators.quality import RATE_CAP
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    seen = state.get[0] if state.exists else 0
+    ids, kept = [], []
+    for ev_id in rows["event_id"]:
+        ids.append(int(ev_id))
+        kept.append(seen < RATE_CAP)
+        seen += 1
+    state.update((seen,))
+    hr_us = int(key[1].value // 1000)
+    state.setTimeoutTimestamp(hr_us // 1000 + 2 * 3600 * 1000)
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(ids),
+        "hr": [key[1]] * len(ids),
+        "event_id": ids,
+        "kept": kept,
+    })
+
+
+def stream_rate_limit(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Streaming twin of quality.rate_limited_events: keyed admission
+    counter per (user, hour) with event-time state expiry — the
+    count-based stateful pattern (vs stream_jump_detect's pending-
+    event/timeout pattern). The bounded replay's per-hour rollup
+    equals the batch answer exactly and is fully oracle-checked."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "event_id", "ts", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id", "hr")
+        .applyInPandasWithState(
+            _rate_state_fn,
+            outputStructType="user_id long, hr timestamp, event_id long, kept boolean",
+            stateStructType="seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
 def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """ST1+J2 streaming twin: watermarked stream-stream interval join —
     purchases join the same user's preceding view/click within 30 min

@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dec
-from .pipelines import WINDOW, _events_stream, run_stream_to_df, stream_jump_detect
+from .pipelines import (
+    WINDOW, _events_stream, run_stream_to_df, stream_jump_detect, stream_rate_limit,
+)
 
 
 def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,8 +327,26 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(final[max(final)])
 
 
+def stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour admission stats from the streaming limiter's per-event
+    decisions — identical output (and oracle) to the batch
+    rate_limited_events."""
+    df = run_stream_to_df(spark, sf_dir, stream_rate_limit)
+    return (
+        df.groupBy("hr")
+        .agg(
+            F.count("*").alias("total_ct"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_ct"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("dropped_ct"),
+            F.countDistinct(F.when(~F.col("kept"), F.col("user_id"))).alias("n_users_capped"),
+        )
+        .orderBy("hr")
+    )
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
+    "stream_rate_limit": stream_rate_limit_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
     "stream_uv_dedup": stream_uv_dedup_q,
     "stream_jump_detect": stream_jump_detect_q,
@@ -336,7 +356,11 @@ QUERIES = {
     "stream_payment_pairs": stream_payment_pairs_q,
 }
 
+from ..operators.quality import ORACLES as _QUALITY_ORACLES
+
 ORACLES = {
+    # the streaming limiter must aggregate to EXACTLY the batch answer
+    "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_gmv_incremental": """
         SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount

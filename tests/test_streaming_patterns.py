@@ -212,3 +212,31 @@ def test_stream_keyword_stats_matches_batch(spark):
     batch = {(r.keyword, r.source): r.ct for r in keyword_stats(spark, SF_DIR).collect()}
     stream = {(r.keyword, r.source): r.ct for r in stream_keyword_stats_q(spark, SF_DIR).collect()}
     assert stream == batch and batch
+
+
+def test_stream_rate_limit_matches_batch_per_event(spark):
+    """Stronger than the per-hour oracle: every individual admission
+    decision must agree with the batch row_number rule."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.io import load_table
+    from gmallbiguan_parent_spark.operators.quality import RATE_CAP
+    from gmallbiguan_parent_spark.streaming.pipelines import (
+        run_stream_to_df, stream_rate_limit,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r.user_id, r.event_id): r.kept
+        for r in run_stream_to_df(spark, SF_DIR, stream_rate_limit).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.event_id): r.rn <= RATE_CAP
+        for r in ev.select("user_id", "event_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .collect()
+    }
+    assert got == want
