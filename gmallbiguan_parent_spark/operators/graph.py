@@ -319,6 +319,60 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REACH_HOPS = 3
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric support-thresholded part co-purchase edges (the
+    copurchase_triangles graph, factored for reuse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bridge = li.select("l_orderkey", "l_partkey").distinct()
+    a0, b0 = bridge.alias("a0"), bridge.alias("b0")
+    return (
+        a0.join(b0, "l_orderkey")
+        .filter(F.col("a0.l_partkey") != F.col("b0.l_partkey"))
+        .groupBy(
+            F.col("a0.l_partkey").alias("src"), F.col("b0.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+
+
+def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the thresholded co-purchase graph: minimum hop
+    distance from the seed part (the lowest part id in the edge set)
+    for every node within REACH_HOPS hops, rolled up per hop — the
+    "related products within k clicks" traversal primitive, and the
+    frontier-join pattern every distributed BFS uses (one edges join +
+    one min-agg per hop; at graph scale each round shuffles only the
+    frontier, with localCheckpoint between rounds for long walks —
+    bounded unroll keeps the plan finite and oracle-replayable)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seed = edges.agg(F.min("src").alias("node"))
+    reached = seed.select("node", F.lit(0).alias("hop"))
+    for h in range(1, REACH_HOPS + 1):
+        frontier = reached.filter(F.col("hop") == h - 1)
+        expanded = frontier.join(edges, frontier.node == edges.src).select(
+            F.col("dst").alias("node"), F.lit(h).alias("hop")
+        )
+        reached = (
+            reached.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return (
+        reached.groupBy("hop")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_part"),
+            F.max("node").alias("max_part"),
+        )
+        .orderBy("hop")
+    )
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out}_c AS (
@@ -338,9 +392,46 @@ QUERIES = {
     "supplier_pagerank": supplier_pagerank,
     "copurchase_lift": copurchase_lift,
     "copurchase_triangles": copurchase_triangles,
+    "copurchase_reach": copurchase_reach,
 }
 
+def _reach_oracle() -> str:
+    parts = [f"""
+    WITH bridge AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ), r0 AS (
+        SELECT MIN(src) AS node, 0 AS hop FROM edges
+    )"""]
+    prev = "r0"
+    for h in range(1, REACH_HOPS + 1):
+        parts.append(f""", r{h} AS (
+        SELECT node, MIN(hop) AS hop FROM (
+            SELECT node, hop FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, {h} AS hop
+            FROM {prev} f JOIN edges e ON f.node = e.src
+            WHERE f.hop = {h - 1}
+        ) GROUP BY node
+    )""")
+        prev = f"r{h}"
+    parts.append(f"""
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_part, MAX(node) AS max_part
+    FROM {prev}
+    GROUP BY hop
+    ORDER BY hop
+    """)
+    return "".join(parts)
+
+
 ORACLES = {
+    "copurchase_reach": _reach_oracle(),
     "copurchase_triangles": f"""
     WITH bridge AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

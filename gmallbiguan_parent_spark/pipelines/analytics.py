@@ -583,7 +583,59 @@ def event_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_ASOF = "1998-08-02"  # dataset end date (TPC-H convention)
+RFM_Q = 5
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the e-commerce marketing rollup the
+    reference's serving layer points toward: per customer, Recency
+    (days since last order at the dataset as-of date), Frequency
+    (order count), Monetary (total spend); each scored into quintiles
+    and rolled up per (r, f, m) segment.
+
+    Scale: quintile boundaries are exact percentile_disc cut points
+    over the customer-level aggregate (the quality_buckets recipe — a
+    1-row broadcast + when-chains, NO global ntile sort over the
+    customer dimension, which is millions of rows at warehouse scale).
+    Recency scores reverse (low days = best), matching RFM practice."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate")).alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum(dec("o_totalprice")).alias("mon"),
+    )
+    cuts = per_cust.agg(*[
+        F.expr(f"percentile_disc({q / RFM_Q}) WITHIN GROUP (ORDER BY {c})").alias(f"{c}{q}")
+        for c in ("rec", "freq", "mon")
+        for q in range(1, RFM_Q)
+    ])
+
+    def score(c):
+        b = F.lit(1)
+        for q in range(1, RFM_Q):
+            b = b + F.when(F.col(c) > F.col(f"{c}{q}"), 1).otherwise(0)
+        return b
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey", "rec", "freq", "mon",
+        (F.lit(RFM_Q + 1) - score("rec")).alias("r_score"),  # low recency = best
+        score("freq").alias("f_score"),
+        score("mon").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("cust_ct"),
+            F.sum("mon").cast("decimal(28,4)").alias("segment_value"),
+            F.min("o_custkey").alias("min_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "topn_orders_per_priority": topn_orders_per_priority,
     "event_spike_days": event_spike_days,
     "order_seasonality": order_seasonality,
@@ -609,7 +661,44 @@ QUERIES = {
     "nation_share_of_region": nation_share_of_region,
 }
 
+_RFM_CUTS = ", ".join(
+    f"quantile_disc({c}, {q / 5}) AS {c}{q}"
+    for c in ("rec", "freq", "mon") for q in range(1, 5)
+)
+
+
+def _rfm_score_sql(c: str, reverse: bool = False) -> str:
+    base = "1 + " + " + ".join(
+        f"CASE WHEN {c} > {c}{q} THEN 1 ELSE 0 END" for q in range(1, 5)
+    )
+    return f"6 - ({base})" if reverse else base
+
+
 ORACLES = {
+    "rfm_segments": f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), DATE '{RFM_ASOF}') AS rec,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+        FROM orders GROUP BY 1
+    ), cuts AS (
+        SELECT {_RFM_CUTS} FROM per_cust
+    ), scored AS (
+        SELECT o_custkey, mon,
+               {_rfm_score_sql('rec', reverse=True)} AS r_score,
+               {_rfm_score_sql('freq')} AS f_score,
+               {_rfm_score_sql('mon')} AS m_score
+        FROM per_cust, cuts
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS cust_ct,
+           CAST(SUM(mon) AS DECIMAL(28,4)) AS segment_value,
+           MIN(o_custkey) AS min_custkey
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
     "event_spike_days": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS dt,

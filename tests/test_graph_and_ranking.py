@@ -244,3 +244,25 @@ def test_doc_perplexity_bounds(spark):
         assert r.doc_id % PPL_DOC_MOD == 0
         assert float(r.ppl) >= 1.0
         assert r.n_bigrams >= 1
+
+
+def test_reach_hops_monotone_and_seeded(spark):
+    """Hop 0 is exactly the seed; every hop's node sets are disjoint by
+    construction (min-hop), and reach can only grow with hops."""
+    from gmallbiguan_parent_spark.operators.graph import REACH_HOPS, copurchase_reach
+
+    rows = {r.hop: r for r in copurchase_reach(spark, SF_DIR).collect()}
+    assert 0 in rows and rows[0].n_nodes == 1
+    assert set(rows) <= set(range(REACH_HOPS + 1))
+    assert rows[0].min_part == rows[0].max_part
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    from gmallbiguan_parent_spark.pipelines.analytics import rfm_segments
+
+    rows = rfm_segments(spark, SF_DIR).collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.cust_ct for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
