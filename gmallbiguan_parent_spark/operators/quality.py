@@ -256,8 +256,56 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categorical columns
+    (market segment x nation over customers) — the statistical screen
+    for 'is this dimension informative or noise' in feature/stratum
+    selection. Per-cell observed vs expected (row_tot * col_tot / n)
+    with contributions (obs-exp)^2/exp rounded into DECIMAL so the
+    chi2 total is order-independent; dof carried alongside.
+
+    One contingency aggregate (small: |segments| x |nations| cells),
+    margins broadcast back — nothing scales past the cell count."""
+    cust = load_table(spark, sf_dir, "customer")
+    obs = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("obs"))
+    rt = obs.groupBy("c_mktsegment").agg(F.sum("obs").alias("row_tot"))
+    ct = obs.groupBy("c_nationkey").agg(F.sum("obs").alias("col_tot"))
+    n1 = obs.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("c_mktsegment").alias("n_rows_d"),
+        F.countDistinct("c_nationkey").alias("n_cols_d"),
+    )
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp,
+        9,
+    ).cast("decimal(28,9)")
+    detail = (
+        obs.join(F.broadcast(rt), "c_mktsegment")
+        .join(F.broadcast(ct), "c_nationkey")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "c_mktsegment", "c_nationkey", "obs",
+            F.round(exp, 6).alias("expected"),
+            contrib.alias("contrib"),
+            ((F.col("n_rows_d") - 1) * (F.col("n_cols_d") - 1)).alias("dof"),
+        )
+    )
+    tot = detail.agg(F.sum("contrib").cast("double").alias("chi2"))
+    return (
+        detail.crossJoin(F.broadcast(tot))
+        .select("c_mktsegment", "c_nationkey", "obs", "expected",
+                F.col("contrib").cast("double").alias("contrib"), "dof", "chi2")
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
 QUERIES = {
     "table_profile": table_profile,
+    "chi2_independence": chi2_independence,
     "psi_drift": psi_drift,
     "rate_limited_events": rate_limited_events,
     "k_anonymity_audit": k_anonymity_audit,
@@ -277,6 +325,39 @@ _PSI_BUCKET_EXPR = "1 + " + " + ".join(
 )
 
 ORACLES = {
+    "chi2_independence": """
+    WITH obs AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS obs
+        FROM customer GROUP BY 1, 2
+    ), rt AS (
+        SELECT c_mktsegment, CAST(SUM(obs) AS BIGINT) AS row_tot FROM obs GROUP BY 1
+    ), ctt AS (
+        SELECT c_nationkey, CAST(SUM(obs) AS BIGINT) AS col_tot FROM obs GROUP BY 1
+    ), n1 AS (
+        SELECT CAST(SUM(obs) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_rows_d,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_cols_d
+        FROM obs
+    ), detail AS (
+        SELECT o.c_mktsegment, o.c_nationkey, CAST(o.obs AS BIGINT) AS obs,
+               ROUND(CAST(r.row_tot AS DOUBLE) * CAST(c.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS expected,
+               CAST(ROUND(
+                   (CAST(o.obs AS DOUBLE) - CAST(r.row_tot AS DOUBLE) * CAST(c.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   * (CAST(o.obs AS DOUBLE) - CAST(r.row_tot AS DOUBLE) * CAST(c.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   / (CAST(r.row_tot AS DOUBLE) * CAST(c.col_tot AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
+                    AS DECIMAL(28,9)) AS contrib,
+               (n.n_rows_d - 1) * (n.n_cols_d - 1) AS dof
+        FROM obs o
+        JOIN rt r ON o.c_mktsegment = r.c_mktsegment
+        JOIN ctt c ON o.c_nationkey = c.c_nationkey, n1 n
+    ), tot AS (
+        SELECT CAST(SUM(contrib) AS DOUBLE) AS chi2 FROM detail
+    )
+    SELECT d.c_mktsegment, d.c_nationkey, d.obs, d.expected,
+           CAST(d.contrib AS DOUBLE) AS contrib, d.dof, t.chi2
+    FROM detail d, tot t
+    ORDER BY d.c_mktsegment, d.c_nationkey
+    """,
     "psi_drift": f"""
     WITH ref AS (
         SELECT o_totalprice FROM orders WHERE o_orderdate < DATE '{PSI_SPLIT_DATE}'

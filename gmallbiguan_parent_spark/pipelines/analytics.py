@@ -583,6 +583,56 @@ def event_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3
+EWMA_BETA = 1.0 - EWMA_ALPHA  # 0.7 — computed once so both engines
+                              # embed the bit-identical double literal
+
+
+def gmv_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily GMV over one
+    quarter — the smoothing/forecast-baseline primitive (e_t = a*x_t +
+    (1-a)*e_{t-1}). The recurrence is inherently sequential, but the
+    SERIES is tiny (days, not orders): aggregate first (one corpus
+    shuffle), then fold the ordered day array with F.aggregate in a
+    single tiny task — the 'pre-aggregate, then sequential-fold the
+    small series' recipe for any recursive smoother at warehouse scale.
+    Each step rounds to 6 dp; the oracle replays with a recursive CTE."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s")
+    )
+    step = F.aggregate(
+        F.col("s"),
+        F.array().cast("array<struct<dt:string,gmv:double,ewma:double>>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(F.struct(
+                e.dt.alias("dt"),
+                e.gmv.alias("gmv"),
+                F.when(
+                    F.size(acc) == 0, F.round(e.gmv, 6)
+                ).otherwise(
+                    F.round(
+                        F.lit(EWMA_ALPHA) * e.gmv
+                        + F.lit(EWMA_BETA) * F.element_at(acc, -1).ewma,
+                        6,
+                    )
+                ).alias("ewma"),
+            )),
+        ),
+    )
+    return (
+        series.select(F.explode(step).alias("r"))
+        .select("r.dt", "r.gmv", "r.ewma")
+        .orderBy("dt")
+    )
+
+
 RFM_ASOF = "1998-08-02"  # dataset end date (TPC-H convention)
 RFM_Q = 5
 
@@ -636,6 +686,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "rfm_segments": rfm_segments,
+    "gmv_ewma": gmv_ewma,
     "topn_orders_per_priority": topn_orders_per_priority,
     "event_spike_days": event_spike_days,
     "order_seasonality": order_seasonality,
@@ -675,6 +726,24 @@ def _rfm_score_sql(c: str, reverse: bool = False) -> str:
 
 
 ORACLES = {
+    "gmv_ewma": f"""
+    WITH RECURSIVE daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        GROUP BY 1
+    ), idx AS (
+        SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
+    ), ew AS (
+        SELECT dt, gmv, i, ROUND(gmv, 6) AS ewma FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.dt, x.gmv, x.i,
+               ROUND({EWMA_ALPHA!r} * x.gmv + {EWMA_BETA!r} * e.ewma, 6)
+        FROM idx x JOIN ew e ON x.i = e.i + 1
+    )
+    SELECT dt, gmv, ewma FROM ew ORDER BY dt
+    """,
     "rfm_segments": f"""
     WITH per_cust AS (
         SELECT o_custkey,
