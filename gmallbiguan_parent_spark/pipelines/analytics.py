@@ -684,8 +684,40 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the 'what do users do next' primitive behind funnel
+    design and next-action prediction. P(cur | prev) = count(prev->cur)
+    / count(prev->*), with counts exact and probabilities rounded.
+
+    Plan: one lag window partitioned by user (corpus-scale but keyed —
+    no global sort; (ts, event_id) tiebreak makes sequences total),
+    one (prev, cur) aggregate, row totals broadcast back. The matrix
+    is |event_types|^2 cells regardless of corpus size."""
+    from ..io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    trans = pairs.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
+        F.count("*").alias("ct")
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("ct").alias("row_tot"))
+    prob = F.round(F.col("ct").cast("double") / F.col("row_tot").cast("double"), 6)
+    return (
+        trans.join(F.broadcast(row_tot), "prev_type")
+        .select("prev_type", "cur_type", "ct", prob.alias("p"))
+        .orderBy("prev_type", "cur_type")
+    )
+
+
 QUERIES = {
     "rfm_segments": rfm_segments,
+    "event_transition_matrix": event_transition_matrix,
     "gmv_ewma": gmv_ewma,
     "topn_orders_per_priority": topn_orders_per_priority,
     "event_spike_days": event_spike_days,
@@ -726,6 +758,23 @@ def _rfm_score_sql(c: str, reverse: bool = False) -> str:
 
 
 ORACLES = {
+    "event_transition_matrix": """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, event_type AS cur_type, COUNT(*) AS ct
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), rt AS (
+        SELECT prev_type, CAST(SUM(ct) AS BIGINT) AS row_tot FROM trans GROUP BY 1
+    )
+    SELECT t.prev_type, t.cur_type, CAST(t.ct AS BIGINT) AS ct,
+           ROUND(CAST(t.ct AS DOUBLE) / CAST(r.row_tot AS DOUBLE), 6) AS p
+    FROM trans t JOIN rt r ON t.prev_type = r.prev_type
+    ORDER BY t.prev_type, t.cur_type
+    """,
     "gmv_ewma": f"""
     WITH RECURSIVE daily AS (
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,

@@ -266,3 +266,16 @@ def test_rfm_segments_cover_all_customers(spark):
     assert sum(r.cust_ct for r in rows) == n_cust
     for r in rows:
         assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    from gmallbiguan_parent_spark.pipelines.analytics import event_transition_matrix
+
+    rows = event_transition_matrix(spark, SF_DIR).collect()
+    assert rows
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        assert 0 < float(r.p) <= 1
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + float(r.p)
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 1e-4, f"{prev} row sums to {tot}"
