@@ -69,6 +69,20 @@ EXTENDED = [
     "ann_pq_adc",
     "bloom_filtered_revenue",
     "zorder_layout_stats",
+    "bpe_doc_tokens",
+    "source_kl_divergence",
+    "doc_perplexity",
+    "source_shingle_overlap",
+    "priority_sample",
+    "embedding_dim_stats",
+    "k_anonymity_audit",
+    "psi_drift",
+    "rate_limited_events",
+    "chi2_independence",
+    "rfm_segments",
+    "gmv_ewma",
+    "event_transition_matrix",
+    "copurchase_reach",
 ]
 
 
