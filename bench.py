@@ -144,8 +144,9 @@ def main() -> None:
 
     # Extended set: round-4 additions, reported under their own key so
     # the headline total stays comparable with BENCH_r01..r03.
-    # Warm pass included: several extended operators front-load heavy
-    # codegen / driver-side training whose cost the warm number strips.
+    # Warm pass included: it strips codegen compile and scan-cache
+    # effects (NOT driver-side training loops — e.g. the BPE trainer
+    # re-runs its per-step collects every call by design).
     extended: dict[str, float] = {}
     extended_warm: dict[str, float] = {}
     for name in EXTENDED:

@@ -96,6 +96,11 @@ _EDGE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 def _cached_adjacency(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
+        # evict entries from other (dead) applications — checkpointed
+        # DataFrames are context-bound and would otherwise pin storage
+        # (or dangle) across session restarts in one process
+        for k in [k for k in _EDGE_CACHE if k[0] != key[0]]:
+            del _EDGE_CACHE[k]
         edges = _co_edges(spark, sf_dir).localCheckpoint()
         deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
         _EDGE_CACHE[key] = (edges, deg)
@@ -249,19 +254,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented edge set; per-node attribution explodes each triangle's
     three corners. All shuffles key on node/edge ids — AQE splits any
     residual hot key."""
-    li = load_table(spark, sf_dir, "lineitem")
-    bridge = li.select("l_orderkey", "l_partkey").distinct()
-    a0, b0 = bridge.alias("a0"), bridge.alias("b0")
-    edges = (
-        a0.join(b0, "l_orderkey")
-        .filter(F.col("a0.l_partkey") != F.col("b0.l_partkey"))
-        .groupBy(
-            F.col("a0.l_partkey").alias("src"), F.col("b0.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     half = edges.filter(F.col("src") < F.col("dst"))
     o = (
@@ -349,7 +342,11 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     one min-agg per hop; at graph scale each round shuffles only the
     frontier, with localCheckpoint between rounds for long walks —
     bounded unroll keeps the plan finite and oracle-replayable)."""
-    edges = _copurchase_edges(spark, sf_dir)
+    # materialize once: the lineitem self-join edge build is referenced
+    # by the seed aggregate and every frontier join — without the
+    # checkpoint it would re-execute per hop (eager, like the IVF/PQ
+    # trainers; construction runs the build one time)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     seed = edges.agg(F.min("src").alias("node"))
     reached = seed.select("node", F.lit(0).alias("hop"))
     for h in range(1, REACH_HOPS + 1):

@@ -182,6 +182,14 @@ def rate_limited_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .withColumn("kept", F.col("rn") <= RATE_CAP)
     )
+    return admission_rollup(flagged)
+
+
+def admission_rollup(flagged: DataFrame) -> DataFrame:
+    """Per-hour admission stats over a (hr, user_id, kept) frame —
+    shared by the batch limiter and its streaming twin so the two can
+    never diverge on the rollup definition (both check against the
+    same oracle)."""
     return (
         flagged.groupBy("hr")
         .agg(
@@ -265,9 +273,20 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 total is order-independent; dof carried alongside.
 
     One contingency aggregate (small: |segments| x |nations| cells),
-    margins broadcast back — nothing scales past the cell count."""
+    margins broadcast back — nothing scales past the cell count. The
+    FULL grid is materialized (distinct-level cross join) so
+    zero-observed cells contribute their expected mass — dropping them
+    would understate chi2 while dof still assumed the whole grid."""
     cust = load_table(spark, sf_dir, "customer")
-    obs = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("obs"))
+    seen = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("obs"))
+    grid = (
+        seen.select("c_mktsegment").distinct()
+        .crossJoin(seen.select("c_nationkey").distinct())
+    )
+    obs = (
+        grid.join(seen, ["c_mktsegment", "c_nationkey"], "left")
+        .select("c_mktsegment", "c_nationkey", F.coalesce("obs", F.lit(0)).alias("obs"))
+    )
     rt = obs.groupBy("c_mktsegment").agg(F.sum("obs").alias("row_tot"))
     ct = obs.groupBy("c_nationkey").agg(F.sum("obs").alias("col_tot"))
     n1 = obs.agg(
@@ -326,9 +345,15 @@ _PSI_BUCKET_EXPR = "1 + " + " + ".join(
 
 ORACLES = {
     "chi2_independence": """
-    WITH obs AS (
+    WITH seen AS (
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS obs
         FROM customer GROUP BY 1, 2
+    ), obs AS (
+        SELECT g.c_mktsegment, g.c_nationkey, COALESCE(s.obs, 0) AS obs
+        FROM (SELECT DISTINCT a.c_mktsegment, b.c_nationkey
+              FROM seen a CROSS JOIN seen b) g
+        LEFT JOIN seen s ON g.c_mktsegment = s.c_mktsegment
+                        AND g.c_nationkey = s.c_nationkey
     ), rt AS (
         SELECT c_mktsegment, CAST(SUM(obs) AS BIGINT) AS row_tot FROM obs GROUP BY 1
     ), ctt AS (

@@ -694,9 +694,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort; (ts, event_id) tiebreak makes sequences total),
     one (prev, cur) aggregate, row totals broadcast back. The matrix
     is |event_types|^2 cells regardless of corpus size."""
-    from ..io import load_table as _lt
-
-    ev = _lt(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select("user_id", "event_type", "ts", "event_id")
@@ -745,16 +743,16 @@ QUERIES = {
 }
 
 _RFM_CUTS = ", ".join(
-    f"quantile_disc({c}, {q / 5}) AS {c}{q}"
-    for c in ("rec", "freq", "mon") for q in range(1, 5)
+    f"quantile_disc({c}, {q / RFM_Q}) AS {c}{q}"
+    for c in ("rec", "freq", "mon") for q in range(1, RFM_Q)
 )
 
 
 def _rfm_score_sql(c: str, reverse: bool = False) -> str:
     base = "1 + " + " + ".join(
-        f"CASE WHEN {c} > {c}{q} THEN 1 ELSE 0 END" for q in range(1, 5)
+        f"CASE WHEN {c} > {c}{q} THEN 1 ELSE 0 END" for q in range(1, RFM_Q)
     )
-    return f"6 - ({base})" if reverse else base
+    return f"{RFM_Q + 1} - ({base})" if reverse else base
 
 
 ORACLES = {

@@ -276,10 +276,15 @@ def stream_is_new_repair(spark: SparkSession, sf_dir: str, out_dir: str) -> None
 def _rate_state_fn(key, pdf_iter, state: GroupState):
     """applyInPandasWithState body for per-(user, hour) rate limiting:
     state = events seen so far for the key; an event is admitted iff
-    its arrival position is within RATE_CAP (exactly the batch
-    row_number <= cap rule — order (ts, event_id) is total, so batch
-    and stream admit identical events). On event-time timeout (an hour
-    past the window) the counter is dropped — bounded keyed state."""
+    its ARRIVAL position is within RATE_CAP — the semantics every
+    production limiter has (admission can't retroactively reorder).
+    Within a micro-batch rows sort by (ts, event_id); across batches
+    the admission order is batch arrival order, so the stream equals
+    the batch row_number rule exactly when replay is in event-time
+    order (the bounded single-file replay the gate and tests run; an
+    out-of-order multi-batch source admits the same COUNT per key but
+    possibly different members). On event-time timeout (an hour past
+    the window) the counter is dropped — bounded keyed state."""
     from ..operators.quality import RATE_CAP
 
     if state.hasTimedOut:

@@ -331,17 +331,10 @@ def stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour admission stats from the streaming limiter's per-event
     decisions — identical output (and oracle) to the batch
     rate_limited_events."""
+    from ..operators.quality import admission_rollup
+
     df = run_stream_to_df(spark, sf_dir, stream_rate_limit)
-    return (
-        df.groupBy("hr")
-        .agg(
-            F.count("*").alias("total_ct"),
-            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_ct"),
-            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("dropped_ct"),
-            F.countDistinct(F.when(~F.col("kept"), F.col("user_id"))).alias("n_users_capped"),
-        )
-        .orderBy("hr")
-    )
+    return admission_rollup(df)
 
 
 QUERIES = {

@@ -255,6 +255,13 @@ def test_reach_hops_monotone_and_seeded(spark):
     assert 0 in rows and rows[0].n_nodes == 1
     assert set(rows) <= set(range(REACH_HOPS + 1))
     assert rows[0].min_part == rows[0].max_part
+    # hops are contiguous from 0 (an empty frontier can't repopulate)
+    assert set(rows) == set(range(max(rows) + 1))
+    # min-hop assignment: every hop's nodes are new (counts positive),
+    # and id ranges are consistent
+    for r in rows.values():
+        assert r.n_nodes >= 1
+        assert r.min_part <= r.max_part
 
 
 def test_rfm_segments_cover_all_customers(spark):
