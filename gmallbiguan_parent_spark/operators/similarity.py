@@ -978,6 +978,88 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
+PCA_ITERS = 3
+
+
+def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus via POWER
+    ITERATION over the covariance matrix — the whitening/decorrelation
+    primitive (and the building block of spectral hashing / PCA'd PQ).
+    One corpus-scale pass builds C = E[(x-m)(x-m)^T] as 64x64 = 4096
+    decimal-summed cells (the X^T X outer-product aggregation, map-side
+    combinable — the only thing that scales with the corpus); the
+    PCA_ITERS matvec+normalize rounds then run over the 4096-row C and
+    a 64-row vector. Every step follows the repo rounding discipline
+    (terms rounded into DECIMAL before summing, vectors re-rounded at
+    6 dp), so the unrolled DuckDB oracle hash-matches bit-for-bit.
+
+    Output: (pos, loading) for the final unit vector plus the Rayleigh-
+    style lambda estimate (||C v|| of the last round)."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    vecs = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    n1 = vecs.agg(F.count("*").alias("n"))
+    means = (
+        vecs.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).alias("s"))
+        .crossJoin(F.broadcast(n1))
+        .select("pos", F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias("mean"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("ms"))
+        .select(F.transform("ms", lambda e: e.mean).alias("m"))
+    )
+    d = SRP_DIM
+    pair_terms = F.expr(
+        f"flatten(transform(sequence(0, {d - 1}), i -> "
+        f"transform(sequence(0, {d - 1}), j -> "
+        f"struct(i AS i, j AS j, "
+        f"cast(round((v[i] - m[i]) * (v[j] - m[j]), 12) as decimal(28,12)) AS t))))"
+    )
+    cov = (
+        vecs.crossJoin(F.broadcast(means))
+        .select(F.explode(pair_terms).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.sum("p.t").alias("st"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i", "j",
+            F.round(F.col("st").cast("double") / F.col("n").cast("double"), 9).alias("c"),
+        )
+        .localCheckpoint()  # 4096 rows, reused by every iteration
+    )
+    # v0 = e_1 (unit basis vector)
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("j"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vj"),
+    )
+    norm = None
+    for _ in range(PCA_ITERS):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.round(F.col("c") * F.col("vj"), 12).cast("decimal(28,12)")).alias("su"))
+            .select("i", F.col("su").cast("double").alias("u"))
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 12).cast("decimal(28,12)")).cast("double")
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("u") / F.col("nrm"), 6).alias("vj"),
+        )
+        norm = nrm
+    return (
+        v.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("j").alias("pos"),
+            F.col("vj").alias("loading"),
+            F.round("nrm", 6).alias("lambda_est"),
+        )
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,  # rows-only (see docstring)
@@ -988,6 +1070,7 @@ QUERIES = {
     "ann_sq8_rerank": ann_sq8_rerank,
     "ann_pq_adc": ann_pq_adc,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_principal_component": embedding_principal_component,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "knn_graph": knn_graph,
 }
@@ -1174,6 +1257,62 @@ def _pq_oracle() -> str:
     return "".join(parts)
 
 
+def _pca_oracle() -> str:
+    """Unrolled replay of the power iteration: decimal-summed means,
+    covariance cells, and matvec/normalize rounds — same rounding grid
+    as the Spark side at every step."""
+    d = SRP_DIM
+    parts = [f"""
+    WITH vecs AS (
+        SELECT embedding::DOUBLE[] AS v FROM embeddings
+    ), n1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vecs
+    ), mean_e AS (
+        SELECT CAST(g.range AS INTEGER) AS pos,
+               SUM(CAST(ROUND(v[CAST(g.range AS INTEGER) + 1], 9) AS DECIMAL(28,9))) AS s
+        FROM vecs, range({d}) g GROUP BY 1
+    ), means AS (
+        SELECT list(ROUND(CAST(s AS DOUBLE) / CAST(n.n AS DOUBLE), 6) ORDER BY pos) AS m
+        FROM mean_e, n1 n GROUP BY n.n
+    ), cov_e AS (
+        SELECT CAST(gi.range AS INTEGER) AS i, CAST(gj.range AS INTEGER) AS j,
+               SUM(CAST(ROUND(
+                   (v[CAST(gi.range AS INTEGER) + 1] - m[CAST(gi.range AS INTEGER) + 1])
+                   * (v[CAST(gj.range AS INTEGER) + 1] - m[CAST(gj.range AS INTEGER) + 1]), 12)
+                   AS DECIMAL(28,12))) AS st
+        FROM vecs, means, range({d}) gi, range({d}) gj
+        GROUP BY 1, 2
+    ), cov AS (
+        SELECT i, j, ROUND(CAST(st AS DOUBLE) / CAST(n.n AS DOUBLE), 9) AS c
+        FROM cov_e, n1 n
+    ), v0 AS (
+        SELECT CAST(g.range AS INTEGER) AS j,
+               CASE WHEN g.range = 0 THEN 1.0 ELSE 0.0 END AS vj
+        FROM range({d}) g
+    )"""]
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(f""", u{k} AS (
+        SELECT cov.i,
+               CAST(SUM(CAST(ROUND(cov.c * p.vj, 12) AS DECIMAL(28,12))) AS DOUBLE) AS u
+        FROM cov JOIN {prev} p ON cov.j = p.j
+        GROUP BY cov.i
+    ), nk{k} AS (
+        SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        FROM u{k}
+    ), v{k} AS (
+        SELECT u{k}.i AS j, ROUND(u{k}.u / nk{k}.nrm, 6) AS vj
+        FROM u{k}, nk{k}
+    )""")
+        prev = f"v{k}"
+    parts.append(f"""
+    SELECT p.j AS pos, p.vj AS loading, ROUND(nk{PCA_ITERS}.nrm, 6) AS lambda_est
+    FROM v{PCA_ITERS} p, nk{PCA_ITERS}
+    ORDER BY pos
+    """)
+    return "".join(parts)
+
+
 _DUCK_SCORED = f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS corpus_label
@@ -1262,6 +1401,7 @@ ORACLES = {
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_pq_adc": _pq_oracle(),
+    "embedding_principal_component": _pca_oracle(),
     "embedding_dim_stats": f"""
     WITH x AS (
         SELECT CAST(g.range AS INTEGER) AS pos,

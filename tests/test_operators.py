@@ -390,3 +390,31 @@ def test_pq_adc_recall_and_codebook_shape(spark):
     hits = sum(len(got.get(q, set()) & truth) for q, truth in exact.items())
     total = sum(len(t) for t in exact.values())
     assert hits / total >= 0.5, f"PQ-ADC recall {hits}/{total} too low"
+
+
+def test_principal_component_quality(spark):
+    """Unit norm, positive eigenvalue estimate, and the returned
+    direction must capture a large share of the true dominant variance
+    (numpy eigendecomposition as the reference — 3 power-iteration
+    rounds need not fully converge, so the bound is a quality floor,
+    not exact equality)."""
+    import numpy as np
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        embedding_principal_component,
+    )
+
+    rows = embedding_principal_component(spark, SF_DIR).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    lam = float(rows[0].lambda_est)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert lam > 0
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    X = np.array([list(map(float, r.embedding)) for r in emb])
+    C = np.cov(X, rowvar=False, bias=True)
+    w, _ = np.linalg.eigh(C)
+    lam_true = float(w[-1])
+    rq = float(v @ C @ v)
+    assert rq >= 0.6 * lam_true, f"Rayleigh {rq} vs true max {lam_true}"
+    assert lam <= lam_true * 1.05 + 1e-6  # ||Cv|| can't exceed lambda_max (up to rounding)
