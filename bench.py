@@ -83,6 +83,7 @@ EXTENDED = [
     "gmv_ewma",
     "event_transition_matrix",
     "copurchase_reach",
+    "embedding_principal_component",
 ]
 
 
