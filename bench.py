@@ -84,6 +84,9 @@ EXTENDED = [
     "event_transition_matrix",
     "copurchase_reach",
     "embedding_principal_component",
+    "gmv_holt",
+    "gmv_cusum",
+    "last_touch_attribution",
 ]
 
 

@@ -633,6 +633,160 @@ def gmv_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_ALPHA = 0.4
+HOLT_CALPHA = 1.0 - HOLT_ALPHA
+HOLT_BETA = 0.2
+HOLT_CBETA = 1.0 - HOLT_BETA
+
+
+def gmv_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over the daily GMV series —
+    level + trend + one-step-ahead forecast (the planning number an
+    inventory/revenue dashboard shows). Two COUPLED recurrences
+    (l_t = a*x_t + (1-a)*(l+b); b_t = B*(l_t-l) + (1-B)*b) folded over
+    the pre-aggregated day array exactly like gmv_ewma, with a
+    struct-typed accumulator carrying (series, level, trend)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
+    )
+    series = daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s"))
+    acc0 = F.struct(
+        F.array().cast("array<struct<dt:string,gmv:double,level:double,trend:double>>").alias("arr"),
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+
+    def step(acc, e):
+        first = acc.l.isNull()
+        l_new = F.when(first, F.round(e.gmv, 6)).otherwise(
+            F.round(F.lit(HOLT_ALPHA) * e.gmv + F.lit(HOLT_CALPHA) * (acc.l + acc.b), 6)
+        )
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            F.round(F.lit(HOLT_BETA) * (l_new - acc.l) + F.lit(HOLT_CBETA) * acc.b, 6)
+        )
+        entry = F.struct(
+            e.dt.alias("dt"), e.gmv.alias("gmv"),
+            l_new.alias("level"), b_new.alias("trend"),
+        )
+        return F.struct(
+            F.concat(acc.arr, F.array(entry)).alias("arr"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+
+    folded = F.aggregate(F.col("s"), acc0, step).getField("arr")
+    return (
+        series.select(F.explode(folded).alias("r"))
+        .select(
+            "r.dt", "r.gmv", "r.level", "r.trend",
+            F.round(F.col("r.level") + F.col("r.trend"), 6).alias("forecast_next"),
+        )
+        .orderBy("dt")
+    )
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is
+    credited to the user's most recent PRECEDING non-purchase event
+    type — the marketing-analytics primitive behind channel ROI
+    dashboards. Purchases with no preceding touch attribute to
+    'direct'.
+
+    Plan: one keyed window (last_value with ignoreNulls over the
+    user's event sequence, (ts, event_id) total order), then a small
+    per-channel aggregate. Revenue sums in decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.select("user_id", "event_type", "ts", "event_id", "value")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("touch", F.lit("direct")).alias("channel"),
+            dec("value").alias("revenue"),
+        )
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count("*").alias("purchase_ct"),
+            F.sum("revenue").cast("decimal(28,4)").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+CUSUM_K = 0.5   # slack, in sigmas
+CUSUM_H = 4.0   # decision threshold, in sigmas
+
+
+def gmv_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily GMV series — the
+    standard monitoring chart for mean shifts (s+ accumulates upward
+    drift beyond a k*sigma slack, s- downward; a flag fires when
+    either passes H*sigma). mu and sigma come from one decimal-summed
+    aggregate; the coupled recurrences fold over the day array like
+    gmv_ewma/gmv_holt (pre-aggregate, then sequential-fold the tiny
+    series)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("gmv", 9).cast("decimal(28,9)")).alias("s1"),
+        F.sum(F.round(F.col("gmv") * F.col("gmv"), 12).cast("decimal(38,12)")).alias("s2"),
+    )
+    mu = F.round(F.col("s1").cast("double") / F.col("n").cast("double"), 6)
+    var = F.round(
+        F.col("s2").cast("double") / F.col("n").cast("double") - mu * mu, 6
+    )
+    sg = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    base = (
+        daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s"))
+        .crossJoin(F.broadcast(stats))
+        .select("s", mu.alias("mu"), sg.alias("sigma"))
+    )
+    acc0 = F.struct(
+        F.array().cast("array<struct<dt:string,gmv:double,s_pos:double,s_neg:double>>").alias("arr"),
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+    )
+
+    def step(acc, e):
+        sp = F.round(
+            F.greatest(F.lit(0.0), acc.sp + e.gmv - F.col("mu") - F.lit(CUSUM_K) * F.col("sigma")), 6
+        )
+        sn = F.round(
+            F.greatest(F.lit(0.0), acc.sn + F.col("mu") - e.gmv - F.lit(CUSUM_K) * F.col("sigma")), 6
+        )
+        entry = F.struct(e.dt.alias("dt"), e.gmv.alias("gmv"), sp.alias("s_pos"), sn.alias("s_neg"))
+        return F.struct(F.concat(acc.arr, F.array(entry)).alias("arr"), sp.alias("sp"), sn.alias("sn"))
+
+    folded = F.aggregate(F.col("s"), acc0, step).getField("arr")
+    return (
+        base.select(F.explode(folded).alias("r"), "mu", "sigma")
+        .select(
+            "r.dt", "r.gmv", "r.s_pos", "r.s_neg",
+            ((F.col("r.s_pos") > F.lit(CUSUM_H) * F.col("sigma"))
+             | (F.col("r.s_neg") > F.lit(CUSUM_H) * F.col("sigma"))).alias("shift_flag"),
+        )
+        .orderBy("dt")
+    )
+
+
 RFM_ASOF = "1998-08-02"  # dataset end date (TPC-H convention)
 RFM_Q = 5
 
@@ -717,6 +871,9 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "event_transition_matrix": event_transition_matrix,
     "gmv_ewma": gmv_ewma,
+    "gmv_holt": gmv_holt,
+    "gmv_cusum": gmv_cusum,
+    "last_touch_attribution": last_touch_attribution,
     "topn_orders_per_priority": topn_orders_per_priority,
     "event_spike_days": event_spike_days,
     "order_seasonality": order_seasonality,
@@ -756,6 +913,80 @@ def _rfm_score_sql(c: str, reverse: bool = False) -> str:
 
 
 ORACLES = {
+    "last_touch_attribution": """
+    WITH seq AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS purchase_ct,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "gmv_cusum": f"""
+    WITH RECURSIVE daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        GROUP BY 1
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(gmv, 9) AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(ROUND(gmv * gmv, 12) AS DECIMAL(38,12))) AS s2
+        FROM daily
+    ), ms AS (
+        SELECT ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mu,
+               ROUND(sqrt(GREATEST(ROUND(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       * ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6), 6), 0.0)), 6) AS sigma
+        FROM stats
+    ), idx AS (
+        SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
+    ), c AS (
+        SELECT x.dt, x.gmv, x.i,
+               ROUND(GREATEST(0.0, 0.0 + x.gmv - m.mu - {CUSUM_K!r} * m.sigma), 6) AS s_pos,
+               ROUND(GREATEST(0.0, 0.0 + m.mu - x.gmv - {CUSUM_K!r} * m.sigma), 6) AS s_neg
+        FROM idx x, ms m WHERE x.i = 1
+        UNION ALL
+        SELECT x.dt, x.gmv, x.i,
+               ROUND(GREATEST(0.0, p.s_pos + x.gmv - m.mu - {CUSUM_K!r} * m.sigma), 6),
+               ROUND(GREATEST(0.0, p.s_neg + m.mu - x.gmv - {CUSUM_K!r} * m.sigma), 6)
+        FROM idx x JOIN c p ON x.i = p.i + 1, ms m
+    )
+    SELECT c.dt, c.gmv, c.s_pos, c.s_neg,
+           (c.s_pos > {CUSUM_H!r} * m.sigma OR c.s_neg > {CUSUM_H!r} * m.sigma) AS shift_flag
+    FROM c, ms m
+    ORDER BY c.dt
+    """,
+    "gmv_holt": f"""
+    WITH RECURSIVE daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        GROUP BY 1
+    ), idx AS (
+        SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
+    ), h AS (
+        SELECT dt, gmv, i, ROUND(gmv, 6) AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.dt, x.gmv, x.i,
+               ROUND({HOLT_ALPHA!r} * x.gmv + {HOLT_CALPHA!r} * (p.level + p.trend), 6),
+               ROUND({HOLT_BETA!r} * (ROUND({HOLT_ALPHA!r} * x.gmv + {HOLT_CALPHA!r} * (p.level + p.trend), 6) - p.level)
+                     + {HOLT_CBETA!r} * p.trend, 6)
+        FROM idx x JOIN h p ON x.i = p.i + 1
+    )
+    SELECT dt, gmv, level, trend, ROUND(level + trend, 6) AS forecast_next
+    FROM h ORDER BY dt
+    """,
     "event_transition_matrix": """
     WITH seq AS (
         SELECT user_id, event_type,

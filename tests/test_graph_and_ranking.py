@@ -286,3 +286,25 @@ def test_transition_matrix_rows_are_distributions(spark):
         by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + float(r.p)
     for prev, tot in by_prev.items():
         assert abs(tot - 1.0) < 1e-4, f"{prev} row sums to {tot}"
+
+
+def test_smoothing_and_attribution_invariants(spark):
+    import pyspark.sql.functions as F
+
+    from gmallbiguan_parent_spark.pipelines.analytics import (
+        gmv_cusum, gmv_holt, last_touch_attribution,
+    )
+
+    holt = gmv_holt(spark, SF_DIR).collect()
+    assert holt
+    for r in holt:
+        assert abs(float(r.forecast_next) - round(float(r.level) + float(r.trend), 6)) < 1e-9
+
+    for r in gmv_cusum(spark, SF_DIR).collect():
+        assert float(r.s_pos) >= 0 and float(r.s_neg) >= 0
+
+    att = last_touch_attribution(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.purchase_ct for r in att) == n_purch
+    assert all(float(r.revenue) > 0 for r in att)
