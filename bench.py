@@ -87,6 +87,7 @@ EXTENDED = [
     "gmv_holt",
     "gmv_cusum",
     "last_touch_attribution",
+    "frequent_triples",
 ]
 
 

@@ -370,6 +370,41 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIPLE_MIN_SUPPORT = 2
+TRIPLE_TOP = 20
+
+
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (the Apriori step past
+    copurchase_lift's pairs): top TRIPLE_TOP part triples by basket
+    support. Candidate generation runs IN-ARRAY per basket (sorted
+    part set, ordered index triples — C(|basket|,3) bounded by basket
+    size, the minhash in-bucket pair trick lifted to triples), so the
+    only shuffles are the basket collect and the (a,b,c)-keyed count;
+    no joins blow up in candidate space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("p"))
+        .filter(F.size("p") >= 3)
+    )
+    triples = F.expr(
+        "flatten(flatten(transform(sequence(0, size(p) - 3), i -> "
+        "transform(sequence(i + 1, size(p) - 2), j -> "
+        "transform(sequence(j + 1, size(p) - 1), k -> "
+        "struct(p[i] AS a, p[j] AS b, p[k] AS c))))))"
+    )
+    return (
+        baskets.select(F.explode(triples).alias("t"))
+        .groupBy(F.col("t.a").alias("part_a"), F.col("t.b").alias("part_b"), F.col("t.c").alias("part_c"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
+        .limit(TRIPLE_TOP)
+    )
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
     {out}_c AS (
@@ -390,6 +425,7 @@ QUERIES = {
     "copurchase_lift": copurchase_lift,
     "copurchase_triangles": copurchase_triangles,
     "copurchase_reach": copurchase_reach,
+    "frequent_triples": frequent_triples,
 }
 
 def _reach_oracle() -> str:
@@ -428,6 +464,20 @@ def _reach_oracle() -> str:
 
 
 ORACLES = {
+    "frequent_triples": f"""
+    WITH bridge AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM bridge a
+    JOIN bridge b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN bridge c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}
+    ORDER BY support DESC, part_a, part_b, part_c
+    LIMIT {TRIPLE_TOP}
+    """,
     "copurchase_reach": _reach_oracle(),
     "copurchase_triangles": f"""
     WITH bridge AS (

@@ -308,3 +308,27 @@ def test_smoothing_and_attribution_invariants(spark):
     n_purch = ev.filter(F.col("event_type") == "purchase").count()
     assert sum(r.purchase_ct for r in att) == n_purch
     assert all(float(r.revenue) > 0 for r in att)
+
+
+def test_frequent_triples_support_consistency(spark):
+    """A triple's support can never exceed any of its pairs' supports
+    (Apriori monotonicity), and triples are canonically ordered."""
+    from gmallbiguan_parent_spark.operators.graph import frequent_triples
+
+    rows = frequent_triples(spark, SF_DIR).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    import pyspark.sql.functions as F
+    bridge = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = bridge.alias("a"), bridge.alias("b")
+    pair_support = {
+        (r.pa, r.pb): r.ct
+        for r in a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("ct")).collect()
+    }
+    for r in rows:
+        assert r.part_a < r.part_b < r.part_c
+        for pair in [(r.part_a, r.part_b), (r.part_a, r.part_c), (r.part_b, r.part_c)]:
+            assert pair_support.get(pair, 0) >= r.support
