@@ -78,6 +78,65 @@ def _shingles(col):
     )
 
 
+PREFIX_JACCARD_T = 0.6
+
+
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family — the deterministic counterpart to the
+    MinHash-LSH candidates): two shingle sets with Jaccard >= t MUST
+    share at least one element of each other's (n - ceil(t*n) + 1)-
+    element prefix when both sets are ordered by a global rarest-first
+    key — so candidates come from ONE equi-join on prefix shingles
+    (rare shingles -> few candidates) and the exact Jaccard verify
+    runs candidates-only. Unlike LSH there is no recall loss: the
+    brute-force oracle doubles as the completeness proof.
+
+    Plan: shingle frequency aggregate (vocab-sized), per-doc ordered
+    arrays, prefix explode, token-keyed candidate join, array_intersect
+    confirm. At 100 TB the candidate join shuffles prefix postings
+    (bounded by the rarest-first ordering), never all pairs."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    sh = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
+    ordered = (
+        sh.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
+        .select(
+            "doc_id",
+            F.transform("ot", lambda e: e.tok).alias("arr"),
+            F.size("ot").alias("n"),
+        )
+    )
+    L = (F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("arr", 1, L)).alias("tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = F.round(
+        F.col("inter_ct").cast("double")
+        / (F.size("s_a") + F.size("s_b") - F.col("inter_ct")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter_ct", inter)
+        .select("doc_a", "doc_b", "inter_ct", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 SRC_OVERLAP_TOP = 20
 
 
@@ -591,6 +650,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "source_shingle_overlap": source_shingle_overlap,
+    "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
@@ -783,6 +843,28 @@ ORACLES = {
     )
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
+    """,
+    "prefix_jaccard_pairs": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+               ELSE [array_to_string(toks, ' ')] END AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter_ct,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6) >= {PREFIX_JACCARD_T}
+    ORDER BY doc_a, doc_b
     """,
     "source_shingle_overlap": """
     WITH toks AS (

@@ -332,3 +332,37 @@ def test_frequent_triples_support_consistency(spark):
         assert r.part_a < r.part_b < r.part_c
         for pair in [(r.part_a, r.part_b), (r.part_a, r.part_c), (r.part_b, r.part_c)]:
             assert pair_support.get(pair, 0) >= r.support
+
+
+def test_prefix_filter_prunes_candidate_space(spark):
+    """The whole point of prefix filtering: far fewer candidate pairs
+    than the all-pairs quadratic, with zero recall loss (the oracle
+    gate proves completeness against brute force)."""
+    import pyspark.sql.functions as F
+
+    from gmallbiguan_parent_spark.operators.dedup import (
+        PREFIX_JACCARD_T, _shingles, prefix_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    sh = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
+    ordered = (
+        sh.join(freq, "tok").groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
+        .select("doc_id", F.transform("ot", lambda e: e.tok).alias("arr"), F.size("ot").alias("n"))
+    )
+    L = (F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1).cast("int")
+    prefix = ordered.select("doc_id", F.explode(F.slice("arr", 1, L)).alias("tok"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    n_cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs * 0.5, f"prefix filter kept {n_cand}/{all_pairs}"
+    # and results themselves respect the threshold
+    for r in prefix_jaccard_pairs(spark, SF_DIR).collect():
+        assert float(r.jaccard) >= PREFIX_JACCARD_T
