@@ -88,6 +88,7 @@ EXTENDED = [
     "gmv_cusum",
     "last_touch_attribution",
     "frequent_triples",
+    "prefix_jaccard_pairs",
 ]
 
 

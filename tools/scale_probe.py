@@ -67,6 +67,14 @@ PROBE_QUERIES = [
     "source_shingle_overlap",
     "priority_sample",
     "text_normalize",
+    "embedding_principal_component",
+    "prefix_jaccard_pairs",
+    "frequent_triples",
+    "gmv_holt",
+    "gmv_cusum",
+    "last_touch_attribution",
+    "rfm_segments",
+    "event_transition_matrix",
 ]
 
 
