@@ -93,12 +93,16 @@ def bloom_bits_for(n_keys: int) -> int:
     return bits
 
 
-def bloom_mask(keys: DataFrame, key: str, n_bits: int) -> DataFrame:
-    """1-row DataFrame with column `mask: array<bigint>` — the Bloom
-    bit mask over `keys[key]`, built fully in-plan: k hash positions
-    per key (xxhash64 seeded by the hash index), positions folded into
-    64-bit words with bit_or (map-side combinable), missing words
-    zero-filled via a sequence transform. No driver collect."""
+def bloom_mask_words(keys: DataFrame, key: str, n_bits: int) -> list[int]:
+    """The Bloom bit mask over `keys[key]` as a list of 64-bit words.
+    The mask BUILD is fully distributed (k hash positions per key,
+    folded into words with a map-side-combinable bit_or); only the
+    finished words — whose size is n_bits/64, bounded by BLOOM_MAX_BITS
+    regardless of key count — collect to the driver, exactly like the
+    IVF/PQ codebooks. The words then embed as ONE plan literal: a
+    broadcast column was measured 20x slower because the joined array
+    is copied into every probe row's buffer (128 KB/row at 2^20 bits),
+    while element_at over a constant Literal is a true O(1) read."""
     positions = F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
         for i in range(BLOOM_HASHES)
@@ -107,29 +111,25 @@ def bloom_mask(keys: DataFrame, key: str, n_bits: int) -> DataFrame:
         (F.col("pos") / 64).cast("int").alias("w"),
         F.expr("shiftleft(1L, int(pos % 64))").alias("b"),
     )
-    return (
-        words.groupBy("w").agg(F.bit_or("b").alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("mmap"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bits // 64 - 1)),
-                lambda w: F.coalesce(F.element_at(F.col("mmap"), w), F.lit(0).cast("bigint")),
-            ).alias("mask")
-        )
-    )
+    got = {r.w: r.bits for r in words.groupBy("w").agg(F.bit_or("b").alias("bits")).collect()}
+    return [got.get(w, 0) for w in range(n_bits // 64)]
 
 
-def bloom_probe_predicate(key: str, n_bits: int):
+def bloom_probe_predicate(key: str, n_bits: int, mask_words: list[int]):
     """Probe-side predicate testing all BLOOM_HASHES bits against the
-    broadcast `mask` column. Pure codegen (xxhash64 + array subscript +
-    bitwise and), evaluated in the scan stage before any shuffle."""
-    tests = [
-        F.expr(
-            f"(element_at(mask, int(pmod(xxhash64({key}, {i}), {n_bits}) / 64) + 1)"
-            f" & shiftleft(1L, int(pmod(xxhash64({key}, {i}), {n_bits}) % 64))) != 0"
-        )
-        for i in range(BLOOM_HASHES)
-    ]
+    constant mask literal. Pure codegen (xxhash64 + constant-array
+    element_at + bitwise and), evaluated in the scan stage before any
+    shuffle."""
+    mask = F.lit(mask_words)
+    tests = []
+    for i in range(BLOOM_HASHES):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+        word = F.element_at(mask, (pos / 64).cast("int") + 1)
+        # identical hash subtree in both operands -> codegen
+        # subexpression elimination computes it once per i
+        # (shiftleft's Python API only takes a literal amount)
+        bit = F.expr(f"shiftleft(1L, int(pmod(xxhash64({key}, {i}), {n_bits}) % 64))")
+        tests.append(word.bitwiseAND(bit) != 0)
     pred = tests[0]
     for t in tests[1:]:
         pred = pred & t
@@ -153,12 +153,10 @@ def bloom_filtered_revenue(spark, sf_dir: str) -> DataFrame:
     # size the mask from the build side (one cheap count, the IVF-
     # trainer pattern) so it never saturates as the data grows
     n_bits = bloom_bits_for(sel.count())
-    mask = bloom_mask(sel, "o_orderkey", n_bits)
+    words = bloom_mask_words(sel, "o_orderkey", n_bits)
     li_pruned = (
         li.select("l_orderkey", "l_extendedprice", "l_discount")
-        .crossJoin(F.broadcast(mask))
-        .filter(bloom_probe_predicate("l_orderkey", n_bits))
-        .drop("mask")
+        .filter(bloom_probe_predicate("l_orderkey", n_bits, words))
     )
     disc = (dec("l_extendedprice") * (1 - dec("l_discount"))).cast("decimal(18,6)")
     return (

@@ -10,18 +10,18 @@ from tests.conftest import SF_DIR
 def test_bloom_prunes_but_never_drops_matches(spark):
     from gmallbiguan_parent_spark.io import load_table
     from gmallbiguan_parent_spark.operators.joins import (
-        BLOOM_PRICE_MIN, bloom_bits_for, bloom_mask, bloom_probe_predicate,
+        BLOOM_PRICE_MIN, bloom_bits_for, bloom_mask_words, bloom_probe_predicate,
     )
 
     orders = load_table(spark, SF_DIR, "orders")
     li = load_table(spark, SF_DIR, "lineitem")
     sel = orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN).select("o_orderkey")
     n_bits = bloom_bits_for(sel.count())
-    mask = bloom_mask(sel, "o_orderkey", n_bits)
+    words = bloom_mask_words(sel, "o_orderkey", n_bits)
 
     total = li.count()
-    probed = li.select("l_orderkey").crossJoin(F.broadcast(mask))
-    survived = probed.filter(bloom_probe_predicate("l_orderkey", n_bits))
+    probed = li.select("l_orderkey")
+    survived = probed.filter(bloom_probe_predicate("l_orderkey", n_bits, words))
     n_surv = survived.count()
     # really prunes: the predicate is selective, most lines drop pre-join
     assert n_surv < total * 0.2, f"bloom kept {n_surv}/{total}"
