@@ -114,3 +114,68 @@ def test_permissive_json_parse_drops_corrupt_records(spark):
     parsed = df.select(F.from_json("payload", "k bigint").alias("j")).select("j.k")
     got = [r.k for r in parsed.collect()]
     assert got.count(None) == 2 and sorted(x for x in got if x) == [1, 2]
+
+
+def test_bpe_merge_semantics_on_adversarial_vocab(spark):
+    """Hypothesis-style adversarial vocab for the BPE merge machinery:
+    words with repeated characters ('aaaa', 'abab') are exactly where
+    two-pass replace semantics could diverge between the Spark fold,
+    DuckDB replace, and Python str.replace. Replay all three on a
+    synthetic vocabulary and demand identical merge tables."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    words = ["aaaa", "abab", "aab", "bba", "aa", "ab", "ba", "abcabc", "ccc", "cacaca"]
+    counts = [5, 4, 3, 3, 7, 6, 2, 2, 8, 1]
+
+    # python reference (two-pass str.replace, argmax tiebreak)
+    syms = {w: " " + " ".join(w) + " " for w in words}
+    wct = dict(zip(words, counts))
+    expected = []
+    for step in range(1, 6):
+        pc: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            parts = s.strip().split(" ")
+            for a, b in zip(parts, parts[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + wct[w]
+        if not pc:
+            break
+        (lhs, rhs), ct = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, lhs, rhs, lhs + rhs, ct))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        syms = {w: s.replace(pat, rep).replace(pat, rep) for w, s in syms.items()}
+
+    # spark replay of the same loop over a vocab DataFrame
+    vocab = spark.createDataFrame(
+        [(w, c, " " + " ".join(w) + " ") for w, c in zip(words, counts)],
+        "tok string, wct long, syms string",
+    )
+    got = []
+    from gmallbiguan_parent_spark.operators.text import _bpe_pair_counts
+    for step in range(1, 6):
+        best = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("pair_ct"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1).collect()
+        )
+        if not best:
+            break
+        lhs, rhs, ct = best[0].lhs, best[0].rhs, int(best[0].pair_ct)
+        got.append((step, lhs, rhs, lhs + rhs, ct))
+        pat, rep = F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+        vocab = vocab.select(
+            "tok", "wct", F.replace(F.replace(F.col("syms"), pat, rep), pat, rep).alias("syms")
+        )
+    assert got == expected
+
+    # duckdb replay of one merge application on the trickiest word
+    con = duckdb.connect()
+    for (_, lhs, rhs, merged, _ct) in expected:
+        for w in ["aaaa", "cacaca", "abab"]:
+            s = " " + " ".join(w) + " "
+            py = s.replace(f" {lhs} {rhs} ", f" {merged} ").replace(f" {lhs} {rhs} ", f" {merged} ")
+            (dk,) = con.execute(
+                "SELECT replace(replace(?, ?, ?), ?, ?)",
+                [s, f" {lhs} {rhs} ", f" {merged} ", f" {lhs} {rhs} ", f" {merged} "],
+            ).fetchone()
+            assert py == dk
