@@ -336,6 +336,65 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def _trans_state_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState body for transition-pair extraction: the
+    keyed state is the user's LAST event type; each arriving event
+    (sorted (ts, event_id) within the batch) emits the (prev, cur)
+    pair then becomes the new state — the sequence-pairing pattern
+    (third stateful exemplar beside the pending-event and counter
+    ones). Under in-order replay the emitted pairs equal the batch
+    lag() window exactly; state expires an hour past the last event."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    prev = state.get[0] if state.exists else None
+    prevs, curs = [], []
+    last_ts_us = None
+    for et, ts_val in zip(rows["event_type"], rows["ts"]):
+        if prev is not None:
+            prevs.append(prev)
+            curs.append(et)
+        prev = et
+        last_ts_us = int(ts_val.value // 1000)
+    state.update((prev,))
+    if last_ts_us is not None:
+        state.setTimeoutTimestamp(last_ts_us // 1000 + 3600 * 1000)
+    if prevs:
+        yield pd.DataFrame({
+            "user_id": [key[0]] * len(prevs),
+            "prev_type": prevs,
+            "cur_type": curs,
+        })
+
+
+def stream_transition_matrix(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Streaming twin of analytics.event_transition_matrix: keyed
+    last-event state emits consecutive (prev, cur) pairs; the bounded
+    replay's aggregated matrix equals the batch answer exactly and is
+    fully oracle-checked."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _trans_state_fn,
+            outputStructType="user_id long, prev_type string, cur_type string",
+            stateStructType="prev string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    (
+        out.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
 def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """ST1+J2 streaming twin: watermarked stream-stream interval join —
     purchases join the same user's preceding view/click within 30 min

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from ..functions import dec
 from .pipelines import (
-    WINDOW, _events_stream, run_stream_to_df, stream_jump_detect, stream_rate_limit,
+    WINDOW, _events_stream, run_stream_to_df, stream_jump_detect,
+    stream_rate_limit, stream_transition_matrix,
 )
 
 
@@ -337,9 +338,25 @@ def stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admission_rollup(df)
 
 
+def stream_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized transition matrix from the streaming pair
+    extraction — identical output (and oracle) to the batch
+    event_transition_matrix."""
+    df = run_stream_to_df(spark, sf_dir, stream_transition_matrix)
+    trans = df.groupBy("prev_type", "cur_type").agg(F.count("*").alias("ct"))
+    row_tot = trans.groupBy("prev_type").agg(F.sum("ct").alias("row_tot"))
+    prob = F.round(F.col("ct").cast("double") / F.col("row_tot").cast("double"), 6)
+    return (
+        trans.join(F.broadcast(row_tot), "prev_type")
+        .select("prev_type", "cur_type", "ct", prob.alias("p"))
+        .orderBy("prev_type", "cur_type")
+    )
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_rate_limit": stream_rate_limit_q,
+    "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
     "stream_uv_dedup": stream_uv_dedup_q,
     "stream_jump_detect": stream_jump_detect_q,
@@ -351,9 +368,12 @@ QUERIES = {
 
 from ..operators.quality import ORACLES as _QUALITY_ORACLES
 
+from ..pipelines.analytics import ORACLES as _ANALYTICS_ORACLES
+
 ORACLES = {
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
+    "stream_transition_matrix": _ANALYTICS_ORACLES["event_transition_matrix"],
     "stream_gmv_incremental": """
         SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount

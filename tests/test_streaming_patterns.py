@@ -240,3 +240,33 @@ def test_stream_rate_limit_matches_batch_per_event(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_transition_pairs_match_batch_lag(spark):
+    """Every emitted (prev, cur) pair must match the batch lag()
+    window exactly — multiset equality per user."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.io import load_table
+    from gmallbiguan_parent_spark.streaming.pipelines import (
+        run_stream_to_df, stream_transition_matrix,
+    )
+    from tests.conftest import SF_DIR
+
+    got = Counter(
+        (r.user_id, r.prev_type, r.cur_type)
+        for r in run_stream_to_df(spark, SF_DIR, stream_transition_matrix).collect()
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = Counter(
+        (r.user_id, r.prev_type, r.event_type)
+        for r in ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    )
+    assert got == want
