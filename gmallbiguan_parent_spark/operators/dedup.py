@@ -81,6 +81,32 @@ def _shingles(col):
 PREFIX_JACCARD_T = 0.6
 
 
+def _prefix_candidates(sets: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from rarest-first prefix overlap
+    — shared by prefix_jaccard_pairs and its pruning test so the two
+    can never drift on the prefix-length/ordering contract."""
+    sh = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
+    ordered = (
+        sh.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
+        .select(
+            "doc_id",
+            F.transform("ot", lambda e: e.tok).alias("arr"),
+            F.size("ot").alias("n"),
+        )
+    )
+    L = (F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1).cast("int")
+    prefix = ordered.select("doc_id", F.explode(F.slice("arr", 1, L)).alias("tok"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family — the deterministic counterpart to the
@@ -97,29 +123,11 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm. At 100 TB the candidate join shuffles prefix postings
     (bounded by the rarest-first ordering), never all pairs."""
     docs = load_table_spread(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
-    sh = sets.select("doc_id", F.explode("s").alias("tok"))
-    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
-    ordered = (
-        sh.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
-        .select(
-            "doc_id",
-            F.transform("ot", lambda e: e.tok).alias("arr"),
-            F.size("ot").alias("n"),
-        )
-    )
-    L = (F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1).cast("int")
-    prefix = ordered.select(
-        "doc_id", F.explode(F.slice("arr", 1, L)).alias("tok")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # materialize the shingle sets ONCE (the minhash/simhash recipe) —
+    # they feed the frequency aggregate, the ordered arrays, and both
+    # sides of the verify join
+    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s")).localCheckpoint()
+    cand = _prefix_candidates(sets)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))

@@ -583,6 +583,24 @@ def event_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GMV_WIN_START = "1997-01-01"
+GMV_WIN_END = "1997-04-01"
+
+
+def _daily_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-quarter daily GMV series (decimal sums, double at the edge)
+    — shared by the EWMA/Holt/CUSUM smoothers so the three twins and
+    their oracles can never diverge on the series definition."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= GMV_WIN_START) & (F.col("o_orderdate") < GMV_WIN_END)
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
+    )
+
+
 EWMA_ALPHA = 0.3
 EWMA_BETA = 1.0 - EWMA_ALPHA  # 0.7 — computed once so both engines
                               # embed the bit-identical double literal
@@ -597,12 +615,7 @@ def gmv_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     single tiny task — the 'pre-aggregate, then sequential-fold the
     small series' recipe for any recursive smoother at warehouse scale.
     Each step rounds to 6 dp; the oracle replays with a recursive CTE."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
-    )
+    daily = _daily_gmv(spark, sf_dir)
     series = daily.agg(
         F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s")
     )
@@ -646,12 +659,7 @@ def gmv_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_t = a*x_t + (1-a)*(l+b); b_t = B*(l_t-l) + (1-B)*b) folded over
     the pre-aggregated day array exactly like gmv_ewma, with a
     struct-typed accumulator carrying (series, level, trend)."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
-    )
+    daily = _daily_gmv(spark, sf_dir)
     series = daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s"))
     acc0 = F.struct(
         F.array().cast("array<struct<dt:string,gmv:double,level:double,trend:double>>").alias("arr"),
@@ -738,12 +746,7 @@ def gmv_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the coupled recurrences fold over the day array like
     gmv_ewma/gmv_holt (pre-aggregate, then sequential-fold the tiny
     series)."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01"))
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
-    )
+    daily = _daily_gmv(spark, sf_dir)
     stats = daily.agg(
         F.count("*").alias("n"),
         F.sum(F.round("gmv", 9).cast("decimal(28,9)")).alias("s1"),
@@ -934,7 +937,7 @@ ORACLES = {
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
         FROM orders
-        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        WHERE o_orderdate >= DATE '{GMV_WIN_START}' AND o_orderdate < DATE '{GMV_WIN_END}'
         GROUP BY 1
     ), stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -970,7 +973,7 @@ ORACLES = {
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
         FROM orders
-        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        WHERE o_orderdate >= DATE '{GMV_WIN_START}' AND o_orderdate < DATE '{GMV_WIN_END}'
         GROUP BY 1
     ), idx AS (
         SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
@@ -1009,7 +1012,7 @@ ORACLES = {
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
         FROM orders
-        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+        WHERE o_orderdate >= DATE '{GMV_WIN_START}' AND o_orderdate < DATE '{GMV_WIN_END}'
         GROUP BY 1
     ), idx AS (
         SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily

@@ -342,24 +342,21 @@ def _trans_state_fn(key, pdf_iter, state: GroupState):
     (sorted (ts, event_id) within the batch) emits the (prev, cur)
     pair then becomes the new state — the sequence-pairing pattern
     (third stateful exemplar beside the pending-event and counter
-    ones). Under in-order replay the emitted pairs equal the batch
-    lag() window exactly; state expires an hour past the last event."""
-    if state.hasTimedOut:
-        state.remove()
-        return
+    ones). State is ONE string per user and never expires, so the
+    emitted pairs equal the batch lag() window exactly under ANY
+    in-order replay, single- or multi-batch — an expiry would drop
+    the pair spanning a gap longer than the TTL and silently diverge
+    from the oracle. (A production deployment bounding state would
+    document exactly that divergence.)"""
     rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
     prev = state.get[0] if state.exists else None
     prevs, curs = [], []
-    last_ts_us = None
-    for et, ts_val in zip(rows["event_type"], rows["ts"]):
+    for et in rows["event_type"]:
         if prev is not None:
             prevs.append(prev)
             curs.append(et)
         prev = et
-        last_ts_us = int(ts_val.value // 1000)
     state.update((prev,))
-    if last_ts_us is not None:
-        state.setTimeoutTimestamp(last_ts_us // 1000 + 3600 * 1000)
     if prevs:
         yield pd.DataFrame({
             "user_id": [key[0]] * len(prevs),
@@ -383,7 +380,7 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str, out_dir: str) -> 
             outputStructType="user_id long, prev_type string, cur_type string",
             stateStructType="prev string",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
     (

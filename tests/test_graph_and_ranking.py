@@ -344,23 +344,12 @@ def test_prefix_filter_prunes_candidate_space(spark):
         PREFIX_JACCARD_T, _shingles, prefix_jaccard_pairs,
     )
 
+    from gmallbiguan_parent_spark.operators.dedup import _prefix_candidates
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = docs.count()
     sets = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
-    sh = sets.select("doc_id", F.explode("s").alias("tok"))
-    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
-    ordered = (
-        sh.join(freq, "tok").groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
-        .select("doc_id", F.transform("ot", lambda e: e.tok).alias("arr"), F.size("ot").alias("n"))
-    )
-    L = (F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1).cast("int")
-    prefix = ordered.select("doc_id", F.explode(F.slice("arr", 1, L)).alias("tok"))
-    a, b = prefix.alias("a"), prefix.alias("b")
-    n_cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select("a.doc_id", "b.doc_id").distinct().count()
-    )
+    n_cand = _prefix_candidates(sets).count()
     all_pairs = n * (n - 1) // 2
     assert n_cand < all_pairs * 0.5, f"prefix filter kept {n_cand}/{all_pairs}"
     # and results themselves respect the threshold
