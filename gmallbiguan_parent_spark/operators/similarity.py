@@ -548,6 +548,63 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
+# to k-means clusters — within each cluster, points whose pairwise
+# cosine exceeds tau are one semantic duplicate group, and one
+# representative is kept. Production tau sits at ~0.95-0.99; the
+# synthetic embeddings are well-spread (max pairwise cosine ≈ 0.51), so
+# the declared tau exercises the path with real drops.
+SEMDEDUP_TAU = 0.40
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup): reuse the trained IVF
+    coarse quantizer as the cluster structure (same centroids, memoized
+    per session), then mark every vector that has a LOWER-ID in-cell
+    neighbor with cosine >= SEMDEDUP_TAU as a duplicate of its smallest
+    such witness (the deterministic one-pass variant of SemDeDup's
+    keep-one-per-epsilon-ball; the paper keeps a random point, we keep
+    the lowest id so the oracle replays the choice).
+
+    Scale: the pairwise pass is QUADRATIC ONLY WITHIN A CELL — cells are
+    capped at ~IVF_TARGET_CELL members by construction (nlist grows with
+    the corpus), so total pair work is n * IVF_TARGET_CELL, linear in
+    the corpus. One shuffle on cell for the self-join; the assigned
+    corpus is localCheckpointed (3 small columns + the vector) so the
+    quantizer-assignment subtree runs once, not twice — the persisted
+    partitionBy(cell) layout a production index would already have."""
+    corpus, _ = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
+    cells = _assign_cells(corpus, cent).localCheckpoint()
+    right = cells.select(
+        F.col("corpus_id").alias("b_id"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("c_norm").alias("b_norm"),
+        F.col("cell").alias("b_cell"),
+    )
+    witnesses = (
+        cells.join(right, (cells.cell == right.b_cell) & (cells.corpus_id < right.b_id))
+        .select(
+            "b_id", "corpus_id",
+            F.round(
+                _dot(F.col("c_emb"), F.col("b_emb")) / (F.col("c_norm") * F.col("b_norm")), 6
+            ).alias("pair_cos"),
+        )
+        .filter(F.col("pair_cos") >= SEMDEDUP_TAU)
+        .groupBy("b_id")
+        .agg(F.min("corpus_id").alias("dup_of"))
+    )
+    return (
+        cells.join(witnesses, cells.corpus_id == witnesses.b_id, "left")
+        .select(
+            F.col("corpus_id").alias("vec_id"),
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
 # Production near-dup thresholds sit at ~0.99; the synthetic testdata
 # embeddings are well-spread (max intra-cell cosine ≈ 0.47), so the
 # declared threshold is tuned to exercise the filter with real matches.
@@ -1066,6 +1123,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
+    "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
     "ann_pq_adc": ann_pq_adc,
@@ -1082,12 +1140,14 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
-    """Replay the spherical-k-means coarse quantizer in DuckDB: same
-    training sample (corpus_id % tmod = 0), same seeds (nlist lowest
-    sample ids), same nlist/tmod formulas, same fixed IVF_ITERS rounds
-    of round-6 cosine assignment + exact-decimal element sums — so both
-    engines derive identical cells at every scale factor."""
+def _ivf_cells_cte() -> tuple[str, str]:
+    """WITH-chain replaying the spherical-k-means coarse quantizer in
+    DuckDB up to the per-vector cell assignment (`cells`): same training
+    sample (corpus_id % tmod = 0), same seeds (nlist lowest sample ids),
+    same nlist/tmod formulas, same fixed IVF_ITERS rounds of round-6
+    cosine assignment + exact-decimal element sums — so both engines
+    derive identical cells at every scale factor. Shared prefix of the
+    ann_ivf_* oracles and the semantic_dedup oracle."""
     parts = [f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
@@ -1135,7 +1195,14 @@ def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
                        {_duck_cos('c.c_emb', 'k.cvec')} DESC, k.cell ASC) AS rn
             FROM corpus c CROSS JOIN {prev} k
         ) WHERE rn = 1
-    ), probe AS (
+    )""")
+    return "".join(parts), prev
+
+
+def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
+    """Full IVF probe oracle: the shared cells chain + probe/score/rank."""
+    cells_cte, prev = _ivf_cells_cte()
+    return cells_cte + f""", probe AS (
         SELECT query_id, q_emb, cell AS probe_cell FROM (
             SELECT q.query_id, q.q_emb, k.cell,
                    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
@@ -1152,8 +1219,7 @@ def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
         FROM scored
     )
     {select_tail}
-    """)
-    return "".join(parts)
+    """
 
 
 def _pq_oracle() -> str:
@@ -1368,6 +1434,16 @@ ORACLES = {
         f"SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine"
         f" FROM ranked WHERE rank <= {TOP_K}",
     ),
+    "semantic_dedup": _ivf_cells_cte()[0] + f""", witnesses AS (
+        SELECT b.corpus_id AS b_id, MIN(a.corpus_id) AS dup_of
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+        WHERE {_duck_cos('a.c_emb', 'b.c_emb')} >= {SEMDEDUP_TAU}
+        GROUP BY b.corpus_id
+    )
+    SELECT c.corpus_id AS vec_id, c.cell, w.dup_of, w.dup_of IS NULL AS kept
+    FROM cells c LEFT JOIN witnesses w ON c.corpus_id = w.b_id
+    """,
     "ann_truncated_rerank": f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
