@@ -67,6 +67,60 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality_classifier: a fixed-weight linear quality model (the shape of
+# a fastText/logistic quality filter, with hand-set interpretable
+# weights so both engines replay it exactly — a learned model would
+# ship its coefficients the same way). Weights calibrated on the
+# synthetic corpus so all three decisions occur at every sf.
+QC_BIAS = -0.66
+QC_W_STOP = 6.0      # stopword ratio: natural prose signal
+QC_W_ALPHA = 2.0     # alphabetic ratio: penalizes markup/symbol soup
+QC_W_LEN = 1.5       # saturating length credit (tokens/256 capped at 1)
+QC_W_MTL = -0.25     # very long mean tokens suggest code/identifiers
+QC_KEEP = 0.75
+QC_REVIEW = 0.35
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: score = w·x + b over four document
+    features, thresholded into keep/review/drop. The model is linear so
+    the whole classifier is ONE codegen projection over the scan — the
+    pattern a learned quality model (fastText, logistic regression)
+    deploys as: broadcast coefficients, vectorized score, no shuffle at
+    all. Feature ratios round at 4 dp (decimal) before the double dot
+    product; the logit rounds at 4 dp so threshold comparisons are
+    boundary-exact in both engines."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_toks = F.size(toks)
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    alpha_ct = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    char_ct = F.length("text")
+    stop_r = F.round(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1)), 4).cast("double")
+    alpha_r = F.round(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1)), 4).cast("double")
+    mtl = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
+        / F.greatest(n_toks, F.lit(1)), 4,
+    ).cast("double")
+    len_norm = F.least(n_toks, F.lit(256)).cast("double") / F.lit(256.0)
+    logit = F.round(
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * stop_r
+        + F.lit(QC_W_ALPHA) * alpha_r
+        + F.lit(QC_W_LEN) * len_norm
+        + F.lit(QC_W_MTL) * mtl,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        F.when(logit >= QC_KEEP, "keep")
+        .when(logit >= QC_REVIEW, "review")
+        .otherwise("drop")
+        .alias("decision"),
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: CJK character presence → zh, else the
     stopword-vote winner among {en, de, fr, es}; ties/no-votes → en.
@@ -821,6 +875,7 @@ QUERIES = {
     "text_normalize": text_normalize,
     "token_count": token_count,
     "text_quality": text_quality,
+    "quality_classifier": quality_classifier,
     "top_tokens": top_tokens,
     "inverted_index": inverted_index,
     "lang_id": lang_id,
@@ -1049,6 +1104,34 @@ ORACLES = {
                CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
                     / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_token_len
         FROM t
+    """,
+    "quality_classifier": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_ct,
+                   length(text) AS char_ct
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
+                        / GREATEST(len(toks), 1), 4) AS DOUBLE) AS stop_r,
+                   CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DOUBLE) AS alpha_r,
+                   CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
+                        / GREATEST(len(toks), 1), 4) AS DOUBLE) AS mtl,
+                   LEAST(len(toks), 256) / 256.0 AS len_norm
+            FROM t
+        ), s AS (
+            SELECT doc_id,
+                   ROUND({QC_BIAS} + {QC_W_STOP} * stop_r + {QC_W_ALPHA} * alpha_r
+                         + {QC_W_LEN} * len_norm + ({QC_W_MTL}) * mtl, 4) AS quality_logit
+            FROM f
+        )
+        SELECT doc_id, quality_logit,
+               CASE WHEN quality_logit >= {QC_KEEP} THEN 'keep'
+                    WHEN quality_logit >= {QC_REVIEW} THEN 'review'
+                    ELSE 'drop' END AS decision
+        FROM s
     """,
     "top_tokens": """
         WITH toks AS (
