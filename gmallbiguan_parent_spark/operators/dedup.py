@@ -184,6 +184,42 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band table: explode distinct
+    shingles, hash each ONCE (md5 → 60-bit int — flat codegen'd row
+    expressions), take all N_PERM affine-permutation minima as plain
+    min() aggregates (map-side partial — the signature shuffle carries
+    ONE slim row per doc), then unroll into bands. Shared by the
+    self-join dedup (minhash_lsh_pairs) and the cross-corpus incremental
+    check (incremental_neardup).
+
+    Every doc has >=1 shingle (_shingles falls back to the whole-text
+    token join), so explode never drops a document and the min() result
+    equals a fold's running minimum exactly."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % MERSENNE_P
+    sig = (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(*[
+            F.min((F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p])) % MERSENNE_P).alias(f"m{p}")
+            for p in range(N_PERM)
+        ])
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                ":", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact Jaccard confirm.
 
@@ -210,32 +246,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that is orders of magnitude smaller than the corpus.
     """
     docs = load_table_spread(spark, sf_dir, "documents")
-
-    # Every doc has >=1 shingle (_shingles falls back to the whole-text
-    # token join), so explode never drops a document and the min()
-    # result equals the old fold's running minimum exactly.
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % MERSENNE_P
-    sig = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-        .select("doc_id", h.alias("h"))
-        .groupBy("doc_id")
-        .agg(*[
-            F.min((F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p])) % MERSENNE_P).alias(f"m{p}")
-            for p in range(N_PERM)
-        ])
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                ":", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-            ).alias("band_key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    banded = _minhash_banded(docs)
 
     # Bucket by band (ONE shuffle, sig evaluated once) and generate the
     # intra-bucket pairs in-array — equivalent to a band self-join but
@@ -270,6 +281,62 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion near-dup check: an incoming BATCH of
+    documents (doc_id % 2 = 1, standing in for today's crawl) is
+    screened against an existing REFERENCE corpus (doc_id % 2 = 0, the
+    already-deduped warehouse) — the asymmetric daily-ingest shape, vs
+    minhash_lsh_pairs' one-shot self-join. Each batch doc comes back
+    flagged novel or pointing at its smallest matching reference doc.
+
+    Plan: ONE banded-signature build over the union (shared
+    _minhash_banded — at warehouse scale the reference side's band
+    table is precomputed and persisted, so a day's ingest only hashes
+    the batch), a band-keyed ref⋈batch equi-join for candidates (never
+    ref×ref — the quadratic side of a self-join is gone), exact-Jaccard
+    confirm on candidates only, then a min() witness per batch doc and
+    a left join back so novel docs surface with NULLs."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    banded = _minhash_banded(docs)
+    ref = banded.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("ref_id"), "band_id", "band_key"
+    )
+    batch = banded.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("batch_id"), "band_id", "band_key"
+    )
+    cand = (
+        batch.join(ref, ["band_id", "band_key"])
+        .select("batch_id", "ref_id")
+        .dropDuplicates(["batch_id", "ref_id"])
+    )
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")), "batch_id")
+        .join(sh.select(F.col("doc_id").alias("ref_id"), F.col("shingles").alias("sh_r")), "ref_id")
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_r"))
+    union = F.size(F.array_union("sh_b", "sh_r"))
+    jac = (inter.cast("decimal(18,6)") / union).cast("decimal(9,6)")
+    good = pairs.select("batch_id", "ref_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    wit = good.groupBy("batch_id").agg(F.min("ref_id").alias("dup_of"))
+    wit_j = wit.join(
+        good,
+        (wit.batch_id == good.batch_id) & (wit.dup_of == good.ref_id),
+    ).select(wit.batch_id, "dup_of", "jaccard")
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1).select(F.col("doc_id").alias("batch_id"))
+    return (
+        batch_docs.join(wit_j, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.col("dup_of").isNull().alias("novel"),
+            "dup_of",
+            "jaccard",
+        )
     )
 
 
@@ -656,6 +723,7 @@ QUERIES = {
     "duplicated_spans": duplicated_spans,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "incremental_neardup": incremental_neardup,
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "source_shingle_overlap": source_shingle_overlap,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
@@ -822,6 +890,32 @@ ORACLES = {
     """,
     "minhash_lsh_pairs": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + """
     SELECT doc_a, doc_b, jaccard FROM good
+    """,
+    # incremental check reuses the self-join fragment's band/shingle CTEs
+    # but candidates come from the ref(even)⋈batch(odd) band join; the
+    # a<b self-join fragment's `good` is replaced by a split-aware one.
+    "incremental_neardup": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + f"""
+    , xcand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS ref_id
+        FROM banded b JOIN banded r
+          ON b.band_id = r.band_id AND b.band_key = r.band_key
+        WHERE b.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    ), xgood AS (
+        SELECT c.batch_id, c.ref_id,
+               CAST(CAST(len(list_intersect(sb.shingles, sr.shingles)) AS DECIMAL(18,6))
+                    / len(list_distinct(list_concat(sb.shingles, sr.shingles))) AS DECIMAL(9,6)) AS jaccard
+        FROM xcand c
+        JOIN sh sb ON c.batch_id = sb.doc_id
+        JOIN sh sr ON c.ref_id = sr.doc_id
+    ), xkeep AS (
+        SELECT batch_id, ref_id, jaccard FROM xgood WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), wit AS (
+        SELECT batch_id, MIN(ref_id) AS dup_of FROM xkeep GROUP BY batch_id
+    )
+    SELECT d.doc_id, w.dup_of IS NULL AS novel, w.dup_of, k.jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN wit w ON d.doc_id = w.batch_id
+    LEFT JOIN xkeep k ON w.batch_id = k.batch_id AND w.dup_of = k.ref_id
     """,
     "neardup_edit_distance": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + """
     , norms AS (
