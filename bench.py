@@ -89,6 +89,11 @@ EXTENDED = [
     "last_touch_attribution",
     "frequent_triples",
     "prefix_jaccard_pairs",
+    # round-4 additions
+    "semantic_dedup",
+    "quality_classifier",
+    "incremental_neardup",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -861,6 +861,73 @@ def _l2_6(a, b):
     )
 
 
+def _pq_recon_expr(books: list[list[tuple[int, list[float]]]]):
+    """PQ encode+reconstruct as ONE codegen expression over `c_emb`:
+    per subspace, nearest codebook entry by round-6 squared-L2 (smallest
+    code on ties — sort_array over (d, code) structs), then the
+    codebook vector looked up from a literal map; subspace
+    reconstructions concat back to full width. The codebook is ~8 KB of
+    plan literals — the broadcast-as-constants pattern the IVF
+    centroids use. Shared by ann_pq_adc and ann_ivfpq_topk."""
+    recon_parts = []
+    for m, cent in enumerate(books):
+        subv = F.slice("c_emb", m * PQ_SUB + 1, PQ_SUB)
+        scored = F.array(*[
+            F.struct(_l2_6(subv, F.array(*[F.lit(x) for x in cv])).alias("d"),
+                     F.lit(c).alias("code"))
+            for c, cv in cent
+        ])
+        code = F.sort_array(scored).getItem(0).getField("code")
+        lookup = F.create_map(*[
+            e for c, cv in cent
+            for e in (F.lit(c), F.array(*[F.lit(x) for x in cv]))
+        ])
+        recon_parts.append(F.element_at(lookup, code))
+    return F.concat(*recon_parts)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the production FAISS composite, both scale levers at
+    once): the trained coarse quantizer prunes the SEARCH SPACE — a
+    query touches only its nearest cell's inverted list, a
+    partition-pruned read at warehouse scale — and PQ compresses the
+    SCANNED BYTES — vectors in the probed list score against their
+    4-bit-code reconstruction (~1.6% of the float64 bytes), with only
+    the ADC shortlist touching full-precision vectors for the exact
+    rerank. Same memoized quantizer as ann_ivf_topk, same memoized
+    codebooks as ann_pq_adc; the PQ encode runs AFTER the probe join,
+    so only probed-cell rows evaluate it (at scale codes are
+    precomputed at write time alongside the cell assignment)."""
+    corpus, queries = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
+    books = _pq_cached_codebooks(spark, sf_dir, corpus)
+    cells = _assign_cells(corpus, cent)
+    probed = _probe_cells(queries, cent, 1).select(
+        "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
+    )
+    in_cell = cells.join(F.broadcast(probed), cells.cell == probed.probe_cell, "inner")
+    with_recon = in_cell.withColumn("r_emb", _pq_recon_expr(books))
+    adc = F.round(
+        _dot(F.col("q_emb"), F.col("r_emb")) / (F.col("q_norm") * _norm(F.col("r_emb"))), 6
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("corpus_id"))
+    shortlist = (
+        with_recon.select("query_id", "probe_cell", "corpus_id", "c_emb", "c_norm", "q_emb", "q_norm", adc.alias("adc_cosine"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= PQ_SHORTLIST)
+    )
+    exact = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        shortlist.select("query_id", "probe_cell", "corpus_id", "adc_cosine", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "probe_cell", "rank", "corpus_id", "cosine", "adc_cosine")
+    )
+
+
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN via asymmetric distance computation: corpus
     vectors live as PQ_M 4-bit codes (64x smaller than float64), the
@@ -878,24 +945,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     query for the top-k."""
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     books = _pq_cached_codebooks(spark, sf_dir, corpus)
-
-    recon_parts = []
-    for m, cent in enumerate(books):
-        subv = F.slice("c_emb", m * PQ_SUB + 1, PQ_SUB)
-        scored = F.array(*[
-            F.struct(_l2_6(subv, F.array(*[F.lit(x) for x in cv])).alias("d"),
-                     F.lit(c).alias("code"))
-            for c, cv in cent
-        ])
-        code = F.sort_array(scored).getItem(0).getField("code")
-        lookup = F.create_map(*[
-            e for c, cv in cent
-            for e in (F.lit(c), F.array(*[F.lit(x) for x in cv]))
-        ])
-        recon_parts.append(F.element_at(lookup, code))
-    recon = F.concat(*recon_parts)
-
-    encoded = corpus.select("corpus_id", "c_emb", recon.alias("r_emb"))
+    encoded = corpus.select("corpus_id", "c_emb", _pq_recon_expr(books).alias("r_emb"))
     adc = F.round(
         _dot(F.col("q_emb"), F.col("r_emb"))
         / (_norm(F.col("q_emb")) * _norm(F.col("r_emb"))),
@@ -1123,6 +1173,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
@@ -1222,32 +1273,30 @@ def _ivf_oracle(probe_filter: str, select_tail: str) -> str:
     """
 
 
-def _pq_oracle() -> str:
-    """Replay PQ training + encoding + ADC in DuckDB: same sample
-    (corpus_id % tmod = 0), same seeds (PQ_K lowest-id subvectors),
-    same round-6 squared-L2 assignment with code tiebreak, same
-    exact-decimal mean centroids rounded at 6 dp — one CTE chain
-    carrying the subspace id instead of PQ_M copies."""
+def _pq_codebook_cte() -> tuple[str, str]:
+    """CTE fragment (appended after a chain that already defines
+    `corpus`) replaying PQ training + encoding + reconstruction in
+    DuckDB: same sample (corpus_id % tmod = 0), same seeds (PQ_K
+    lowest-id subvectors), same round-6 squared-L2 assignment with code
+    tiebreak, same exact-decimal mean centroids rounded at 6 dp — one
+    CTE chain carrying the subspace id instead of PQ_M copies. Returns
+    (fragment, last_codebook_name); the fragment ends with `recon`
+    (corpus_id → reconstructed vector). Shared by the ann_pq_adc and
+    ann_ivfpq_topk oracles (names prefixed pq/cb so the fragment
+    composes with the IVF cells chain without CTE clashes)."""
     d2 = (
         "ROUND(list_dot_product("
         "list_transform(list_zip(s.v, k.cvec), x -> x[1] - x[2]), "
         "list_transform(list_zip(s.v, k.cvec), x -> x[1] - x[2])), 6)"
     )
-    parts = [f"""
-    WITH corpus AS (
-        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
-        FROM embeddings WHERE vec_id >= {N_QUERIES}
-    ), queries AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
-        FROM embeddings WHERE vec_id < {N_QUERIES}
-    ), cfg AS (
+    parts = [f""", pqcfg AS (
         SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {PQ_K * PQ_TRAIN_PER_CODE}.0) AS INTEGER)) AS tmod
         FROM corpus
     ), sub AS (
         SELECT corpus_id, CAST(g.range AS INTEGER) AS m,
                c_emb[CAST(g.range AS INTEGER) * {PQ_SUB} + 1 :
                      CAST(g.range AS INTEGER) * {PQ_SUB} + {PQ_SUB}] AS v
-        FROM corpus, cfg, range({PQ_M}) g
+        FROM corpus, pqcfg, range({PQ_M}) g
         WHERE corpus_id % tmod = 0
     ), cb0 AS (
         SELECT m, CAST(rn - 1 AS INTEGER) AS code, v AS cvec FROM (
@@ -1290,7 +1339,23 @@ def _pq_oracle() -> str:
         SELECT c.corpus_id, flatten(list(k.cvec ORDER BY c.m)) AS r_emb
         FROM codes c JOIN {prev} k ON c.m = k.m AND c.code = k.code
         GROUP BY c.corpus_id
-    ), adc AS (
+    )""")
+    return "".join(parts), prev
+
+
+def _pq_oracle() -> str:
+    """Full flat-PQ ADC oracle: corpus/queries header + the shared
+    codebook/recon fragment + ADC scoring, shortlist, and exact
+    rerank."""
+    frag, _ = _pq_codebook_cte()
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    )""" + frag + f""", adc AS (
         SELECT q.query_id, r.corpus_id,
                ROUND(list_dot_product(q.q_emb, r.r_emb)
                      / (sqrt(list_dot_product(q.q_emb, q.q_emb))
@@ -1319,8 +1384,50 @@ def _pq_oracle() -> str:
                    ORDER BY cosine DESC, corpus_id ASC) AS rank
         FROM fine
     ) WHERE rank <= {TOP_K}
-    """)
-    return "".join(parts)
+    """
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ composite oracle: the IVF cells chain (defines corpus,
+    queries, cells and the final centroid table) + the PQ codebook/recon
+    fragment + single-probe ADC scoring, shortlist, and exact rerank —
+    the DuckDB replay of ann_ivfpq_topk."""
+    cells_cte, prev = _ivf_cells_cte()
+    frag, _ = _pq_codebook_cte()
+    return cells_cte + frag + f""", probe AS (
+        SELECT query_id, q_emb, cell AS probe_cell FROM (
+            SELECT q.query_id, q.q_emb, k.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {_duck_cos('q.q_emb', 'k.cvec')} DESC, k.cell ASC) AS rn
+            FROM queries q CROSS JOIN {prev} k
+        ) WHERE rn = 1
+    ), padc AS (
+        SELECT p.query_id, p.probe_cell, c.corpus_id, c.c_emb, p.q_emb,
+               ROUND(list_dot_product(p.q_emb, r.r_emb)
+                     / (sqrt(list_dot_product(p.q_emb, p.q_emb))
+                        * sqrt(list_dot_product(r.r_emb, r.r_emb))), 6) AS adc_cosine
+        FROM cells c
+        JOIN probe p ON c.cell = p.probe_cell
+        JOIN recon r ON c.corpus_id = r.corpus_id
+    ), pcand AS (
+        SELECT query_id, probe_cell, corpus_id, c_emb, q_emb, adc_cosine FROM (
+            SELECT a.*, ROW_NUMBER() OVER (PARTITION BY a.query_id
+                       ORDER BY a.adc_cosine DESC, a.corpus_id ASC) AS crank
+            FROM padc a
+        ) WHERE crank <= {PQ_SHORTLIST}
+    ), pfine AS (
+        SELECT query_id, probe_cell, corpus_id, adc_cosine,
+               {_duck_cos('q_emb', 'c_emb')} AS cosine
+        FROM pcand
+    )
+    SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine, adc_cosine
+    FROM (
+        SELECT query_id, probe_cell, corpus_id, cosine, adc_cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM pfine
+    ) WHERE rank <= {TOP_K}
+    """
 
 
 def _pca_oracle() -> str:
@@ -1477,6 +1584,7 @@ ORACLES = {
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_pq_adc": _pq_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
     "embedding_principal_component": _pca_oracle(),
     "embedding_dim_stats": f"""
     WITH x AS (

@@ -118,3 +118,47 @@ def test_ivf_vectorized_trainer_equals_spec(spark):
         spec = _ivf_centroids_spec(sample, nlist)
         assert [(c, list(map(float, v))) for c, v in fast] == \
                [(c, list(map(float, v))) for c, v in spec]
+
+
+def test_ivfpq_composite_consistent_with_single_probe_ivf(spark):
+    """IVF-PQ prunes with the SAME quantizer as ann_ivf_topk and reranks
+    exactly, so: probe cells agree per query; the exact-cosine winner of
+    IVF-PQ can never beat plain IVF's winner (the PQ shortlist is a
+    subset of the probed cell); and whenever the shortlist did not
+    truncate the cell, the two results are identical."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        PQ_SHORTLIST,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+    )
+
+    ivf = ann_ivf_topk(spark, SF).collect()
+    ivfpq = ann_ivfpq_topk(spark, SF).collect()
+    cells_ivf = {r.query_id: r.probe_cell for r in ivf}
+    cells_pq = {r.query_id: r.probe_cell for r in ivfpq}
+    assert cells_ivf == cells_pq
+    best_ivf = {r.query_id: r.cosine for r in ivf if r.rank == 1}
+    best_pq = {r.query_id: r.cosine for r in ivfpq if r.rank == 1}
+    assert set(best_ivf) == set(best_pq)
+    for q, c in best_pq.items():
+        assert c <= best_ivf[q]
+    # cell populations at sf0.001 sit under the shortlist width, so the
+    # shortlist covers the whole cell and the rerank must equal IVF
+    from gmallbiguan_parent_spark.operators.similarity import (
+        _assign_cells,
+        _ivf_cached_centroids,
+        _ivf_corpus_queries,
+    )
+
+    corpus, _ = _ivf_corpus_queries(spark, SF)
+    cent = _ivf_cached_centroids(spark, SF, corpus)
+    sizes = {
+        r.cell: r.n
+        for r in _assign_cells(corpus, cent).groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    full_cover = {q for q, cell in cells_pq.items() if sizes[cell] <= PQ_SHORTLIST}
+    t_ivf = {(r.query_id, r.rank): (r.corpus_id, r.cosine) for r in ivf}
+    t_pq = {(r.query_id, r.rank): (r.corpus_id, r.cosine) for r in ivfpq}
+    for (q, rank), v in t_ivf.items():
+        if q in full_cover:
+            assert t_pq[(q, rank)] == v
