@@ -96,26 +96,37 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     alpha_ct = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
     char_ct = F.length("text")
-    stop_r = F.round(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1)), 4).cast("double")
-    alpha_r = F.round(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1)), 4).cast("double")
-    mtl = F.round(
+
+    def dec4(x):
+        return x.cast("decimal(9,4)")
+
+    # EXACT decimal arithmetic end-to-end: 4-dp features × 2-dp weights
+    # sum with no float step and no ROUND at all, so there is no
+    # half-way-boundary divergence between engines (a double ROUND here
+    # failed at sf0.1 on .xxxx5 logits).
+    stop_r = dec4(F.round(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1)), 4))
+    alpha_r = dec4(F.round(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1)), 4))
+    mtl = dec4(F.round(
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
         / F.greatest(n_toks, F.lit(1)), 4,
-    ).cast("double")
-    len_norm = F.least(n_toks, F.lit(256)).cast("double") / F.lit(256.0)
-    logit = F.round(
-        F.lit(QC_BIAS)
-        + F.lit(QC_W_STOP) * stop_r
-        + F.lit(QC_W_ALPHA) * alpha_r
-        + F.lit(QC_W_LEN) * len_norm
-        + F.lit(QC_W_MTL) * mtl,
-        4,
-    )
+    ))
+    len_norm = dec4(F.round(F.least(n_toks, F.lit(256)).cast("decimal(18,6)") / F.lit(256), 4))
+
+    def w(x):
+        return F.lit(str(x)).cast("decimal(4,2)")
+
+    logit = (
+        w(QC_BIAS)
+        + w(QC_W_STOP) * stop_r
+        + w(QC_W_ALPHA) * alpha_r
+        + w(QC_W_LEN) * len_norm
+        + w(QC_W_MTL) * mtl
+    ).cast("decimal(12,6)")
     return docs.select(
         "doc_id",
         logit.alias("quality_logit"),
-        F.when(logit >= QC_KEEP, "keep")
-        .when(logit >= QC_REVIEW, "review")
+        F.when(logit >= w(QC_KEEP), "keep")
+        .when(logit >= w(QC_REVIEW), "review")
         .otherwise("drop")
         .alias("decision"),
     )
@@ -1115,21 +1126,25 @@ ORACLES = {
         ), f AS (
             SELECT doc_id,
                    CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
-                        / GREATEST(len(toks), 1), 4) AS DOUBLE) AS stop_r,
-                   CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DOUBLE) AS alpha_r,
+                        / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stop_r,
+                   CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DECIMAL(9,4)) AS alpha_r,
                    CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
-                        / GREATEST(len(toks), 1), 4) AS DOUBLE) AS mtl,
-                   LEAST(len(toks), 256) / 256.0 AS len_norm
+                        / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mtl,
+                   CAST(ROUND(CAST(LEAST(len(toks), 256) AS DECIMAL(18,6)) / 256, 4) AS DECIMAL(9,4)) AS len_norm
             FROM t
         ), s AS (
             SELECT doc_id,
-                   ROUND({QC_BIAS} + {QC_W_STOP} * stop_r + {QC_W_ALPHA} * alpha_r
-                         + {QC_W_LEN} * len_norm + ({QC_W_MTL}) * mtl, 4) AS quality_logit
+                   CAST(CAST('{QC_BIAS}' AS DECIMAL(4,2))
+                        + CAST('{QC_W_STOP}' AS DECIMAL(4,2)) * stop_r
+                        + CAST('{QC_W_ALPHA}' AS DECIMAL(4,2)) * alpha_r
+                        + CAST('{QC_W_LEN}' AS DECIMAL(4,2)) * len_norm
+                        + CAST('{QC_W_MTL}' AS DECIMAL(4,2)) * mtl
+                     AS DECIMAL(12,6)) AS quality_logit
             FROM f
         )
         SELECT doc_id, quality_logit,
-               CASE WHEN quality_logit >= {QC_KEEP} THEN 'keep'
-                    WHEN quality_logit >= {QC_REVIEW} THEN 'review'
+               CASE WHEN quality_logit >= CAST('{QC_KEEP}' AS DECIMAL(4,2)) THEN 'keep'
+                    WHEN quality_logit >= CAST('{QC_REVIEW}' AS DECIMAL(4,2)) THEN 'review'
                     ELSE 'drop' END AS decision
         FROM s
     """,
