@@ -196,9 +196,18 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
     Every doc has >=1 shingle (_shingles falls back to the whole-text
     token join), so explode never drops a document and the min() result
     equals a fold's running minimum exactly."""
+    return _minhash_banded_from_sets(
+        docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    )
+
+
+def _minhash_banded_from_sets(sets: DataFrame) -> DataFrame:
+    """Band table from a pre-materialized (doc_id, s: array<string>)
+    shingle-set table — the entry point when the caller also needs the
+    sets for an exact-Jaccard confirm and wants them computed once."""
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % MERSENNE_P
     sig = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+        sets.select("doc_id", F.explode("s").alias("shingle"))
         .select("doc_id", h.alias("h"))
         .groupBy("doc_id")
         .agg(*[
@@ -300,7 +309,12 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirm on candidates only, then a min() witness per batch doc and
     a left join back so novel docs surface with NULLs."""
     docs = load_table_spread(spark, sf_dir, "documents")
-    banded = _minhash_banded(docs)
+    # shingle sets and the band table each feed two consumers (ref/batch
+    # splits; candidate + confirm joins) — materialize ONCE, like the
+    # prefix-join and simhash operators do. At warehouse scale these are
+    # the persisted signature/band tables of the reference corpus.
+    sets = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).localCheckpoint()
+    banded = _minhash_banded_from_sets(sets.withColumnRenamed("shingles", "s")).localCheckpoint()
     ref = banded.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("ref_id"), "band_id", "band_key"
     )
@@ -312,7 +326,7 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "ref_id")
         .dropDuplicates(["batch_id", "ref_id"])
     )
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sh = sets
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")), "batch_id")
         .join(sh.select(F.col("doc_id").alias("ref_id"), F.col("shingles").alias("sh_r")), "ref_id")
@@ -323,11 +337,12 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = pairs.select("batch_id", "ref_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    wit = good.groupBy("batch_id").agg(F.min("ref_id").alias("dup_of"))
+    wit = good.groupBy("batch_id").agg(F.min("ref_id").alias("dup_of")).alias("w")
+    g = good.alias("g")
     wit_j = wit.join(
-        good,
-        (wit.batch_id == good.batch_id) & (wit.dup_of == good.ref_id),
-    ).select(wit.batch_id, "dup_of", "jaccard")
+        g,
+        (F.col("w.batch_id") == F.col("g.batch_id")) & (F.col("w.dup_of") == F.col("g.ref_id")),
+    ).select(F.col("w.batch_id").alias("batch_id"), F.col("w.dup_of").alias("dup_of"), F.col("g.jaccard").alias("jaccard"))
     batch_docs = docs.filter(F.col("doc_id") % 2 == 1).select(F.col("doc_id").alias("batch_id"))
     return (
         batch_docs.join(wit_j, "batch_id", "left")
