@@ -94,6 +94,8 @@ EXTENDED = [
     "quality_classifier",
     "incremental_neardup",
     "ann_ivfpq_topk",
+    "ann_recall_report",
+    "corpus_manifest",
 ]
 
 

@@ -322,8 +322,39 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset manifest (the reproducibility/versioning primitive a
+    training run records next to its data): per source — doc count,
+    char volume, id range, and an ORDER-INSENSITIVE content checksum
+    (sum of per-doc 60-bit md5 prefixes over normalized text, reduced
+    mod 2^31-1; the sum runs in decimal(38,0) so it is exact at any
+    corpus size — int64 would wrap at ~10^5 docs and wrap DIFFERENTLY
+    across engines). Any single changed/added/dropped document changes
+    the checksum; two shards with identical content match regardless of
+    row order or partitioning. One map-side-combined aggregate."""
+    from .dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(_norm_text(F.col("text"))), 1, 15), 16, 10)
+        .cast("long") % F.lit(2147483647)
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            (F.sum(h.cast("decimal(38,0)")) % F.lit(2147483647))
+            .cast("long").alias("content_checksum"),
+        )
+    )
+
+
 QUERIES = {
     "table_profile": table_profile,
+    "corpus_manifest": corpus_manifest,
     "chi2_independence": chi2_independence,
     "psi_drift": psi_drift,
     "rate_limited_events": rate_limited_events,
@@ -344,6 +375,21 @@ _PSI_BUCKET_EXPR = "1 + " + " + ".join(
 )
 
 ORACLES = {
+    "corpus_manifest": """
+    WITH h AS (
+        SELECT source, doc_id, length(text) AS chars,
+               ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+                   % 2147483647 AS hv
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0)) % 2147483647 AS BIGINT) AS content_checksum
+    FROM h GROUP BY source
+    """,
     "chi2_independence": """
     WITH seen AS (
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS obs

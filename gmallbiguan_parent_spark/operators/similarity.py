@@ -548,6 +548,33 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index QA: recall@k of the IVF index against the exact brute-force
+    answer, per query — the acceptance metric every production ANN
+    deployment tracks (recall loss comes from true neighbors across the
+    probed cell's boundary). Composes the two existing operators and
+    reduces to a per-query hit count; at scale this runs on a sampled
+    query set against the same persisted index the serving path uses."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "corpus_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "corpus_id")
+    hits = (
+        approx.join(exact, ["query_id", "corpus_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    base = ann_cosine_topk(spark, sf_dir).select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)).cast("decimal(18,6)") / TOP_K, 4
+            ).cast("decimal(9,4)").alias("recall_at_k"),
+        )
+    )
+
+
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
 # to k-means clusters — within each cluster, points whose pairwise
 # cosine exceeds tau are one semantic duplicate group, and one
@@ -1174,6 +1201,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_recall_report": ann_recall_report,
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
@@ -1585,6 +1613,28 @@ ORACLES = {
     """,
     "ann_pq_adc": _pq_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
+    "ann_recall_report": _ivf_oracle(
+        "rn = 1",
+        f""", approx AS (
+        SELECT query_id, corpus_id FROM ranked WHERE rank <= {TOP_K}
+    ), exact AS (
+        SELECT query_id, corpus_id FROM (
+            SELECT q.query_id, c.corpus_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       {_duck_cos('q.q_emb', 'c.c_emb')} DESC, c.corpus_id ASC) AS xrank
+            FROM corpus c CROSS JOIN queries q
+        ) WHERE xrank <= {TOP_K}
+    ), hits AS (
+        SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+           CAST(ROUND(CAST(COALESCE(h.hits, 0) AS DECIMAL(18,6)) / {TOP_K}, 4) AS DECIMAL(9,4)) AS recall_at_k
+    FROM queries q LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+    ),
     "embedding_principal_component": _pca_oracle(),
     "embedding_dim_stats": f"""
     WITH x AS (
