@@ -562,7 +562,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("hits"))
     )
-    base = ann_cosine_topk(spark, sf_dir).select("query_id").distinct()
+    # the query-id universe comes from the (tiny) query split directly —
+    # not from re-running the brute-force scan just to list ids
+    base = _ivf_corpus_queries(spark, sf_dir)[1].select("query_id")
     return (
         base.join(hits, "query_id", "left")
         .select(
