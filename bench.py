@@ -96,6 +96,7 @@ EXTENDED = [
     "ann_ivfpq_topk",
     "ann_recall_report",
     "corpus_manifest",
+    "leakage_safe_split",
 ]
 
 

@@ -432,6 +432,33 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split UNIT is the near-dup
+    cluster, not the document — two near-duplicate docs always land in
+    the same split, so the eval sets can never contain a near-copy of a
+    training doc (the train/test contamination mode a doc-id split
+    silently permits). Singletons (docs in no near-dup pair) are their
+    own unit. The assignment is a pure hash expression on the unit id
+    (md5-bucket, 80/10/10) — deterministic, re-runnable, no shuffle
+    beyond the cluster computation itself.
+
+    tests/test_semantic_quality.py asserts the invariant directly: for
+    every confirmed near-dup pair, both docs carry the same split."""
+    from ..functions import md5_bigint
+
+    docs = load_table_spread(spark, sf_dir, "documents").select("doc_id")
+    clusters = neardup_clusters(spark, sf_dir)
+    unit = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("split_unit")
+    )
+    bucket = md5_bigint(F.col("split_unit").cast("string"), salt="split:") % 10
+    return unit.select(
+        "doc_id",
+        "split_unit",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+
+
 def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-metric confirm stage: exact Levenshtein distance over the
     LSH candidate pairs — the expensive O(len_a * len_b) comparison run
@@ -746,6 +773,7 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
     "neardup_clusters": neardup_clusters,
+    "leakage_safe_split": leakage_safe_split,
     "neardup_edit_distance": neardup_edit_distance,
 }
 
@@ -1048,3 +1076,18 @@ ORACLES = {
     WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
     """,
 }
+
+# Built after the dict so it can embed the neardup_clusters oracle as a
+# subquery (DuckDB allows a WITH chain inside a parenthesized FROM).
+_SPLIT_BUCKET = (
+    "('0x' || substr(md5('split:' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 15))"
+    "::BIGINT % 10"
+)
+ORACLES["leakage_safe_split"] = f"""
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS split_unit,
+           CASE WHEN {_SPLIT_BUCKET} < 8 THEN 'train'
+                WHEN {_SPLIT_BUCKET} = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN ({ORACLES["neardup_clusters"]}) c ON d.doc_id = c.doc_id
+"""

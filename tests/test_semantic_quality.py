@@ -84,3 +84,17 @@ def test_quality_classifier_rewards_stopword_rich_prose(spark, tmp_path):
     df.write.parquet(str(tmp_path / "documents.parquet"))
     out = {r.doc_id: r for r in quality_classifier(spark, str(tmp_path)).collect()}
     assert out[0].quality_logit > out[1].quality_logit
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    from gmallbiguan_parent_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+
+    split = {r.doc_id: r.split for r in leakage_safe_split(spark, SF).collect()}
+    pairs = minhash_lsh_pairs(spark, SF).collect()
+    assert split, "split returned no rows"
+    assert set(split.values()) <= {"train", "val", "test"}
+    for p in pairs:
+        assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)

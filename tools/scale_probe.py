@@ -75,6 +75,15 @@ PROBE_QUERIES = [
     "last_touch_attribution",
     "rfm_segments",
     "event_transition_matrix",
+    # round-4: semantic dedup, incremental screening, IVF-PQ composite,
+    # model-based quality filtering, manifest checksum, recall QA
+    "semantic_dedup",
+    "incremental_neardup",
+    "ann_ivfpq_topk",
+    "quality_classifier",
+    "corpus_manifest",
+    "ann_recall_report",
+    "leakage_safe_split",
 ]
 
 
