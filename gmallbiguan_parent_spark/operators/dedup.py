@@ -195,19 +195,32 @@ def _minhash_banded(docs: DataFrame) -> DataFrame:
 
     Every doc has >=1 shingle (_shingles falls back to the whole-text
     token join), so explode never drops a document and the min() result
-    equals a fold's running minimum exactly."""
-    return _minhash_banded_from_sets(
-        docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    equals a fold's running minimum exactly.
+
+    NOTE: the generator input must be the INLINE _shingles expression —
+    routing it through a named Project column (select(shingles AS s)
+    then explode(s)) measured 5x slower at sf0.1: the un-collapsed
+    Project keeps the array build out of the fused generate stage. The
+    sets-based twin below is for callers exploding an ALREADY
+    MATERIALIZED (localCheckpointed) set table, where no such fusion
+    exists to lose."""
+    return _explode_min_sig(
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
     )
 
 
 def _minhash_banded_from_sets(sets: DataFrame) -> DataFrame:
     """Band table from a pre-materialized (doc_id, s: array<string>)
     shingle-set table — the entry point when the caller also needs the
-    sets for an exact-Jaccard confirm and wants them computed once."""
+    sets for an exact-Jaccard confirm and has them localCheckpointed."""
+    return _explode_min_sig(sets.select("doc_id", F.explode("s").alias("shingle")))
+
+
+def _explode_min_sig(shingled: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows → (doc_id, band_id, band_key)."""
     h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % MERSENNE_P
     sig = (
-        sets.select("doc_id", F.explode("s").alias("shingle"))
+        shingled
         .select("doc_id", h.alias("h"))
         .groupBy("doc_id")
         .agg(*[
