@@ -97,6 +97,7 @@ EXTENDED = [
     "ann_recall_report",
     "corpus_manifest",
     "leakage_safe_split",
+    "embedding_cluster_profile",
 ]
 
 

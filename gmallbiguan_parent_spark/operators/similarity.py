@@ -577,6 +577,48 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-verifiable cluster profile: per IVF cell — member count,
+    majority label and its count, and the mean round-6 cosine of
+    members to their own centroid (decimal-summed, so order-free). The
+    Lloyd-means profile (clustering.embedding_clusters) is rows-only by
+    necessity (float centroid means); this one rides the exactly-
+    replayable spherical quantizer, closing the k-means family's oracle
+    gap. One assignment pass + one agg."""
+    corpus, _ = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
+    emb = load_table_spread(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("corpus_id"), F.col("label").alias("label")
+    )
+    cells = _assign_cells(corpus, cent)
+    ccent = _cent_df(corpus, cent).select(
+        F.col("cell").alias("k_cell"), "cvec", "cnorm"
+    )
+    scored = (
+        cells.join(F.broadcast(ccent), cells.cell == F.col("k_cell"))
+        .join(emb, "corpus_id")
+        .select(
+            "cell", "label",
+            F.round(
+                _dot(F.col("c_emb"), F.col("cvec")) / (F.col("c_norm") * F.col("cnorm")), 6
+            ).alias("own_cos"),
+        )
+    )
+    per_label = scored.groupBy("cell", "label").agg(F.count("*").alias("ct"))
+    majority = per_label.groupBy("cell").agg(
+        F.max_by(F.struct("label"), F.struct(F.col("ct"), (-F.col("label")).alias("neg"))).getField("label").alias("majority_label"),
+        F.max("ct").alias("majority_ct"),
+    )
+    # exact decimal SUM, not a mean: decimal division scale rules differ
+    # between engines, and a double mean re-opens the ROUND boundary
+    # trap — the consumer divides sum/n itself
+    sizes = scored.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("own_cos").cast("decimal(18,6)")).alias("sum_own_cos"),
+    )
+    return sizes.join(majority, "cell")
+
+
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup scoped
 # to k-means clusters — within each cluster, points whose pairwise
 # cosine exceeds tau are one semantic duplicate group, and one
@@ -1204,6 +1246,7 @@ QUERIES = {
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_recall_report": ann_recall_report,
+    "embedding_cluster_profile": embedding_cluster_profile,
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
@@ -1571,6 +1614,30 @@ ORACLES = {
         f"SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine"
         f" FROM ranked WHERE rank <= {TOP_K}",
     ),
+    "embedding_cluster_profile": _ivf_cells_cte()[0] + f""", ccent AS (
+        SELECT cell AS k_cell, cvec FROM {_ivf_cells_cte()[1]}
+    ), scored AS (
+        SELECT c.cell, e.label,
+               {_duck_cos('c.c_emb', 'k.cvec')} AS own_cos
+        FROM cells c
+        JOIN ccent k ON c.cell = k.k_cell
+        JOIN embeddings e ON c.corpus_id = e.vec_id
+    ), per_label AS (
+        SELECT cell, label, COUNT(*) AS ct FROM scored GROUP BY 1, 2
+    ), majority AS (
+        SELECT cell, label AS majority_label, CAST(ct AS BIGINT) AS majority_ct FROM (
+            SELECT cell, label, ct,
+                   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ct DESC, label ASC) AS rn
+            FROM per_label
+        ) WHERE rn = 1
+    ), sizes AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(own_cos AS DECIMAL(18,6))) AS sum_own_cos
+        FROM scored GROUP BY cell
+    )
+    SELECT s.cell, s.n, s.sum_own_cos, m.majority_label, m.majority_ct
+    FROM sizes s JOIN majority m ON s.cell = m.cell
+    """,
     "semantic_dedup": _ivf_cells_cte()[0] + f""", witnesses AS (
         SELECT b.corpus_id AS b_id, MIN(a.corpus_id) AS dup_of
         FROM cells a JOIN cells b

@@ -84,6 +84,7 @@ PROBE_QUERIES = [
     "corpus_manifest",
     "ann_recall_report",
     "leakage_safe_split",
+    "embedding_cluster_profile",
 ]
 
 
