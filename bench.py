@@ -98,6 +98,8 @@ EXTENDED = [
     "corpus_manifest",
     "leakage_safe_split",
     "embedding_cluster_profile",
+    "hard_negative_mining",
+    "dataset_card",
 ]
 
 

@@ -144,15 +144,87 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet: the one-table corpus summary a curation run
+    publishes next to its output (Datasheets for Datasets / model-card
+    data sections) — size, content uniqueness, language mix, source
+    count, quality-filter decision mix, and token volume, as
+    (metric, value) rows. Every line is a count aggregate; the
+    quality-decision rows reuse the quality_classifier expressions
+    verbatim so the card can never drift from the filter it reports on.
+    Scale: a handful of independent one-pass aggregates unioned — each
+    is map-side-combined, none exceeds a single shuffle."""
+    from .text import quality_classifier
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    norm_fp = F.md5(_norm_text(F.col("text")))
+    ws_tokens = F.size(
+        F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != F.lit(""))
+    )
+    totals = docs.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(norm_fp).alias("unique_texts"),
+        F.countDistinct("source").alias("sources"),
+        F.sum(ws_tokens).alias("ws_tokens_total"),
+    )
+    metric = lambda name, col: F.struct(F.lit(name).alias("metric"), col.cast("long").alias("value"))
+    wide = totals.select(
+        F.explode(
+            F.array(
+                metric("total_docs", F.col("total_docs")),
+                metric("unique_texts", F.col("unique_texts")),
+                metric("exact_dup_docs", F.col("total_docs") - F.col("unique_texts")),
+                metric("sources", F.col("sources")),
+                metric("ws_tokens_total", F.col("ws_tokens_total")),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.value")
+    langs = docs.groupBy("lang").agg(F.count("*").alias("value")).select(
+        F.concat(F.lit("lang:"), F.col("lang")).alias("metric"), F.col("value").cast("long")
+    )
+    decisions = (
+        quality_classifier(spark, sf_dir)
+        .groupBy("decision")
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.concat(F.lit("decision:"), F.col("decision")).alias("metric"),
+            F.col("value").cast("long"),
+        )
+    )
+    return wide.unionByName(langs).unionByName(decisions)
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
+    "dataset_card": dataset_card,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
 
+from . import text as _text  # noqa: E402  (oracle composition, no cycle)
+
+_CARD_TOT = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS BIGINT) AS unique_texts,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+           CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''))) AS BIGINT) AS ws_tokens_total
+    FROM documents
+"""
+
 ORACLES = {
+    "dataset_card": f"""
+    WITH tot AS ({_CARD_TOT})
+    SELECT 'total_docs' AS metric, total_docs AS value FROM tot
+    UNION ALL SELECT 'unique_texts', unique_texts FROM tot
+    UNION ALL SELECT 'exact_dup_docs', total_docs - unique_texts FROM tot
+    UNION ALL SELECT 'sources', sources FROM tot
+    UNION ALL SELECT 'ws_tokens_total', ws_tokens_total FROM tot
+    UNION ALL SELECT 'lang:' || lang, CAST(COUNT(*) AS BIGINT) FROM documents GROUP BY lang
+    UNION ALL SELECT 'decision:' || decision, CAST(COUNT(*) AS BIGINT)
+              FROM ({_text.ORACLES["quality_classifier"]}) GROUP BY decision
+    """,
     "curate_corpus": f"""
         WITH t AS (
             SELECT doc_id, lang, n_chars,

@@ -577,6 +577,48 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HN_K = 5  # hard negatives per query
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data miner: for each query vector, the top-k
+    most similar corpus vectors with a DIFFERENT label — the classic
+    hard-negative set (high-cosine, wrong-class) that makes embedding
+    fine-tuning effective. Same broadcast-scored scan as the exact ANN
+    baseline with one extra label predicate; at scale the label filter
+    rides the scan and the per-query top-k is the TakeOrdered pattern —
+    swap the scored scan for the IVF probe to mine within-cell negatives
+    at 100 TB."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+        F.col("label").alias("corpus_label"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("label").alias("query_label"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("corpus_label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label", "corpus_id", "corpus_label",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))), 6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select("query_id", "query_label", "rank", "corpus_id", "corpus_label", "cosine")
+    )
+
+
 def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable cluster profile: per IVF cell — member count,
     majority label and its count, and the mean round-6 cosine of
@@ -1247,6 +1289,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_recall_report": ann_recall_report,
     "embedding_cluster_profile": embedding_cluster_profile,
+    "hard_negative_mining": hard_negative_mining,
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
@@ -1614,6 +1657,26 @@ ORACLES = {
         f"SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine"
         f" FROM ranked WHERE rank <= {TOP_K}",
     ),
+    "hard_negative_mining": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS corpus_label
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS query_label
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, query_label, corpus_id, corpus_label,
+               {_duck_cos('q_emb', 'c_emb')} AS cosine
+        FROM corpus, queries
+        WHERE corpus_label <> query_label
+    )
+    SELECT query_id, query_label, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
+    FROM (
+        SELECT query_id, query_label, corpus_id, corpus_label, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {HN_K}
+    """,
     "embedding_cluster_profile": _ivf_cells_cte()[0] + f""", ccent AS (
         SELECT cell AS k_cell, cvec FROM {_ivf_cells_cte()[1]}
     ), scored AS (

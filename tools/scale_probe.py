@@ -85,6 +85,8 @@ PROBE_QUERIES = [
     "ann_recall_report",
     "leakage_safe_split",
     "embedding_cluster_profile",
+    "hard_negative_mining",
+    "dataset_card",
 ]
 
 
