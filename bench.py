@@ -100,6 +100,7 @@ EXTENDED = [
     "embedding_cluster_profile",
     "hard_negative_mining",
     "dataset_card",
+    "stream_incremental_neardup",
 ]
 
 

@@ -881,6 +881,26 @@ _DUCK_MINHASH_PAIRS = """
     band_key=" || ':' || ".join(f"mh[b*{BAND_ROWS}+{r + 1}]" for r in range(BAND_ROWS)),
 )
 
+# Cross-corpus (batch odd ⋈ reference even) candidate/confirm fragment —
+# appended after _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS. Shared by the
+# batch incremental_neardup oracle and its streaming twin's oracle.
+_DUCK_XKEEP = f"""
+    , xcand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS ref_id
+        FROM banded b JOIN banded r
+          ON b.band_id = r.band_id AND b.band_key = r.band_key
+        WHERE b.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    ), xgood AS (
+        SELECT c.batch_id, c.ref_id,
+               CAST(CAST(len(list_intersect(sb.shingles, sr.shingles)) AS DECIMAL(18,6))
+                    / len(list_distinct(list_concat(sb.shingles, sr.shingles))) AS DECIMAL(9,6)) AS jaccard
+        FROM xcand c
+        JOIN sh sb ON c.batch_id = sb.doc_id
+        JOIN sh sr ON c.ref_id = sr.doc_id
+    ), xkeep AS (
+        SELECT batch_id, ref_id, jaccard FROM xgood WHERE jaccard >= {JACCARD_THRESHOLD}
+    )"""
+
 ORACLES = {
     "duplicated_spans": f"""
     WITH toks AS (
@@ -950,22 +970,8 @@ ORACLES = {
     # incremental check reuses the self-join fragment's band/shingle CTEs
     # but candidates come from the ref(even)⋈batch(odd) band join; the
     # a<b self-join fragment's `good` is replaced by a split-aware one.
-    "incremental_neardup": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + f"""
-    , xcand AS (
-        SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS ref_id
-        FROM banded b JOIN banded r
-          ON b.band_id = r.band_id AND b.band_key = r.band_key
-        WHERE b.doc_id % 2 = 1 AND r.doc_id % 2 = 0
-    ), xgood AS (
-        SELECT c.batch_id, c.ref_id,
-               CAST(CAST(len(list_intersect(sb.shingles, sr.shingles)) AS DECIMAL(18,6))
-                    / len(list_distinct(list_concat(sb.shingles, sr.shingles))) AS DECIMAL(9,6)) AS jaccard
-        FROM xcand c
-        JOIN sh sb ON c.batch_id = sb.doc_id
-        JOIN sh sr ON c.ref_id = sr.doc_id
-    ), xkeep AS (
-        SELECT batch_id, ref_id, jaccard FROM xgood WHERE jaccard >= {JACCARD_THRESHOLD}
-    ), wit AS (
+    "incremental_neardup": _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + _DUCK_XKEEP + f"""
+    , wit AS (
         SELECT batch_id, MIN(ref_id) AS dup_of FROM xkeep GROUP BY batch_id
     )
     SELECT d.doc_id, w.dup_of IS NULL AS novel, w.dup_of, k.jaccard

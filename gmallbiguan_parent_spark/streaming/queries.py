@@ -353,8 +353,96 @@ def stream_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup — the stream-static LSH screen: a
+    stream of incoming documents (odd doc_ids) is banded PER ROW
+    (stateless fold signature — no streaming aggregation needed, unlike
+    the batch side's exploded min() which is faster for bounded scans
+    but illegal mid-stream), joined against the STATIC reference band
+    table (even doc_ids — at warehouse scale the persisted index of the
+    already-ingested corpus), candidates deduped, and confirmed with
+    exact Jaccard against the static shingle sets. Emits the matched
+    (batch_id, ref_id, jaccard) pairs; the dropDuplicates state is
+    keyed on the candidate pair — in production it carries a watermark
+    TTL on ingest time, here the bounded replay needs none. Oracle: the
+    same xkeep fragment the batch incremental_neardup verifies against."""
+    from ..operators.dedup import (
+        BAND_ROWS, JACCARD_THRESHOLD, MERSENNE_P, N_BANDS, N_PERM,
+        PERM_A, PERM_B, _minhash_banded, _shingles,
+    )
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref_docs = batch_docs.filter(F.col("doc_id") % 2 == 0)
+    ref_bands = (
+        _minhash_banded(ref_docs)
+        .select(F.col("doc_id").alias("ref_id"), "band_id", "band_key")
+        .localCheckpoint()
+    )
+    ref_sets = ref_docs.select(
+        F.col("doc_id").alias("ref_id"), _shingles(F.col("text")).alias("sh_r")
+    ).localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    hashes = F.transform(
+        _shingles(F.col("text")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P,
+    )
+    shingled = stream.select(
+        F.col("doc_id").alias("batch_id"),
+        _shingles(F.col("text")).alias("sh_b"),
+        hashes.alias("hs"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(PERM_A[p]) * h + F.lit(PERM_B[p])) % MERSENNE_P)
+        ).alias(f"m{p}")
+        for p in range(N_PERM)
+    ]
+    sig = shingled.select("batch_id", "sh_b", *mins)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(":", *[F.col(f"m{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "batch_id", "sh_b", F.explode(F.array(*band_cols)).alias("band")
+    ).select("batch_id", "sh_b", "band.band_id", "band.band_key")
+    cand = (
+        banded.join(ref_bands, ["band_id", "band_key"])
+        .select("batch_id", "ref_id", "sh_b")
+        .dropDuplicates(["batch_id", "ref_id"])
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_r"))
+    union = F.size(F.array_union("sh_b", "sh_r"))
+    jac = (inter.cast("decimal(18,6)") / union).cast("decimal(9,6)")
+    good = (
+        cand.join(ref_sets, "ref_id")
+        .select("batch_id", "ref_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    name = f"sin_{uuid.uuid4().hex[:10]}"
+    (
+        good.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_sin_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
+    "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_rate_limit": stream_rate_limit_q,
     "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
@@ -366,11 +454,20 @@ QUERIES = {
     "stream_payment_pairs": stream_payment_pairs_q,
 }
 
+from ..operators.dedup import (
+    _DUCK_MINHASH_PAIRS as _DMP,
+    _DUCK_SHINGLES as _DSH,
+    _DUCK_XKEEP as _DXK,
+)
 from ..operators.quality import ORACLES as _QUALITY_ORACLES
 
 from ..pipelines.analytics import ORACLES as _ANALYTICS_ORACLES
 
 ORACLES = {
+    # the streaming screen must emit EXACTLY the batch xkeep pair set
+    "stream_incremental_neardup": _DSH + _DMP + _DXK + """
+    SELECT batch_id, ref_id, jaccard FROM xkeep
+    """,
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_transition_matrix": _ANALYTICS_ORACLES["event_transition_matrix"],
