@@ -101,6 +101,7 @@ EXTENDED = [
     "hard_negative_mining",
     "dataset_card",
     "stream_incremental_neardup",
+    "dedup_threshold_curve",
 ]
 
 

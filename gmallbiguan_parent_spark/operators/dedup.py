@@ -445,6 +445,45 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEDUP_CURVE_THRESHOLDS = ("0.50", "0.60", "0.70", "0.80", "0.90")
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning readout: how many near-dup pairs (and how many
+    affected documents) survive at each Jaccard cutoff at or above the
+    LSH operating point — the curve a curation run reads before picking
+    its dedup aggressiveness. Sweeping BELOW the banding's design
+    threshold would report LSH-recall-limited counts, so the curve
+    starts at JACCARD_THRESHOLD where the pair set is complete.
+
+    Plan: the confirmed pair set computes once (already candidates-only)
+    and is tiny relative to the corpus; the sweep is a broadcast
+    thresholds-table join over it — constant extra cost at any scale.
+    Thresholds compare as exact decimals (no double boundary trap)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    th = pairs.sparkSession.createDataFrame(
+        [(t,) for t in DEDUP_CURVE_THRESHOLDS], "t string"
+    ).select(F.col("t").cast("decimal(3,2)").alias("threshold"))
+    hit = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    pc = hit.groupBy("threshold").agg(F.count("*").alias("pair_ct"))
+    dc = (
+        hit.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("doc_ct"))
+    )
+    return (
+        th.join(pc, "threshold", "left")
+        .join(dc, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("pair_ct", F.lit(0)).cast("long").alias("pair_ct"),
+            F.coalesce("doc_ct", F.lit(0)).cast("long").alias("doc_ct"),
+        )
+    )
+
+
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split UNIT is the near-dup
     cluster, not the document — two near-duplicate docs always land in
@@ -787,6 +826,7 @@ QUERIES = {
     "decontaminate_corpus": decontaminate_corpus,
     "neardup_clusters": neardup_clusters,
     "leakage_safe_split": leakage_safe_split,
+    "dedup_threshold_curve": dedup_threshold_curve,
     "neardup_edit_distance": neardup_edit_distance,
 }
 
@@ -1110,3 +1150,24 @@ ORACLES["leakage_safe_split"] = f"""
                 ELSE 'test' END AS split
     FROM documents d LEFT JOIN ({ORACLES["neardup_clusters"]}) c ON d.doc_id = c.doc_id
 """
+
+_CURVE_VALUES = ", ".join(f"('{t}')" for t in DEDUP_CURVE_THRESHOLDS)
+ORACLES["dedup_threshold_curve"] = _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + f"""
+    , th AS (
+        SELECT CAST(t AS DECIMAL(3,2)) AS threshold FROM (VALUES {_CURVE_VALUES}) v(t)
+    ), hit AS (
+        SELECT th.threshold, g.doc_a, g.doc_b
+        FROM good g CROSS JOIN th
+        WHERE g.jaccard >= th.threshold
+    ), pc AS (
+        SELECT threshold, CAST(COUNT(*) AS BIGINT) AS pair_ct FROM hit GROUP BY 1
+    ), dc AS (
+        SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS doc_ct
+        FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM hit) GROUP BY 1
+    )
+    SELECT th.threshold,
+           COALESCE(pc.pair_ct, 0) AS pair_ct,
+           COALESCE(dc.doc_ct, 0) AS doc_ct
+    FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+"""
+
