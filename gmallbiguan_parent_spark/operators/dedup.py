@@ -350,12 +350,16 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = pairs.select("batch_id", "ref_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    wit = good.groupBy("batch_id").agg(F.min("ref_id").alias("dup_of")).alias("w")
-    g = good.alias("g")
-    wit_j = wit.join(
-        g,
-        (F.col("w.batch_id") == F.col("g.batch_id")) & (F.col("w.dup_of") == F.col("g.ref_id")),
-    ).select(F.col("w.batch_id").alias("batch_id"), F.col("w.dup_of").alias("dup_of"), F.col("g.jaccard").alias("jaccard"))
+    # one-pass witness: min_by on ref_id carries its jaccard along — no
+    # groupBy-plus-self-join, so the unmaterialized confirm subtree
+    # evaluates once (review finding: the join form ran it twice)
+    wit_j = good.groupBy("batch_id").agg(
+        F.min_by(F.struct("ref_id", "jaccard"), "ref_id").alias("m")
+    ).select(
+        "batch_id",
+        F.col("m.ref_id").alias("dup_of"),
+        F.col("m.jaccard").alias("jaccard"),
+    )
     batch_docs = docs.filter(F.col("doc_id") % 2 == 1).select(F.col("doc_id").alias("batch_id"))
     return (
         batch_docs.join(wit_j, "batch_id", "left")

@@ -332,9 +332,12 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines). Any single changed/added/dropped document changes
     the checksum; two shards with identical content match regardless of
     row order or partitioning. One map-side-combined aggregate."""
+    from ..io import load_table_spread
     from .dedup import _norm_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the per-row md5+normalize is the heavy part, and the
+    # single-file source would otherwise run it on one core
+    docs = load_table_spread(spark, sf_dir, "documents")
     h = (
         F.conv(F.substring(F.md5(_norm_text(F.col("text"))), 1, 15), 16, 10)
         .cast("long") % F.lit(2147483647)

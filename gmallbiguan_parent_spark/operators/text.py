@@ -43,27 +43,43 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: stopword ratio, mean token length, alpha ratio —
-    combined into a 0-100 score. All ratios decimal-rounded (scale 4)."""
-    docs = load_table_spread(spark, sf_dir, "documents")
+def _quality_features() -> dict:
+    """The three 4-dp decimal quality features over `text` — SINGLE
+    SOURCE shared by text_quality and quality_classifier (and, through
+    the latter, dataset_card), so a feature redefinition can never be
+    applied to one consumer and missed in another. The SQL twin is
+    _DUCK_QUALITY_F below."""
     toks = tokenize("text")
     n_toks = F.size(toks)
     stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     alpha_ct = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
     char_ct = F.length("text")
-    stop_ratio = F.round(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1)), 4).cast("decimal(9,4)")
-    alpha_ratio = F.round(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1)), 4).cast("decimal(9,4)")
-    mean_tok_len = F.round(
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
-        / F.greatest(n_toks, F.lit(1)), 4,
-    ).cast("decimal(9,4)")
+
+    def dec4(x):
+        return F.round(x, 4).cast("decimal(9,4)")
+
+    return {
+        "token_ct": n_toks,
+        "stop_r": dec4(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1))),
+        "alpha_r": dec4(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1))),
+        "mtl": dec4(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
+            / F.greatest(n_toks, F.lit(1))
+        ),
+    }
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, mean token length, alpha ratio —
+    combined into a 0-100 score. All ratios decimal-rounded (scale 4)."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    f = _quality_features()
     return docs.select(
         "doc_id",
-        n_toks.alias("token_ct"),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        mean_tok_len.alias("mean_token_len"),
+        f["token_ct"].alias("token_ct"),
+        f["stop_r"].alias("stopword_ratio"),
+        f["alpha_r"].alias("alpha_ratio"),
+        f["mtl"].alias("mean_token_len"),
     )
 
 
@@ -91,26 +107,16 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; the logit rounds at 4 dp so threshold comparisons are
     boundary-exact in both engines."""
     docs = load_table_spread(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    n_toks = F.size(toks)
-    stop_ct = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    alpha_ct = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-    char_ct = F.length("text")
-
-    def dec4(x):
-        return x.cast("decimal(9,4)")
-
     # EXACT decimal arithmetic end-to-end: 4-dp features × 2-dp weights
     # sum with no float step and no ROUND at all, so there is no
     # half-way-boundary divergence between engines (a double ROUND here
-    # failed at sf0.1 on .xxxx5 logits).
-    stop_r = dec4(F.round(stop_ct.cast("decimal(18,6)") / F.greatest(n_toks, F.lit(1)), 4))
-    alpha_r = dec4(F.round(alpha_ct.cast("decimal(18,6)") / F.greatest(char_ct, F.lit(1)), 4))
-    mtl = dec4(F.round(
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
-        / F.greatest(n_toks, F.lit(1)), 4,
-    ))
-    len_norm = dec4(F.round(F.least(n_toks, F.lit(256)).cast("decimal(18,6)") / F.lit(256), 4))
+    # failed at sf0.1 on .xxxx5 logits). Features shared with
+    # text_quality via _quality_features.
+    feats = _quality_features()
+    stop_r, alpha_r, mtl, n_toks = feats["stop_r"], feats["alpha_r"], feats["mtl"], feats["token_ct"]
+    len_norm = F.round(
+        F.least(n_toks, F.lit(256)).cast("decimal(18,6)") / F.lit(256), 4
+    ).cast("decimal(9,4)")
 
     def w(x):
         return F.lit(str(x)).cast("decimal(4,2)")
@@ -899,6 +905,29 @@ QUERIES = {
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
 
+# SQL twin of _quality_features — the single feature definition both the
+# text_quality and quality_classifier oracles build on. COALESCE guards
+# list_sum's empty-list NULL (a zero-token doc must score mtl=0 exactly
+# like Spark's aggregate fold, not NULL).
+_DUCK_QUALITY_F = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_ct,
+               length(text) AS char_ct
+        FROM documents
+    ), f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS token_ct,
+               CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stop_r,
+               CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DECIMAL(9,4)) AS alpha_r,
+               CAST(ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mtl
+        FROM t
+    )
+"""
+
 ORACLES = {
     "bpe_train_merges": _bpe_train_oracle(BPE_TRAIN_MERGES),
     "bpe_doc_tokens": _bpe_train_oracle(
@@ -1099,41 +1128,17 @@ ORACLES = {
                CAST(length(text) AS INTEGER) AS char_ct
         FROM documents
     """,
-    "text_quality": f"""
-        WITH t AS (
-            SELECT doc_id,
-                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_ct,
-                   length(text) AS char_ct
-            FROM documents
-        )
-        SELECT doc_id,
-               CAST(len(toks) AS INTEGER) AS token_ct,
-               CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
-                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stopword_ratio,
-               CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DECIMAL(9,4)) AS alpha_ratio,
-               CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
-                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_token_len
-        FROM t
+    "text_quality": _DUCK_QUALITY_F + """
+        SELECT doc_id, token_ct,
+               stop_r AS stopword_ratio,
+               alpha_r AS alpha_ratio,
+               mtl AS mean_token_len
+        FROM f
     """,
-    "quality_classifier": f"""
-        WITH t AS (
+    "quality_classifier": _DUCK_QUALITY_F + f"""
+        , s AS (
             SELECT doc_id,
-                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-                   length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_ct,
-                   length(text) AS char_ct
-            FROM documents
-        ), f AS (
-            SELECT doc_id,
-                   CAST(ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, x))) AS DECIMAL(18,6))
-                        / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS stop_r,
-                   CAST(ROUND(CAST(alpha_ct AS DECIMAL(18,6)) / GREATEST(char_ct, 1), 4) AS DECIMAL(9,4)) AS alpha_r,
-                   CAST(ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DECIMAL(18,6))
-                        / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mtl,
-                   CAST(ROUND(CAST(LEAST(len(toks), 256) AS DECIMAL(18,6)) / 256, 4) AS DECIMAL(9,4)) AS len_norm
-            FROM t
-        ), s AS (
-            SELECT doc_id,
+                   CAST(ROUND(CAST(LEAST(token_ct, 256) AS DECIMAL(18,6)) / 256, 4) AS DECIMAL(9,4)) AS len_norm,
                    CAST(CAST('{QC_BIAS}' AS DECIMAL(4,2))
                         + CAST('{QC_W_STOP}' AS DECIMAL(4,2)) * stop_r
                         + CAST('{QC_W_ALPHA}' AS DECIMAL(4,2)) * alpha_r

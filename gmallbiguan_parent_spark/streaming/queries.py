@@ -371,8 +371,13 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         PERM_A, PERM_B, _minhash_banded, _shingles,
     )
 
+    from ..io import load_table_spread
+
     batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ref_docs = batch_docs.filter(F.col("doc_id") % 2 == 0)
+    # spread: the static-side shingling/MinHash runs eagerly inside the
+    # localCheckpoints below — a single-file read would do all of it on
+    # one core (review finding)
+    ref_docs = load_table_spread(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     ref_bands = (
         _minhash_banded(ref_docs)
         .select(F.col("doc_id").alias("ref_id"), "band_id", "band_key")

@@ -77,6 +77,7 @@ def test_quality_classifier_rewards_stopword_rich_prose(spark, tmp_path):
     rows = [
         (0, "the cat is on the mat and it is warm for a nap in the sun", "en", "s", 10),
         (1, "xqzt 9912 @@## qq zz 0x1f 0x2e ~~ || ``", "en", "s", 10),
+        (2, "!!! ??? ~~~", "en", "s", 10),  # ZERO [a-z0-9] tokens
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -84,6 +85,24 @@ def test_quality_classifier_rewards_stopword_rich_prose(spark, tmp_path):
     df.write.parquet(str(tmp_path / "documents.parquet"))
     out = {r.doc_id: r for r in quality_classifier(spark, str(tmp_path)).collect()}
     assert out[0].quality_logit > out[1].quality_logit
+    # zero-token doc: every feature is 0, logit = bias exactly, never
+    # NULL — and the DuckDB oracle agrees (list_sum NULL is COALESCEd)
+    import duckdb
+
+    from gmallbiguan_parent_spark.operators.text import ORACLES, QC_BIAS
+
+    assert out[2].quality_logit is not None
+    assert float(out[2].quality_logit) == QC_BIAS
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(ORACLES["quality_classifier"]).fetchall()
+    }
+    assert float(oracle[2][0]) == QC_BIAS
+    assert oracle[2][1] == out[2].decision
 
 
 def test_leakage_safe_split_keeps_neardups_together(spark):
