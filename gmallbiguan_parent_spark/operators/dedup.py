@@ -78,6 +78,15 @@ def _shingles(col):
     )
 
 
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s: array<string>) shingle-set table, materialized ONCE
+    (localCheckpoint) — the shared build for every operator that feeds
+    the sets to more than one consumer (signature build + confirm join,
+    prefix ordering + verify). At warehouse scale this is the persisted
+    set table."""
+    return docs.select("doc_id", _shingles(F.col("text")).alias("s")).localCheckpoint()
+
+
 PREFIX_JACCARD_T = 0.6
 
 
@@ -126,7 +135,7 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the shingle sets ONCE (the minhash/simhash recipe) —
     # they feed the frequency aggregate, the ordered arrays, and both
     # sides of the verify join
-    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s")).localCheckpoint()
+    sets = _shingle_sets(docs)
     cand = _prefix_candidates(sets)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -271,7 +280,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB that is orders of magnitude smaller than the corpus.
     """
     docs = load_table_spread(spark, sf_dir, "documents")
-    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s")).localCheckpoint()
+    sets = _shingle_sets(docs)
     banded = _minhash_banded_from_sets(sets)
 
     # Bucket by band (ONE shuffle, sig evaluated once) and generate the
@@ -326,11 +335,11 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a left join back so novel docs surface with NULLs."""
     docs = load_table_spread(spark, sf_dir, "documents")
     # shingle sets and the band table each feed two consumers (ref/batch
-    # splits; candidate + confirm joins) — materialize ONCE, like the
-    # prefix-join and simhash operators do. At warehouse scale these are
-    # the persisted signature/band tables of the reference corpus.
-    sets = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).localCheckpoint()
-    banded = _minhash_banded_from_sets(sets.withColumnRenamed("shingles", "s")).localCheckpoint()
+    # splits; candidate + confirm joins) — materialize ONCE via the
+    # shared helper. At warehouse scale these are the persisted
+    # signature/band tables of the reference corpus.
+    sets = _shingle_sets(docs)
+    banded = _minhash_banded_from_sets(sets).localCheckpoint()
     ref = banded.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("ref_id"), "band_id", "band_key"
     )
@@ -342,10 +351,9 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "ref_id")
         .dropDuplicates(["batch_id", "ref_id"])
     )
-    sh = sets
     pairs = (
-        cand.join(sh.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")), "batch_id")
-        .join(sh.select(F.col("doc_id").alias("ref_id"), F.col("shingles").alias("sh_r")), "ref_id")
+        cand.join(sets.select(F.col("doc_id").alias("batch_id"), F.col("s").alias("sh_b")), "batch_id")
+        .join(sets.select(F.col("doc_id").alias("ref_id"), F.col("s").alias("sh_r")), "ref_id")
     )
     inter = F.size(F.array_intersect("sh_b", "sh_r"))
     union = F.size(F.array_union("sh_b", "sh_r"))

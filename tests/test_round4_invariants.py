@@ -48,6 +48,12 @@ def test_dataset_card_counts_are_consistent(spark):
     total = card["total_docs"]
     assert total > 0
     assert card["unique_texts"] + card["exact_dup_docs"] == total
+    # independent anchor: unique_texts must equal the fingerprint-group
+    # count dedup_exact reports (the card derives it from the SAME
+    # normalized-md5 rule but through a different aggregate)
+    from gmallbiguan_parent_spark.operators.dedup import dedup_exact
+
+    assert card["unique_texts"] == dedup_exact(spark, SF).count()
     assert sum(v for k, v in card.items() if k.startswith("lang:")) == total
     assert sum(v for k, v in card.items() if k.startswith("decision:")) == total
 
