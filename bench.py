@@ -102,6 +102,7 @@ EXTENDED = [
     "dataset_card",
     "stream_incremental_neardup",
     "dedup_threshold_curve",
+    "stream_quality_gate",
 ]
 
 

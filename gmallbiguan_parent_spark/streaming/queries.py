@@ -445,9 +445,68 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream model-based quality gating — the filter a crawl
+    ingestion pipeline runs BEFORE anything lands: the linear quality
+    classifier's features and logit are pure row expressions (one
+    codegen projection, legal mid-stream with no state), so each
+    micro-batch is scored and routed as it arrives. Running per-decision
+    admission counts aggregate in complete mode; a bounded replay must
+    equal the batch classifier's decision histogram exactly (the oracle
+    aggregates the SAME classifier SQL the batch twin verifies
+    against)."""
+    from ..operators.text import QC_KEEP, QC_REVIEW, _quality_features
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    feats = _quality_features()
+    stop_r, alpha_r, mtl, n_toks = (
+        feats["stop_r"], feats["alpha_r"], feats["mtl"], feats["token_ct"],
+    )
+    len_norm = F.round(
+        F.least(n_toks, F.lit(256)).cast("decimal(18,6)") / F.lit(256), 4
+    ).cast("decimal(9,4)")
+
+    def w(x):
+        return F.lit(str(x)).cast("decimal(4,2)")
+
+    from ..operators.text import QC_BIAS, QC_W_ALPHA, QC_W_LEN, QC_W_MTL, QC_W_STOP
+
+    logit = (
+        w(QC_BIAS)
+        + w(QC_W_STOP) * stop_r
+        + w(QC_W_ALPHA) * alpha_r
+        + w(QC_W_LEN) * len_norm
+        + w(QC_W_MTL) * mtl
+    ).cast("decimal(12,6)")
+    decided = stream.select(
+        F.when(logit >= w(QC_KEEP), "keep")
+        .when(logit >= w(QC_REVIEW), "review")
+        .otherwise("drop")
+        .alias("decision")
+    )
+    counts = decided.groupBy("decision").agg(F.count("*").alias("n"))
+    name = f"sqg_{uuid.uuid4().hex[:10]}"
+    (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_sqg_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
+    "stream_quality_gate": stream_quality_gate_q,
     "stream_rate_limit": stream_rate_limit_q,
     "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
@@ -465,6 +524,7 @@ from ..operators.dedup import (
     _DUCK_XKEEP as _DXK,
 )
 from ..operators.quality import ORACLES as _QUALITY_ORACLES
+from ..operators.text import ORACLES as _TEXT_ORACLES
 
 from ..pipelines.analytics import ORACLES as _ANALYTICS_ORACLES
 
@@ -472,6 +532,12 @@ ORACLES = {
     # the streaming screen must emit EXACTLY the batch xkeep pair set
     "stream_incremental_neardup": _DSH + _DMP + _DXK + """
     SELECT batch_id, ref_id, jaccard FROM xkeep
+    """,
+    # in-stream quality gate: decision histogram of the SAME classifier
+    # the batch twin hash-verifies
+    "stream_quality_gate": f"""
+    SELECT decision, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_TEXT_ORACLES["quality_classifier"]}) GROUP BY decision
     """,
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
