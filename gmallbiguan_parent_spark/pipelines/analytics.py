@@ -274,6 +274,27 @@ def region_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PIVOT (relational transpose): order counts per priority
+    pivoted on order status into columns — the `.pivot()` API surface
+    (Catalyst lowers an explicit value list to the same single-pass
+    conditional aggregate as a hand-written CASE pivot, with no extra
+    distinct-values scan because the statuses are enumerated). One
+    partial-aggregated shuffle on the groupBy key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
 def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (INTERSECT / EXCEPT): customers who ordered in both
     1996 and 1997 (retained), only 1996 (churned), only 1997
@@ -888,6 +909,7 @@ QUERIES = {
     "above_avg_orders": above_avg_orders,
     "priority_share": priority_share,
     "region_priority_cube": region_priority_cube,
+    "priority_status_pivot": priority_status_pivot,
     "customer_retention": customer_retention,
     "gmv_gapfill": gmv_gapfill,
     "order_price_rank": order_price_rank,
@@ -916,6 +938,13 @@ def _rfm_score_sql(c: str, reverse: bool = False) -> str:
 
 
 ORACLES = {
+    "priority_status_pivot": """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
     "last_touch_attribution": """
     WITH seq AS (
         SELECT user_id, event_type, value, ts, event_id,
