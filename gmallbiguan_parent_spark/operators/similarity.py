@@ -76,10 +76,14 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold interprets per element. Query vectors ride into the closure
     (they are the broadcast side by definition).
 
-    Registered rows-only: numpy's pairwise summation differs from the
-    sequential fold in the last ulp, so hash-parity over rounded scores
-    is not a contract — tests/test_operators assertion instead: the
-    returned top-k IDS equal ann_cosine_topk's exactly."""
+    HASH-EXACT despite the GEMM: numpy's pairwise summation differs
+    from the sequential fold in the last ulp, which can flip ROUND's
+    half-way direction — so entries whose 1e6-scaled score lands within
+    1e-3 of a .5 boundary are RECOMPUTED with the exact sequential fold
+    (_py_cos6, the same spec the expression twin and the DuckDB oracle
+    evaluate); everything else is correctly rounded by either summation
+    order. Expected recomputes: a handful per million scores — the
+    _round_grid_exact recipe the IVF trainer already uses."""
     import numpy as np
     import pandas as pd
 
@@ -89,15 +93,18 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     )
     q_ids = np.array([i for i, _ in q_rows])
-    q_mat = np.array([v for _, v in q_rows], dtype=np.float64)
+    q_list = [v for _, v in q_rows]
+    q_mat = np.array(q_list, dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm_fold = [_py_norm(v) for v in q_list]
 
     if not np.all(q_norm > 0):
         raise ArithmeticError("zero-norm query embedding: cosine undefined")
 
     def score(batches):
         for pdf in batches:
-            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            rows = list(pdf["embedding"])
+            c_mat = np.array(rows, dtype=np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             # Fail loudly like the expression twin (ANSI division) does:
             # silent 0/0 = NaN would rank the zero vector above every
@@ -105,11 +112,17 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not np.all(c_norm > 0):
                 raise ArithmeticError("zero-norm corpus embedding: cosine undefined")
             cos = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            scaled = cos * 1e6
+            out = np.rint(scaled) / 1e6
+            sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-3
+            for i, j in zip(*np.nonzero(sus)):
+                c_vec = [float(x) for x in rows[i]]
+                out[i, j] = _py_cos6(c_vec, q_list[j], _py_norm(c_vec), q_norm_fold[j])
             n_c, n_q = cos.shape
             yield pd.DataFrame({
                 "query_id": np.tile(q_ids, n_c),
                 "corpus_id": np.repeat(pdf["vec_id"].to_numpy(), n_q),
-                "cosine": np.round(cos, 6).ravel(),
+                "cosine": out.ravel(),
             })
 
     scored = (
@@ -1282,7 +1295,7 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
-    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,  # rows-only (see docstring)
+    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,  # hash-exact (GEMM + boundary recompute)
     "knn_label_vote": knn_label_vote,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe": ann_ivf_multiprobe,
@@ -1650,6 +1663,10 @@ _DUCK_SRP_SIGS = (
 ORACLES = {
     "ann_cosine_topk": _DUCK_SCORED + f"""
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ann_cosine_topk_arrow": _DUCK_SCORED + f"""
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
     """,
     "ann_ivf_topk": _ivf_oracle(

@@ -19,14 +19,13 @@ def test_queries_without_oracle_are_the_declared_exceptions():
     # rows-only by design: engine-specific sketches & an iterative
     # float-sum clustering (stream_jump_detect graduated to a full
     # oracle in round 3 via the end-of-stream sentinel flush)
+    # (ann_cosine_topk_arrow graduated to a full oracle in round 4: the
+    # GEMM keeps the hot path, half-way-boundary scores recompute with
+    # the exact sequential fold)
     assert missing == {
         "approx_distinct_stats",
         "approx_value_percentiles",
         "embedding_clusters",
-        # numpy GEMM scorer: last-ulp summation-order differences vs the
-        # fold path make hash parity the wrong contract; an ID-parity
-        # test covers it (tests/test_operators.py)
-        "ann_cosine_topk_arrow",
     }
 
 
