@@ -85,6 +85,9 @@ PROBE_QUERIES = [
     "ann_recall_report",
     "leakage_safe_split",
     "embedding_cluster_profile",
+    "dedup_threshold_curve",
+    "stream_incremental_neardup",
+    "stream_quality_gate",
     "hard_negative_mining",
     "dataset_card",
 ]
