@@ -614,11 +614,20 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode the distinct tokens (explode_outer — a doc with no
     alphanumeric tokens keeps its row and packs to fingerprint 0, as
     the oracle does), hash per row with flat codegen'd expressions, and
-    take the 64 per-bit vote totals as plain sum() aggregates — they
-    partial-aggregate map-side, so the shuffle carries one slim row per
-    document. (The earlier nested zip_with vote fold was zero-shuffle
-    but interpreted — CodegenFallback — and dominated the scan stage;
-    the exploded sums stay inside whole-stage codegen.)"""
+    accumulate the 64 per-bit vote counters PACKED three-per-long
+    (21-bit lanes): lane k of aggregate j sums bit (3j+k) of the word,
+    so 22 sum() aggregates + one count() replace the earlier 64 — a 3×
+    warm-time win at equal results, because each input row now updates
+    23 hash-aggregate buffer slots instead of 64. Lanes can't carry
+    into each other while a document has < 2^21 (~2M) distinct tokens
+    (≈ >10 MB of normalized text — cap pathological docs upstream at
+    ingest if that bound is ever reachable). The sums partial-aggregate
+    map-side, so the shuffle carries one slim row per document, and the
+    decoded lane counts s_i reproduce the ±1 vote sign exactly:
+    votes_i = 2·s_i − n > 0  ⟺  2·s_i > n.
+    (The earlier nested zip_with vote fold was zero-shuffle but
+    interpreted — CodegenFallback — and dominated the scan stage; the
+    packed exploded sums stay inside whole-stage codegen.)"""
     docs = load_table_spread(spark, sf_dir, "documents")
     toks = F.array_distinct(
         F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
@@ -629,18 +638,32 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("hlo"),
         F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("hhi"),
     )
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(F.shiftright(F.col(w), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"{w}{i}")
-            for w in ("hhi", "hlo")
-            for i in range(32)
-        ]
-    )
+    LANE_BITS, LANES = 21, 3          # 3 × 21-bit counter lanes per accumulator
+    n_accs = (32 + LANES - 1) // LANES  # 11 accumulators per 32-bit word
+    aggs = []
+    for w in ("hhi", "hlo"):
+        for j in range(n_accs):
+            lanes = [
+                F.shiftleft(
+                    F.shiftright(F.col(w), j * LANES + k).bitwiseAND(F.lit(1)), LANE_BITS * k
+                )
+                for k in range(min(LANES, 32 - j * LANES))
+            ]
+            expr = lanes[0]
+            for lane in lanes[1:]:
+                expr = expr + lane
+            aggs.append(F.sum(expr).alias(f"{w}p{j}"))
+    aggs.append(F.count("hlo").alias("n"))
+    votes = hashed.groupBy("doc_id").agg(*aggs)
 
     def pack(w: str):
         bit = F.lit(0).cast("long")
         for i in range(32):
-            bit = bit + F.when(F.col(f"{w}{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            j, k = divmod(i, LANES)
+            s = F.shiftright(F.col(f"{w}p{j}"), LANE_BITS * k).bitwiseAND(
+                F.lit((1 << LANE_BITS) - 1)
+            )
+            bit = bit + F.when(s * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         return bit
