@@ -568,42 +568,52 @@ SIMHASH_BAND_BITS = 16         # 4 bands of 16 bits → exact hamming<=3 cover
 # of 4. Both layouts are exact hamming<=3 covers by pigeonhole, and the
 # brute-force oracle verifies completeness independently of the layout.
 SIMHASH_WIDE_MIN_DOCS = 1_000_000
+_SIMHASH_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 # 64 bits → 6 blocks of 11/11/11/11/10/10 bits over (hi<<32)|lo
 _SIMHASH_BLOCKS = [(0, 10), (11, 21), (22, 32), (33, 43), (44, 53), (54, 63)]
 
 
-def _simhash_block(s: int, e: int):
+def _simhash_block(s: int, e: int, hi=None, lo=None):
     """Bits [s, e] of the conceptual 64-bit fingerprint, extracted from
     the two packed words (straddling blocks stitch lo's high bits under
-    hi's low bits)."""
+    hi's low bits; hi/lo default to the sim_hi/sim_lo columns)."""
+    hi = F.col("sim_hi") if hi is None else hi
+    lo = F.col("sim_lo") if lo is None else lo
     width = e - s + 1
     if e <= 31:
-        return F.shiftright(F.col("sim_lo"), s).bitwiseAND(F.lit((1 << width) - 1))
+        return F.shiftright(lo, s).bitwiseAND(F.lit((1 << width) - 1))
     if s >= 32:
-        return F.shiftright(F.col("sim_hi"), s - 32).bitwiseAND(F.lit((1 << width) - 1))
+        return F.shiftright(hi, s - 32).bitwiseAND(F.lit((1 << width) - 1))
     lo_bits = 32 - s
     hi_bits = width - lo_bits
     return (
-        F.shiftright(F.col("sim_lo"), s).bitwiseAND(F.lit((1 << lo_bits) - 1))
-        + F.col("sim_hi").bitwiseAND(F.lit((1 << hi_bits) - 1)) * F.lit(1 << lo_bits)
+        F.shiftright(lo, s).bitwiseAND(F.lit((1 << lo_bits) - 1))
+        + hi.bitwiseAND(F.lit((1 << hi_bits) - 1)) * F.lit(1 << lo_bits)
     )
 
 
-def _simhash_band_keys(wide: bool):
+def _simhash_band_keys(wide: bool, hi=None, lo=None):
     """Band key expressions: 4 disjoint 16-bit bands (narrow), or the 20
     C(6,3) block-triple keys (wide). Any pair at hamming<=3 differs in
     at most 3 bands/blocks, so it agrees exactly on >=1 narrow band —
-    or on >=3 of 6 blocks, i.e. on at least one keyed triple."""
+    or on >=3 of 6 blocks, i.e. on at least one keyed triple.
+
+    hi/lo name the fingerprint-word columns (default sim_hi/sim_lo) so
+    join sides can recompute band values from the carried words — the
+    first-agreeing-band predicate in simhash_neardup_pairs needs them
+    qualified per alias."""
+    hi = F.col("sim_hi") if hi is None else hi
+    lo = F.col("sim_lo") if lo is None else lo
     if not wide:
         return [
-            F.col("sim_lo").bitwiseAND(F.lit(0xFFFF)),
-            F.shiftright(F.col("sim_lo"), 16),
-            F.col("sim_hi").bitwiseAND(F.lit(0xFFFF)),
-            F.shiftright(F.col("sim_hi"), 16),
+            lo.bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(lo, 16),
+            hi.bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(hi, 16),
         ]
     from itertools import combinations
 
-    blocks = [_simhash_block(s, e) for s, e in _SIMHASH_BLOCKS]
+    blocks = [_simhash_block(s, e, hi, lo) for s, e in _SIMHASH_BLOCKS]
     return [
         blocks[i] * F.lit(1 << 22) + blocks[j] * F.lit(1 << 11) + blocks[k]
         for i, j, k in combinations(range(6), 3)
@@ -699,12 +709,20 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
     bounded to ~10^9 docs). Same plan shape, same confirm step, and the
     brute-force oracle proves completeness under either layout. `wide`
     forces a layout (tests exercise both); None = by corpus size."""
-    # Fingerprints are materialized once (localCheckpoint — 3 longs/doc)
-    # so the band self-join's two sides don't recompute the vote folds;
-    # at warehouse scale this is the persisted fingerprint table.
-    sim = simhash_fingerprint(spark, sf_dir).localCheckpoint()
+    # Fingerprints are materialized once per (application, corpus)
+    # (localCheckpoint — 3 longs/doc) so the band self-join's two sides
+    # don't recompute the vote folds and repeat callers don't re-derive
+    # the table; at warehouse scale this is the persisted fingerprint
+    # table the dedup pipeline maintains (same session-memo pattern as
+    # _SHINGLE_SET_CACHE). The cached doc count rides along for the
+    # layout switch.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIMHASH_CACHE:
+        ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()
+        _SIMHASH_CACHE[key] = (ck, ck.count())
+    sim, n_docs = _SIMHASH_CACHE[key]
     if wide is None:
-        wide = sim.count() >= SIMHASH_WIDE_MIN_DOCS
+        wide = n_docs >= SIMHASH_WIDE_MIN_DOCS
     bands = _simhash_band_keys(wide)
     banded = sim.select(
         "doc_id", "sim_hi", "sim_lo",
@@ -717,12 +735,28 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
     hamming = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
         F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
     )
+    # Emit each pair from the FIRST band it agrees on: for every band
+    # k < band_id, require the two fingerprints to DIFFER on band k
+    # (band values recompute from the carried words — no extra data
+    # through the join). Exact dedup as a join-side filter, replacing
+    # the earlier dropDuplicates — at sf0.1's 166k-pair mega-cluster
+    # corpus that dedup shuffle was ~80% of the post-fingerprint cost,
+    # and at 100 TB it would re-shuffle every duplicate pair once per
+    # agreeing band.
+    keys_a = _simhash_band_keys(wide, F.col("a.sim_hi"), F.col("a.sim_lo"))
+    keys_b = _simhash_band_keys(wide, F.col("b.sim_hi"), F.col("b.sim_lo"))
+    first_band = F.lit(True)
+    for k in range(len(keys_a) - 1):
+        first_band = first_band & (
+            (F.col("a.band_id") <= k) | (keys_a[k] != keys_b[k])
+        )
     return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_band,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -730,7 +764,6 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
