@@ -419,6 +419,22 @@ def _ivf_cached_centroids(spark: SparkSession, sf_dir: str, corpus: DataFrame):
     return _CENT_CACHE[key]
 
 
+_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_cells(spark: SparkSession, sf_dir: str, corpus: DataFrame, cent) -> DataFrame:
+    """The quantizer-assigned corpus, materialized once per
+    (application, corpus) — at warehouse scale this is the persisted
+    partitionBy(cell) index layout every IVF variant reads, so the five
+    IVF consumers in one session share a single localCheckpoint of the
+    assignment instead of re-running the nlist-way scoring crossJoin
+    per query (same session-memo pattern as _CENT_CACHE)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CELLS_CACHE:
+        _CELLS_CACHE[key] = _assign_cells(corpus, cent).localCheckpoint()
+    return _CELLS_CACHE[key]
+
+
 def _ivf_corpus_queries(spark: SparkSession, sf_dir: str):
     emb = load_table_spread(spark, sf_dir, "embeddings")
     # No checkpoint: training touches the corpus twice (a count and a
@@ -453,7 +469,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_neardup_pairs."""
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
-    cells = _assign_cells(corpus, cent)
+    cells = _cached_cells(spark, sf_dir, corpus, cent)
     probed = _probe_cells(queries, cent, 1).select(
         "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
@@ -541,7 +557,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eager construction — see that docstring)."""
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
-    cells = _assign_cells(corpus, cent)
+    cells = _cached_cells(spark, sf_dir, corpus, cent)
     probed = _probe_cells(queries, cent, N_PROBE).select(
         "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
@@ -645,7 +661,7 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_spread(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("corpus_id"), F.col("label").alias("label")
     )
-    cells = _assign_cells(corpus, cent)
+    cells = _cached_cells(spark, sf_dir, corpus, cent)
     ccent = _cent_df(corpus, cent).select(
         F.col("cell").alias("k_cell"), "cvec", "cnorm"
     )
@@ -701,7 +717,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(cell) layout a production index would already have."""
     corpus, _ = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
-    cells = _assign_cells(corpus, cent).localCheckpoint()
+    cells = _cached_cells(spark, sf_dir, corpus, cent)
     right = cells.select(
         F.col("corpus_id").alias("b_id"),
         F.col("c_emb").alias("b_emb"),
@@ -1027,7 +1043,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     books = _pq_cached_codebooks(spark, sf_dir, corpus)
-    cells = _assign_cells(corpus, cent)
+    cells = _cached_cells(spark, sf_dir, corpus, cent)
     probed = _probe_cells(queries, cent, 1).select(
         "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
