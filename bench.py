@@ -1,7 +1,8 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints a detail JSON line (warm + extended per-query metrics) followed by
+the compact headline record as the FINAL line — the one the driver parses:
 {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed to completion (count of the materialized result)
@@ -180,15 +181,25 @@ def main() -> None:
         extended_warm[name] = round(time.time() - t0, 3)
         print(f"# ext {name}: {n} rows in {dt}s (warm {extended_warm[name]}s)", file=sys.stderr)
 
+    # Detail record on its OWN stdout line first: the driver captures
+    # only the tail of stdout and parses the LAST line, so the bulky
+    # per-query extended metrics must not share a line with (or follow)
+    # the headline object — round 4's headline number was lost to
+    # exactly that truncation (BENCH_r04.json parsed: null).
+    print(json.dumps({
+        "metric": "headline_queries_detail",
+        "queries_warm": warm,
+        "queries_extended": extended,
+        "queries_extended_warm": extended_warm,
+    }))
+    # Compact headline object as the FINAL line — this is the record
+    # the driver must be able to tail-capture and parse.
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
-        "queries_warm": warm,
         "value_warm": round(warm_total, 3),
-        "queries_extended": extended,
-        "queries_extended_warm": extended_warm,
         "calib_jvm_sec": calib_jvm,
         "calib_python_worker_sec": calib_py,
         "sf": float(sf),

@@ -105,7 +105,27 @@ PREFIX_JACCARD_T = 0.6
 def _prefix_candidates(sets: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from rarest-first prefix overlap
     — shared by prefix_jaccard_pairs and its pruning test so the two
-    can never drift on the prefix-length/ordering contract."""
+    can never drift on the prefix-length/ordering contract.
+
+    The candidate join carries BOTH of the PPJoin family's pruning
+    filters on the posting rows (the answer to the raw-token-equality
+    join growing quadratically when posting lists grow with corpus
+    duplication):
+
+    - length filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t, so
+      postings join only within a size band (sizes ride the rows; the
+      float t is < exact 0.6 in binary, so ceil/floor err on the KEEP
+      side — never drops a true pair).
+    - positional filter: for a shared token at 1-based positions
+      (i, j) of the rarest-first-ordered sets, the overlap is bounded
+      by min(i,j)-1 (common tokens strictly before it) plus
+      1 + min(|A|-i, |B|-j) (common tokens from it onward); Jaccard
+      >= t needs overlap >= ceil(t/(1+t)*(|A|+|B|)), so a match whose
+      bound falls short cannot witness a qualifying pair. A true pair
+      satisfies the bound at EVERY shared prefix token, so filtering
+      per-match keeps a superset — completeness is untouched (the
+      brute-force oracle remains the proof).
+    """
     sh = sets.select("doc_id", F.explode("s").alias("tok"))
     freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
     ordered = (
@@ -118,11 +138,28 @@ def _prefix_candidates(sets: DataFrame) -> DataFrame:
             F.size("ot").alias("n"),
         )
     )
-    L = (F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1).cast("int")
-    prefix = ordered.select("doc_id", F.explode(F.slice("arr", 1, L)).alias("tok"))
+    t = PREFIX_JACCARD_T
+    L = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("arr", 1, L)).alias("p0", "tok"),
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
     a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    # overlap needed for J >= t; t/(1+t) = 0.375 is exact in binary
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
+    ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
     return (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (nb >= F.ceil(F.lit(t) * na))
+            & (nb <= F.floor(na / F.lit(t)))
+            & (ubound >= alpha),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

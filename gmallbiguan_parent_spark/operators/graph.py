@@ -179,17 +179,17 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supplier_pagerank n1 pattern) — constructing the DataFrame runs
     # no job and the plan is data-independent.
     n1 = bridge.agg(F.countDistinct("l_orderkey").alias("n"))
-    a = bridge.alias("a")
-    b = bridge.alias("b")
+    # pair counts from the shared checkpointed co-occurrence table
+    # (LIFT_MIN_PAIR >= TRI_MIN_SUPPORT, so filtering the thresholded
+    # table is exact); src < dst picks each unordered pair once
     pair_ct = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+        _copurchase_pairs(spark, sf_dir)
+        .filter((F.col("src") < F.col("dst")) & (F.col("support") >= LIFT_MIN_PAIR))
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.col("support").alias("pair_ct"),
         )
-        .agg(F.count("*").alias("pair_ct"))
-        .filter(F.col("pair_ct") >= LIFT_MIN_PAIR)
     )
     part_ct = bridge.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count("*").alias("part_ct")
@@ -315,22 +315,45 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 REACH_HOPS = 3
 
 
+# Session memo for the thresholded co-purchase pair-count table — the
+# _EDGE_CACHE pattern: the lineitem self-join + count is by far the
+# most expensive step shared by lift/triangles/reach, and the support
+# >= TRI_MIN_SUPPORT result is catalog-bounded (~7k directed edges at
+# sf0.1 vs 2.4M raw pairs), so ONE localCheckpoint serves all three.
+_COPAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst, support) part co-purchase pair counts at
+    support >= TRI_MIN_SUPPORT, built once per (application, corpus).
+    At warehouse scale this is the persisted co-occurrence table a
+    recommender maintains; in-session every consumer (lift's ranked
+    pairs at >= LIFT_MIN_PAIR, triangles/reach's edge set) filters the
+    same checkpoint instead of re-running the basket self-join."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COPAIR_CACHE:
+        for k in [k for k in _COPAIR_CACHE if k[0] != key[0]]:
+            del _COPAIR_CACHE[k]
+        li = load_table(spark, sf_dir, "lineitem")
+        bridge = li.select("l_orderkey", "l_partkey").distinct()
+        a0, b0 = bridge.alias("a0"), bridge.alias("b0")
+        _COPAIR_CACHE[key] = (
+            a0.join(b0, "l_orderkey")
+            .filter(F.col("a0.l_partkey") != F.col("b0.l_partkey"))
+            .groupBy(
+                F.col("a0.l_partkey").alias("src"), F.col("b0.l_partkey").alias("dst")
+            )
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= TRI_MIN_SUPPORT)
+            .localCheckpoint()
+        )
+    return _COPAIR_CACHE[key]
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric support-thresholded part co-purchase edges (the
     copurchase_triangles graph, factored for reuse)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    bridge = li.select("l_orderkey", "l_partkey").distinct()
-    a0, b0 = bridge.alias("a0"), bridge.alias("b0")
-    return (
-        a0.join(b0, "l_orderkey")
-        .filter(F.col("a0.l_partkey") != F.col("b0.l_partkey"))
-        .groupBy(
-            F.col("a0.l_partkey").alias("src"), F.col("b0.l_partkey").alias("dst")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("src", "dst")
-    )
+    return _copurchase_pairs(spark, sf_dir).select("src", "dst")
 
 
 def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,11 +365,10 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     one min-agg per hop; at graph scale each round shuffles only the
     frontier, with localCheckpoint between rounds for long walks —
     bounded unroll keeps the plan finite and oracle-replayable)."""
-    # materialize once: the lineitem self-join edge build is referenced
-    # by the seed aggregate and every frontier join — without the
-    # checkpoint it would re-execute per hop (eager, like the IVF/PQ
-    # trainers; construction runs the build one time)
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    # the shared co-occurrence checkpoint already materializes the
+    # lineitem self-join once, so the seed aggregate and every frontier
+    # join replay a tiny cached projection, not the edge build
+    edges = _copurchase_edges(spark, sf_dir)
     seed = edges.agg(F.min("src").alias("node"))
     reached = seed.select("node", F.lit(0).alias("hop"))
     for h in range(1, REACH_HOPS + 1):
