@@ -92,6 +92,8 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-memo pattern as the IVF quantizer's _CENT_CACHE)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SHINGLE_SET_CACHE:
+        for k in [k for k in _SHINGLE_SET_CACHE if k[0] != key[0]]:
+            del _SHINGLE_SET_CACHE[k]
         docs = load_table_spread(spark, sf_dir, "documents")
         _SHINGLE_SET_CACHE[key] = docs.select(
             "doc_id", _shingles(F.col("text")).alias("s")
@@ -715,7 +717,19 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = hashed.groupBy("doc_id").agg(*aggs)
 
     def pack(w: str):
-        bit = F.lit(0).cast("long")
+        # loud failure instead of silent lane-carry corruption if a
+        # pathological doc ever reaches 2^21 distinct tokens (>10 MB of
+        # normalized text): assert_true raises per-row; folded into the
+        # value via coalesce (passes -> NULL -> +0) so column pruning
+        # can't eliminate the check
+        guard = F.coalesce(
+            F.assert_true(
+                F.col("n") < F.lit(1 << LANE_BITS),
+                F.lit("simhash vote lanes overflow: doc has >= 2^21 distinct tokens"),
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        bit = guard
         for i in range(32):
             j, k = divmod(i, LANES)
             s = F.shiftright(F.col(f"{w}p{j}"), LANE_BITS * k).bitwiseAND(

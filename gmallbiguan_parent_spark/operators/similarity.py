@@ -13,6 +13,8 @@ oracle (same arithmetic, same order) hash-matches.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -114,7 +116,13 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             scaled = cos * 1e6
             out = np.rint(scaled) / 1e6
-            sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-3
+            # Half-way recompute window: GEMM vs the expression twin's
+            # fold diverge by summation order only (~1e-10 in 1e6-scaled
+            # units), so 1e-6 of slack around the round-half boundary is
+            # still >> any real divergence while keeping the per-element
+            # Python fallback to a handful per million (a 1e-3 window
+            # recomputed ~0.2% of scores — advisor finding)
+            sus = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
             for i, j in zip(*np.nonzero(sus)):
                 c_vec = [float(x) for x in rows[i]]
                 out[i, j] = _py_cos6(c_vec, q_list[j], _py_norm(c_vec), q_norm_fold[j])
@@ -415,22 +423,31 @@ def _ivf_centroids_spec(sample_vecs: list[list[float]], nlist: int) -> list[tupl
 def _ivf_cached_centroids(spark: SparkSession, sf_dir: str, corpus: DataFrame):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CENT_CACHE:
+        for k in [k for k in _CENT_CACHE if k[0] != key[0]]:
+            del _CENT_CACHE[k]
         _CENT_CACHE[key] = _ivf_centroids(spark, corpus)
     return _CENT_CACHE[key]
 
 
-_CELLS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CELLS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached_cells(spark: SparkSession, sf_dir: str, corpus: DataFrame, cent) -> DataFrame:
     """The quantizer-assigned corpus, materialized once per
-    (application, corpus) — at warehouse scale this is the persisted
-    partitionBy(cell) index layout every IVF variant reads, so the five
-    IVF consumers in one session share a single localCheckpoint of the
-    assignment instead of re-running the nlist-way scoring crossJoin
-    per query (same session-memo pattern as _CENT_CACHE)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (application, corpus, quantizer) — at warehouse scale this is the
+    persisted partitionBy(cell) index layout every IVF variant reads,
+    so the five IVF consumers in one session share a single
+    localCheckpoint of the assignment instead of re-running the
+    nlist-way scoring crossJoin per query (same session-memo pattern as
+    _CENT_CACHE). The centroid fingerprint in the key means a caller
+    with different centroids for the same corpus gets a fresh
+    assignment, never a stale one (advisor finding); entries from dead
+    applications are evicted so checkpoint blocks don't pin storage."""
+    cent_fp = hashlib.md5(repr(cent).encode()).hexdigest()[:16]
+    key = (spark.sparkContext.applicationId, sf_dir, cent_fp)
     if key not in _CELLS_CACHE:
+        for k in [k for k in _CELLS_CACHE if k[0] != key[0] or (k[1] == sf_dir and k[2] != cent_fp)]:
+            del _CELLS_CACHE[k]
         _CELLS_CACHE[key] = _assign_cells(corpus, cent).localCheckpoint()
     return _CELLS_CACHE[key]
 

@@ -386,6 +386,8 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _SHINGLE_SET_CACHE pattern — this was the 10.7 s fixed overhead)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIN_STATIC_CACHE:
+        for k in [k for k in _SIN_STATIC_CACHE if k[0] != key[0]]:
+            del _SIN_STATIC_CACHE[k]
         # spread: the static-side shingling/MinHash runs eagerly inside
         # the localCheckpoints — a single-file read would do all of it
         # on one core (review finding)
