@@ -32,17 +32,33 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per day next to the exact count
-    (rows-only driver check; the relative-error contract is asserted in
-    tests). The approx column is what survives at 100 TB: single-pass,
-    fixed-size mergeable state, no per-key shuffle."""
+    — the library surface (uv_approx exposed; tests assert the
+    relative-error contract on it). The approx column is what survives
+    at 100 TB: single-pass, fixed-size mergeable state, no per-key
+    shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.to_date("ts").alias("dt")).agg(
         F.countDistinct("user_id").alias("uv_exact"),
         F.approx_count_distinct("user_id", 0.02).alias("uv_approx"),
         F.count("*").alias("pv_ct"),
     )
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of the HLL sketch: the raw uv_approx value is
+    engine-specific (no SQL oracle can replay HLL++ internals), so the
+    gate emits the exact side PLUS a rigorous bounds verdict — uv_approx
+    within 3x the configured rsd (0.02) of exact, with an absolute slack
+    of 2 for tiny days. The oracle reproduces the exact columns and
+    asserts the verdict column is TRUE, converting the former rows-only
+    check into a full hash check: a sketch drifting out of its error
+    contract now FAILS the gate instead of passing unobserved."""
+    raw = approx_distinct_raw(spark, sf_dir)
+    tol = F.greatest(F.lit(2.0), F.lit(3 * 0.02) * F.col("uv_exact").cast("double"))
+    ok = F.abs(F.col("uv_approx").cast("double") - F.col("uv_exact").cast("double")) <= tol
+    return raw.select("dt", "uv_exact", "pv_ct", ok.alias("uv_approx_ok"))
 
 
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,9 +119,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile next to the exact answer (rows-only driver
-    check like the HLL sketch; tests assert the rank-error contract).
+def approx_percentiles_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile next to the exact answer — the library surface
+    (raw approx values exposed; tests assert the rank-error contract).
     The sketch is the 100 TB path: fixed-size mergeable state and no
     per-group sort, where exact percentile must buffer every value.
     accuracy=10000 bounds rank error to 1/10000 of each group."""
@@ -116,6 +132,37 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99)").alias("p99_exact"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
         F.count("*").alias("n"),
+    )
+
+
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate form of the percentile sketch: approx_percentile's
+    returned element is engine-specific, but its rank-error guarantee
+    (<= 1/accuracy = 1e-4) is checkable in value space — the approx
+    value must lie between the exact discrete percentiles at q -+ 0.005
+    (a 50x slack over the sketch bound, covering discreteness at small
+    groups, yet still a 0.5% rank window). The oracle reproduces the
+    exact columns and asserts both verdicts TRUE — a sketch outside its
+    rank contract now fails the gate instead of passing rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.99)").alias("p99_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
+        F.expr("percentile_disc(0.495) WITHIN GROUP (ORDER BY value)").alias("p50_lo"),
+        F.expr("percentile_disc(0.505) WITHIN GROUP (ORDER BY value)").alias("p50_hi"),
+        F.expr("percentile_disc(0.985) WITHIN GROUP (ORDER BY value)").alias("p99_lo"),
+        F.expr("percentile_disc(0.995) WITHIN GROUP (ORDER BY value)").alias("p99_hi"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("p50_exact", 4).alias("p50_exact"),
+        F.round("p99_exact", 4).alias("p99_exact"),
+        "n",
+        F.col("p50_approx").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_ok"),
+        F.col("p99_approx").between(F.col("p99_lo"), F.col("p99_hi")).alias("p99_ok"),
     )
 
 
@@ -333,9 +380,26 @@ ORACLES = {
         FROM dev d JOIN mad m USING (priority)
         GROUP BY 1
     """,
-    # approx_distinct_stats and approx_value_percentiles intentionally
-    # omitted: HLL / KLL-style sketches are engine-specific (rows-only
-    # checks; tests assert the relative-error / rank-error contracts).
+    # The approx sketches are gate-checked via invariant verdicts: the
+    # Spark side computes the sketch AND its rigorous error-bound check;
+    # the oracle reproduces the exact columns and asserts the verdict
+    # TRUE — hash parity now fails if a sketch leaves its contract.
+    "approx_distinct_stats": """
+        SELECT CAST(ts AS DATE) AS dt,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv_exact,
+               CAST(COUNT(*) AS BIGINT) AS pv_ct,
+               TRUE AS uv_approx_ok
+        FROM events GROUP BY 1
+    """,
+    "approx_value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99_exact,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS p50_ok,
+               TRUE AS p99_ok
+        FROM events GROUP BY 1
+    """,
     "value_histogram": """
         SELECT event_type,
                CAST(FLOOR(value / 25.0) AS INTEGER) AS bin_id,

@@ -16,17 +16,13 @@ def test_queries_without_oracle_are_the_declared_exceptions():
     import __spark_entry__ as e
 
     missing = set(e.queries()) - set(e.oracle_sql())
-    # rows-only by design: engine-specific sketches & an iterative
-    # float-sum clustering (stream_jump_detect graduated to a full
-    # oracle in round 3 via the end-of-stream sentinel flush)
-    # (ann_cosine_topk_arrow graduated to a full oracle in round 4: the
-    # GEMM keeps the hot path, half-way-boundary scores recompute with
-    # the exact sequential fold)
-    assert missing == {
-        "approx_distinct_stats",
-        "approx_value_percentiles",
-        "embedding_clusters",
-    }
+    # Round 5: ZERO rows-only queries remain. The last three graduated
+    # via invariant/bounds oracles — the sketches emit exact columns +
+    # rigorous error-band verdicts, the k-means capstone a one-row
+    # invariant audit (stream_jump_detect graduated in round 3 via
+    # sentinel flush; ann_cosine_topk_arrow in round 4 via half-way
+    # boundary recompute).
+    assert missing == set()
 
 
 def test_bench_headline_names_resolve():

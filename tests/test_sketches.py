@@ -2,13 +2,13 @@
 
 from __future__ import annotations
 
-from gmallbiguan_parent_spark.operators.sketches import approx_distinct_stats
+from gmallbiguan_parent_spark.operators.sketches import approx_distinct_raw
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_approx_distinct_within_relative_error(spark):
-    rows = approx_distinct_stats(spark, SF).collect()
+    rows = approx_distinct_raw(spark, SF).collect()
     assert rows
     for r in rows:
         assert abs(r.uv_approx - r.uv_exact) <= max(2, 0.05 * r.uv_exact), (
@@ -17,9 +17,9 @@ def test_approx_distinct_within_relative_error(spark):
 
 
 def test_approx_percentile_rank_error(spark):
-    from gmallbiguan_parent_spark.operators.sketches import approx_value_percentiles
+    from gmallbiguan_parent_spark.operators.sketches import approx_percentiles_raw
 
-    rows = approx_value_percentiles(spark, SF).collect()
+    rows = approx_percentiles_raw(spark, SF).collect()
     assert rows
     vals = {}
     for r in spark.read.parquet(f"{SF}/events.parquet").select("event_type", "value").collect():
