@@ -80,32 +80,62 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Guarded codec import: PIL is absent in this container, so the decode
+# slots fall back to NotImplementedError / the deterministic fake — but
+# wherever PIL exists the same operators run the real codec with no
+# change to the Spark plan (the injection-point contract).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+
 def decode_image(content: bytes, *, fake: bool = False) -> dict:
-    """STUB: image decode. Real implementation requires PIL/opencv
-    (absent in this container). fake=True returns a deterministic
-    pseudo-decode used by tests: dimensions derived from the payload
-    hash — stable, content-dependent, codec-free."""
-    if not fake:
+    """Image decode. With PIL importable, decodes the payload for real
+    (width/height/channels from the image header); otherwise fake=True
+    returns a deterministic pseudo-decode used by tests — dimensions
+    derived from the payload hash, stable, content-dependent,
+    codec-free — and fake=False fails loudly."""
+    if fake:
+        h = hashlib.md5(content).digest()
+        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "channels": 3}
+    if _PILImage is None:
         raise NotImplementedError(
             "image decode requires PIL/opencv; not available in this environment"
         )
-    h = hashlib.md5(content).digest()
-    return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "channels": 3}
+    import io as _io
+
+    with _PILImage.open(_io.BytesIO(content)) as img:
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "channels": len(img.getbands()),
+        }
 
 
 def resize_image(content: bytes, width: int, height: int, *, fake: bool = False) -> dict:
-    """STUB: image resize. Real implementation requires PIL/opencv
-    (absent in this container). fake=True returns the target geometry
-    plus a deterministic payload digest standing in for the resized
-    bytes — enough for tests to assert the Spark-side plumbing (schema,
-    batching, pass-through of the binary column) without a codec."""
-    if not fake:
+    """Image resize. With PIL importable, decodes, resizes, and
+    re-encodes (PNG) for real; otherwise fake=True returns the target
+    geometry plus a deterministic payload digest standing in for the
+    resized bytes — enough for tests to assert the Spark-side plumbing
+    (schema, batching, pass-through of the binary column) without a
+    codec — and fake=False fails loudly."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize dimensions must be positive")
+    if fake:
+        digest = hashlib.md5(content + f":{width}x{height}".encode()).hexdigest()
+        return {"width": width, "height": height, "content_digest": digest}
+    if _PILImage is None:
         raise NotImplementedError(
             "image resize requires PIL/opencv; not available in this environment"
         )
-    if width <= 0 or height <= 0:
-        raise ValueError("resize dimensions must be positive")
-    digest = hashlib.md5(content + f":{width}x{height}".encode()).hexdigest()
+    import io as _io
+
+    with _PILImage.open(_io.BytesIO(content)) as img:
+        resized = img.resize((width, height))
+        buf = _io.BytesIO()
+        resized.save(buf, format="PNG")
+    digest = hashlib.md5(buf.getvalue()).hexdigest()
     return {"width": width, "height": height, "content_digest": digest}
 
 

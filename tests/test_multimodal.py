@@ -60,7 +60,32 @@ def test_resize_stub_deterministic_and_gated():
     assert (out["width"], out["height"]) == (224, 224)
     assert out == resize_image(b"payload", 224, 224, fake=True)
     assert out["content_digest"] != resize_image(b"payload", 128, 128, fake=True)["content_digest"]
-    with pytest.raises(NotImplementedError):
-        resize_image(b"payload", 224, 224)
+    from gmallbiguan_parent_spark.operators.multimodal import _PILImage
+
+    if _PILImage is None:  # real path gated only where no codec exists
+        with pytest.raises(NotImplementedError):
+            resize_image(b"payload", 224, 224)
     with pytest.raises(ValueError):
         resize_image(b"payload", 0, 224, fake=True)
+
+
+def test_real_pil_decode_branch_when_importable():
+    """Exercises the REAL codec branch wherever PIL exists (skipped in
+    codec-free containers): a generated PNG decodes to its true
+    geometry and resizes through the same operator surface."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    import io
+
+    from gmallbiguan_parent_spark.operators.multimodal import decode_image, resize_image
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    meta = decode_image(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (37, 21, 3)
+    out = resize_image(png, 16, 8)
+    assert (out["width"], out["height"]) == (16, 8)
+    assert len(out["content_digest"]) == 32
