@@ -80,9 +80,46 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(ck - ck_mn) * {scale} div greatest(ck_mx - ck_mn, 1)").alias("ckq"),
         F.expr(f"(dy - dy_mn) * {scale} div greatest(dy_mx - dy_mn, 1)").alias("dyq"),
     ).withColumn("z", _z_spark("ckq", "dyq"))
-    bucket = F.ntile(Z_BUCKETS).over(Window.orderBy("z", "okey"))
+    # Exact ntile WITHOUT the single-partition global window (the one
+    # plan shape that cannot survive 100x): range-partition + sort on
+    # the total order (z, okey) — exactly the shuffle the z-order WRITE
+    # performs — then make row numbers global by adding per-partition
+    # offsets (partition counts collect driver-side, bounded by the
+    # partition count, the IVF-trainer pattern). The SQL-standard ntile
+    # formula (first n%k buckets get ceil(n/k) rows) applied to the
+    # exact global row number reproduces the window ntile bit-for-bit,
+    # so the DuckDB oracle keeps its native NTILE.
+    n_parts = max(spark.sparkContext.defaultParallelism, 32)
+    rp = (
+        base.repartitionByRange(n_parts, F.col("z"), F.col("okey"))
+        .sortWithinPartitions("z", "okey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["ct"]
+        for r in rp.groupBy("pid").agg(F.count("*").alias("ct")).collect()
+    }
+    n_total = sum(counts.values())
+    max_pid = max(counts) if counts else 0
+    offsets, acc = [], 0
+    for p in range(max_pid + 1):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off = F.element_at(F.lit(offsets), F.col("pid") + 1)
+    rn = (
+        F.row_number().over(Window.partitionBy("pid").orderBy("z", "okey")).cast("long")
+        + off
+    )
+    q, r = divmod(n_total, Z_BUCKETS)
+    head = (q + 1) * r  # rows covered by the r buckets of size q+1
+    bucket = (
+        F.when(rn <= F.lit(head), F.floor((rn - 1) / F.lit(q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn - 1 - F.lit(head)) / F.lit(max(q, 1))) + 1)
+        .cast("int")
+    )
     return (
-        base.select(bucket.alias("zbucket"), "ck", "dy")
+        rp.select(bucket.alias("zbucket"), "ck", "dy")
         .groupBy("zbucket")
         .agg(
             F.count("*").alias("n_rows"),
