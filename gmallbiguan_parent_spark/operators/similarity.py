@@ -1045,6 +1045,33 @@ def _pq_recon_expr(books: list[list[tuple[int, list[float]]]]):
     return F.concat(*recon_parts)
 
 
+_PQ_ENC_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _pq_encoded_cells(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame, cent, books
+) -> DataFrame:
+    """The PQ-encoded, cell-assigned corpus — r_emb (the codebook
+    reconstruction) alongside the IVF cell — materialized once per
+    (application, corpus, quantizer+codebook). This IS the write-time
+    artifact the docstrings promise ('codes are precomputed at write
+    time alongside the cell assignment'): the encode expression is a
+    large interpreted higher-order-function tree, so evaluating it once
+    and checkpointing turns every later ADC scan (ann_pq_adc full scan,
+    ann_ivfpq_topk probed cells) into a cheap read, exactly like the
+    persisted PQ codes of a FAISS index."""
+    fp = hashlib.md5((repr(cent) + repr(books)).encode()).hexdigest()[:16]
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if key not in _PQ_ENC_CACHE:
+        for k in [k for k in _PQ_ENC_CACHE if k[0] != key[0] or (k[1] == sf_dir and k[2] != fp)]:
+            del _PQ_ENC_CACHE[k]
+        cells = _cached_cells(spark, sf_dir, corpus, cent)
+        _PQ_ENC_CACHE[key] = cells.withColumn(
+            "r_emb", _pq_recon_expr(books)
+        ).localCheckpoint()
+    return _PQ_ENC_CACHE[key]
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (the production FAISS composite, both scale levers at
     once): the trained coarse quantizer prunes the SEARCH SPACE — a
@@ -1060,12 +1087,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     books = _pq_cached_codebooks(spark, sf_dir, corpus)
-    cells = _cached_cells(spark, sf_dir, corpus, cent)
+    enc = _pq_encoded_cells(spark, sf_dir, corpus, cent, books)
     probed = _probe_cells(queries, cent, 1).select(
         "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
-    in_cell = cells.join(F.broadcast(probed), cells.cell == probed.probe_cell, "inner")
-    with_recon = in_cell.withColumn("r_emb", _pq_recon_expr(books))
+    with_recon = enc.join(F.broadcast(probed), enc.cell == probed.probe_cell, "inner")
     adc = F.round(
         _dot(F.col("q_emb"), F.col("r_emb")) / (F.col("q_norm") * _norm(F.col("r_emb"))), 6
     )
@@ -1103,8 +1129,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding + scoring are pure codegen expressions, one window per
     query for the top-k."""
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     books = _pq_cached_codebooks(spark, sf_dir, corpus)
-    encoded = corpus.select("corpus_id", "c_emb", _pq_recon_expr(books).alias("r_emb"))
+    encoded = _pq_encoded_cells(spark, sf_dir, corpus, cent, books).select(
+        "corpus_id", "c_emb", "r_emb"
+    )
     adc = F.round(
         _dot(F.col("q_emb"), F.col("r_emb"))
         / (_norm(F.col("q_emb")) * _norm(F.col("r_emb"))),
