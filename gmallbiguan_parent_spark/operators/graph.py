@@ -127,8 +127,12 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     for _ in range(PR_ITERS):
+        # ranks is node-cardinality (~|V| rows, tiny next to the
+        # near-complete edge set): broadcast it so each iteration scans
+        # the checkpointed edges in place — the only shuffle left per
+        # round is the dst-keyed mass aggregate
         contrib = edges.join(
-            ranks, edges.src == ranks.node, "inner"
+            F.broadcast(ranks), edges.src == ranks.node, "inner"
         ).select(
             F.col("dst"),
             F.round(
@@ -139,7 +143,7 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("mass"))
         ranks = (
-            summed.join(deg, summed.dst == deg.src, "inner")
+            summed.join(F.broadcast(deg), summed.dst == deg.src, "inner")
             .crossJoin(F.broadcast(n1))
             .select(
                 F.col("dst").alias("node"),
