@@ -104,6 +104,9 @@ EXTENDED = [
     "stream_incremental_neardup",
     "dedup_threshold_curve",
     "stream_quality_gate",
+    # round-5 additions: filtered vector search, containment dedup
+    "ann_filtered_topk",
+    "containment_pairs",
 ]
 
 

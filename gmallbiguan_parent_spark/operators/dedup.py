@@ -104,7 +104,42 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_JACCARD_T = 0.6
 
 
-def _prefix_candidates(sets: DataFrame) -> DataFrame:
+_ORDERED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ordered_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, arr: rarest-first-ordered tokens, n) — the prefix-
+    filtering family's shared index (global token-frequency order +
+    per-doc sorted arrays), materialized once per (application, corpus)
+    like the shingle sets it derives from: both prefix_jaccard_pairs
+    and containment_pairs read it, and at warehouse scale it IS the
+    persisted ordered-postings table a set-similarity index maintains."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORDERED_CACHE:
+        for k in [k for k in _ORDERED_CACHE if k[0] != key[0]]:
+            del _ORDERED_CACHE[k]
+        _ORDERED_CACHE[key] = _ordered_from_sets(
+            _shingle_sets(spark, sf_dir)
+        ).localCheckpoint()
+    return _ORDERED_CACHE[key]
+
+
+def _ordered_from_sets(sets: DataFrame) -> DataFrame:
+    sh = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
+    return (
+        sh.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
+        .select(
+            "doc_id",
+            F.transform("ot", lambda e: e.tok).alias("arr"),
+            F.size("ot").alias("n"),
+        )
+    )
+
+
+def _prefix_candidates(sets: DataFrame, ordered: DataFrame | None = None) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from rarest-first prefix overlap
     — shared by prefix_jaccard_pairs and its pruning test so the two
     can never drift on the prefix-length/ordering contract.
@@ -128,18 +163,8 @@ def _prefix_candidates(sets: DataFrame) -> DataFrame:
       per-match keeps a superset — completeness is untouched (the
       brute-force oracle remains the proof).
     """
-    sh = sets.select("doc_id", F.explode("s").alias("tok"))
-    freq = sh.groupBy("tok").agg(F.count("*").alias("tf"))
-    ordered = (
-        sh.join(freq, "tok")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("tf", "tok"))).alias("ot"))
-        .select(
-            "doc_id",
-            F.transform("ot", lambda e: e.tok).alias("arr"),
-            F.size("ot").alias("n"),
-        )
-    )
+    if ordered is None:
+        ordered = _ordered_from_sets(sets)
     t = PREFIX_JACCARD_T
     L = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
     prefix = ordered.select(
@@ -186,7 +211,7 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # they feed the frequency aggregate, the ordered arrays, and both
     # sides of the verify join
     sets = _shingle_sets(spark, sf_dir)
-    cand = _prefix_candidates(sets)
+    cand = _prefix_candidates(sets, _ordered_token_arrays(spark, sf_dir))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
@@ -200,6 +225,72 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("inter_ct", inter)
         .select("doc_a", "doc_b", "inter_ct", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAINMENT_T = 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment self-join: ordered pairs (doc_a, doc_b) where
+    doc_a's shingle set is >= t contained in doc_b's
+    (|Sa ∩ Sb| / |Sa| >= t) — the ASYMMETRIC cousin of the Jaccard
+    screen that catches sub-document duplication Jaccard misses: a
+    paragraph quoted inside a much longer page, a doc re-published with
+    a long appendix, boilerplate wrapping. Both directions can emit (a
+    in b AND b in a means near-identical sets).
+
+    Candidates use prefix filtering on the CONTAINED side only (the
+    asymmetric form of the PPJoin recipe): order tokens rarest-first;
+    if C(a->b) >= t then b must share one of a's first
+    (n_a - ceil(t*n_a) + 1) tokens, while the container side indexes
+    ALL its tokens (no prefix bound exists on b). The same
+    length filter (n_b >= ceil(t*n_a) — the intersection can't exceed
+    |Sb|) and positional upper bound (min(i,j)-1 common before the
+    match + 1 + min(n_a-i, n_b-j) from it onward, vs the required
+    ceil(t*n_a)) prune before the exact array_intersect confirm. At
+    100 TB the posting join keys on the rarest-first prefix tokens of
+    the contained side against the persisted full-token index of the
+    corpus — the standard containment-search layout."""
+    sets = _shingle_sets(spark, sf_dir)
+    t = CONTAINMENT_T
+    ordered = _ordered_token_arrays(spark, sf_dir)
+    La = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    a_prefix = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.posexplode(F.slice("arr", 1, La)).alias("p0", "tok"),
+    ).select("doc_a", "n_a", (F.col("p0") + 1).alias("p_a"), "tok")
+    b_full = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.posexplode("arr").alias("q0", "tok"),
+    ).select("doc_b", "n_b", (F.col("q0") + 1).alias("p_b"), "tok")
+    na, nb, pa, pb = F.col("n_a"), F.col("n_b"), F.col("p_a"), F.col("p_b")
+    alpha = F.ceil(F.lit(t) * na)
+    ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
+    cand = (
+        a_prefix.join(
+            b_full,
+            (a_prefix.tok == b_full.tok)
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (nb >= alpha)
+            & (ubound >= alpha),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    contain = F.round(
+        F.col("inter_ct").cast("double") / F.size("s_a").cast("double"), 6
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter_ct", F.size(F.array_intersect("s_a", "s_b")))
+        .select("doc_a", "doc_b", "inter_ct", contain.alias("containment"))
+        .filter(F.col("containment") >= t)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -954,6 +1045,7 @@ QUERIES = {
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "source_shingle_overlap": source_shingle_overlap,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
+    "containment_pairs": containment_pairs,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
@@ -1180,6 +1272,26 @@ ORACLES = {
     )
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
+    """,
+    "containment_pairs": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+               ELSE [array_to_string(toks, ' ')] END AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter_ct,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE), 6) >= {CONTAINMENT_T}
+    ORDER BY doc_a, doc_b
     """,
     "prefix_jaccard_pairs": f"""
     WITH toks AS (

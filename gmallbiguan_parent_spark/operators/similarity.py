@@ -665,6 +665,45 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-k most similar corpus vectors that
+    SATISFY a metadata predicate (here: same label as the query), the
+    ubiquitous production-vector-DB operation ('search within my
+    category / tenant / language'). The filter attribute becomes the
+    JOIN KEY: corpus equi-joins the broadcast query table on label, so
+    only predicate-passing rows are ever scored — post-filtering a
+    top-k (the naive form) both wastes score work and under-fills k.
+    At 100 TB the corpus is stored partitionBy(label) (exactly like the
+    IVF cell layout), making this a partition-pruned scan per query
+    label; the per-query top-k is the TakeOrdered pattern."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+        F.col("label").alias("label"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("label").alias("label"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    scored = corpus.join(F.broadcast(queries), "label").select(
+        "query_id",
+        F.col("label").alias("query_label"),
+        "corpus_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))), 6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "query_label", "rank", "corpus_id", "cosine")
+    )
+
+
 def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-verifiable cluster profile: per IVF cell — member count,
     majority label and its count, and the mean round-6 cosine of
@@ -1365,6 +1404,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "embedding_cluster_profile": embedding_cluster_profile,
     "hard_negative_mining": hard_negative_mining,
+    "ann_filtered_topk": ann_filtered_topk,
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
@@ -1736,6 +1776,25 @@ ORACLES = {
         f"SELECT query_id, probe_cell, CAST(rank AS INTEGER) AS rank, corpus_id, cosine"
         f" FROM ranked WHERE rank <= {TOP_K}",
     ),
+    "ann_filtered_topk": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, q.label AS query_label, corpus_id,
+               {_duck_cos('q_emb', 'c_emb')} AS cosine
+        FROM corpus c JOIN queries q USING (label)
+    )
+    SELECT query_id, query_label, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
+    FROM (
+        SELECT query_id, query_label, corpus_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
     "hard_negative_mining": f"""
     WITH corpus AS (
         SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb, label AS corpus_label

@@ -90,6 +90,9 @@ PROBE_QUERIES = [
     "stream_quality_gate",
     "hard_negative_mining",
     "dataset_card",
+    # round-5 additions
+    "ann_filtered_topk",
+    "containment_pairs",
 ]
 
 
