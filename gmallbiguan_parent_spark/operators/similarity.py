@@ -1342,13 +1342,17 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.transform("ms", lambda e: e.mean).alias("m"))
     )
     d = SRP_DIM
+    # C is exactly symmetric (the rounded term is commutative in i,j),
+    # so aggregate only the upper triangle — d(d+1)/2 = 2080 terms per
+    # vector instead of 4096 — and mirror the lower triangle after the
+    # aggregate: identical cell values, half the explode+shuffle work.
     pair_terms = F.expr(
         f"flatten(transform(sequence(0, {d - 1}), i -> "
-        f"transform(sequence(0, {d - 1}), j -> "
+        f"transform(sequence(i, {d - 1}), j -> "
         f"struct(i AS i, j AS j, "
         f"cast(round((v[i] - m[i]) * (v[j] - m[j]), 12) as decimal(28,12)) AS t))))"
     )
-    cov = (
+    upper = (
         vecs.crossJoin(F.broadcast(means))
         .select(F.explode(pair_terms).alias("p"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
@@ -1358,7 +1362,15 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
             "i", "j",
             F.round(F.col("st").cast("double") / F.col("n").cast("double"), 9).alias("c"),
         )
-        .localCheckpoint()  # 4096 rows, reused by every iteration
+    )
+    # checkpoint the triangle BEFORE mirroring — a union of two lazy
+    # branches would execute the corpus aggregate twice; the mirror then
+    # reads 2080 checkpointed rows (reused by every matvec iteration)
+    upper = upper.localCheckpoint()
+    cov = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
     )
     # v0 = e_1 (unit basis vector)
     v = spark.range(d).select(
