@@ -220,8 +220,17 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.size("s_a") + F.size("s_b") - F.col("inter_ct")).cast("double"),
         6,
     )
+    # Verify-join shape, chosen for scale: the candidate ID pairs (two
+    # longs/row) broadcast into the first join; the second join is a
+    # SHUFFLE_HASH on doc_b — candidates ride one shuffle WITH their
+    # s_a arrays, the corpus table one shuffle, and nothing
+    # corpus-sized or candidate×array-sized is ever broadcast (the
+    # planner's own choice built on the shingle-set tables: every doc's
+    # arrays shipped to every task, 4.5 s of the query's 5.7 s; a
+    # broadcast of the array-enriched candidates would die at 10x).
+    enriched = sa.join(F.broadcast(cand), "doc_a")
     return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        sb.hint("SHUFFLE_HASH").join(enriched.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("inter_ct", inter)
         .select("doc_a", "doc_b", "inter_ct", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
@@ -286,8 +295,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain = F.round(
         F.col("inter_ct").cast("double") / F.size("s_a").cast("double"), 6
     )
+    # same verify-join shape as prefix_jaccard_pairs: broadcast only
+    # the candidate ID pairs, SHUFFLE_HASH the array-carrying join
+    enriched = sa.join(F.broadcast(cand), "doc_a")
     return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        sb.hint("SHUFFLE_HASH").join(enriched.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("inter_ct", F.size(F.array_intersect("s_a", "s_b")))
         .select("doc_a", "doc_b", "inter_ct", contain.alias("containment"))
         .filter(F.col("containment") >= t)
