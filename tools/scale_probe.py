@@ -194,11 +194,16 @@ def main() -> None:
         "range-partitioned sort + per-partition row-number offsets; its",
         "factor is now ~1x with a small fixed overhead (the checkpoint +",
         "offset collect), i.e. the stats query now shuffles exactly like",
-        "the z-order write itself. prefix_jaccard_pairs carries PPJoin's",
-        "length+positional filters since round 5: its former 19.7x factor",
-        "is now ~3x cold — and its OUTPUT grows ~1000x on the replicated",
-        "corpus (every doc gains 9 exact twins), so runtime near-linear in",
-        "output is the correct shape.",
+        "the z-order write itself. prefix_jaccard_pairs and",
+        "containment_pairs carry PPJoin-style length+positional filters",
+        "since round 5 (the former 19.7x prefix factor was the unfiltered",
+        "posting join): their factors here are OUTPUT-bound, not",
+        "candidate-bound — the 10x corpus replicates every doc 10 times,",
+        "so the true pair set grows ~1000x (prefix 256 -> 250,600 rows,",
+        "containment 512 -> 501,200), and runtime ~18x/15x against ~980x",
+        "more output means per-pair cost DROPS ~50x at scale. The exact",
+        "confirm is candidates-only and the verify join is SHUFFLE_HASH",
+        "(nothing corpus- or candidate-array-sized broadcasts).",
     ]
     with open("/root/repo/SCALE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
