@@ -194,11 +194,68 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unionByName(langs).unionByName(decisions)
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023) reduced to its exactly-replayable unigram case: the
+    target distribution is the high-resource slice (lang='en'), the raw
+    distribution is everything else; each document's importance weight
+    is the mean per-token log-likelihood ratio
+    ln p_tgt(tok) - ln p_raw(tok) with add-1 smoothing over the shared
+    vocabulary. Positive weight => the doc "looks like" the target and
+    is selected. The published method hashes n-grams into 2^20 buckets;
+    exact unigrams keep the oracle bit-replayable here, and the hashed
+    variant is a drop-in (bucket id instead of token as the group key —
+    same plan shape, bounded-width frequency table).
+
+    Plan: ONE token-keyed aggregate builds both frequency columns
+    (conditional counts, partial map-side); the exploded tokens probe it
+    on the same key (shuffle reuse, AQE splits stopword hot keys); the
+    totals/vocab-size row is a 1-row broadcast. Per-token log ratios
+    round to 9 dp and sum as exact decimal, so per-doc means are
+    order-independent and the oracle hash-matches — the
+    unigram_logprob determinism recipe."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_tgt"),
+        F.explode(tokenize("text")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("is_tgt"), 1)).alias("ct_t"),
+        F.count(F.when(~F.col("is_tgt"), 1)).alias("ct_r"),
+    )
+    stats = freq.agg(
+        F.sum("ct_t").alias("tot_t"),
+        F.sum("ct_r").alias("tot_r"),
+        F.count("*").alias("v"),
+    )
+    p_t = (F.col("ct_t") + 1).cast("double") / (F.col("tot_t") + F.col("v")).cast("double")
+    p_r = (F.col("ct_r") + 1).cast("double") / (F.col("tot_r") + F.col("v")).cast("double")
+    lr = F.round(F.log(p_t) - F.log(p_r), 9).cast("decimal(18,9)")
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", lr.alias("lr"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("tok_ct"),
+            F.round(F.sum("lr").cast("double") / F.count("*"), 6).alias("dsir_weight"),
+        )
+        .withColumn("selected", (F.col("dsir_weight") > 0).cast("int"))
+    )
+
+
 QUERIES = {
     "curate_corpus": curate_corpus,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
     "dataset_card": dataset_card,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
@@ -214,6 +271,34 @@ _CARD_TOT = """
 """
 
 ORACLES = {
+    "dsir_importance_weights": f"""
+    WITH toks AS (
+        SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_tgt,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok,
+               COUNT(*) FILTER (is_tgt) AS ct_t,
+               COUNT(*) FILTER (NOT is_tgt) AS ct_r
+        FROM toks GROUP BY tok
+    ), st AS (
+        SELECT SUM(ct_t) AS tot_t, SUM(ct_r) AS tot_r, COUNT(*) AS v FROM freq
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ln(CAST(f.ct_t + 1 AS DOUBLE) / CAST(st.tot_t + st.v AS DOUBLE))
+                 - ln(CAST(f.ct_r + 1 AS DOUBLE) / CAST(st.tot_r + st.v AS DOUBLE)), 9)
+               AS DECIMAL(18,9)) AS lr
+        FROM toks t JOIN freq f USING (tok), st
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_ct,
+               ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS dsir_weight
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, tok_ct, dsir_weight,
+           CAST(dsir_weight > 0 AS INT) AS selected
+    FROM agg
+    """,
     "dataset_card": f"""
     WITH tot AS ({_CARD_TOT})
     SELECT 'total_docs' AS metric, total_docs AS value FROM tot
