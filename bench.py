@@ -104,9 +104,13 @@ EXTENDED = [
     "stream_incremental_neardup",
     "dedup_threshold_curve",
     "stream_quality_gate",
-    # round-5 additions: filtered vector search, containment dedup
+    # round-5 additions: filtered vector search, containment dedup,
+    # keyless range join, hypertable cascade, DSIR selection
     "ann_filtered_topk",
     "containment_pairs",
+    "spike_window_impact",
+    "hypertable_rollup",
+    "dsir_importance_weights",
 ]
 
 

@@ -128,15 +128,19 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the cascade EXACTLY equal to aggregating raw at every grain
     (decimal addition is associative), which is what the oracle checks.
 
-    Plan: raw events shuffle once (hour grain, map-side partial agg);
-    day aggregates the ~720 hour rows, month the ~30 day rows. Compare
-    GROUPING SETS: its Expand would shuffle 3x the raw rows.
+    Plan: raw events shuffle once (hour grain, map-side partial agg)
+    into a localCheckpoint — WITHOUT it Spark recomputes the shared
+    hour subtree under every union branch (3 raw scans, 6 exchanges;
+    the checkpoint makes it 1 scan, and the later grains aggregate
+    ~720 checkpointed rows). This checkpoint IS the continuous
+    aggregate a hypertable materializes. Compare GROUPING SETS: its
+    Expand would shuffle 3x the raw rows.
     """
     ev = load_table(spark, sf_dir, "events")
     hour = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start")).agg(
         F.count("*").alias("n_events"),
         F.sum(_dec(F.col("value"))).alias("sum_value"),
-    )
+    ).localCheckpoint()
     day = hour.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
         F.sum("n_events").alias("n_events"),
         F.sum("sum_value").alias("sum_value"),

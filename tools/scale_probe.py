@@ -93,6 +93,9 @@ PROBE_QUERIES = [
     # round-5 additions
     "ann_filtered_topk",
     "containment_pairs",
+    "spike_window_impact",
+    "hypertable_rollup",
+    "dsir_importance_weights",
 ]
 
 
