@@ -113,6 +113,7 @@ EXTENDED = [
     "dsir_importance_weights",
     "ngram_decontaminate",
     "stream_hypertable_rollup",
+    "assemble_training_mix",
 ]
 
 

@@ -13,8 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import md5_bigint
-from ..io import load_table
+from ..functions import md5_bigint, tokenize
+from ..io import load_table, load_table_spread
 
 MOD = 10_000
 
@@ -149,6 +149,90 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGET_NUM = 1  # global budget = 1/2 of corpus tokens
+MIX_BUDGET_DEN = 2
+
+
+def assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mix-assembly capstone: fill a global token budget (half the
+    corpus) according to temperature-sampled per-language quotas — the
+    step that turns mixture_weights' ratios into an actual document
+    selection. Each language's quota is mix_weight x budget tokens;
+    docs are admitted in deterministic hash order (swap in any quality
+    or curriculum score — the mechanics don't change) until the next
+    doc would cross the quota (document granularity, no truncation).
+    Emits the per-language audit row: quota utilization near 1.0 for
+    big languages, and upsampled small languages capped by their corpus
+    size.
+
+    Determinism: quotas are exact decimal (rounded weight x integer
+    token total; the budget fraction enters as an integer cross-
+    multiplication, never a float), cumulative sums are integer, and
+    the admission predicate compares exact values — both engines admit
+    the identical doc set.
+
+    Plan: one scan computes (tok_ct, hash key); one tiny groupBy(lang)
+    + 1-row broadcast derives quotas; ONE window (partitionBy lang,
+    running integer sum) admits docs — at 100 TB this is the same
+    shape as corpus_shards: per-class independent sorts, no global
+    order, one shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize("text")).cast("long").alias("tok_ct"),
+        md5_bigint(F.col("doc_id").cast("string"), salt="mix:").alias("key"),
+    )
+    counts = base.groupBy("lang").agg(
+        F.count("*").alias("doc_ct"), F.sum("tok_ct").alias("lang_tokens")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("doc_ct").cast("double"), F.lit(MIX_ALPHA))).alias("tot_w"),
+        F.sum("lang_tokens").alias("total_tokens"),
+    )
+    wtd = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "doc_ct",
+        F.round(
+            F.pow(F.col("doc_ct").cast("double"), F.lit(MIX_ALPHA)) / F.col("tot_w"), 6
+        ).cast("decimal(18,6)").alias("mix_weight"),
+        "total_tokens",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.select(
+        "lang", "tok_ct", F.sum("tok_ct").over(w).alias("cum_tokens")
+    )
+    # admit while cum <= weight * total * NUM/DEN, cross-multiplied to
+    # keep the comparison exact: DEN*cum <= NUM * weight * total
+    kept = (
+        cum.join(F.broadcast(wtd.select("lang", "mix_weight", "total_tokens")), "lang")
+        .filter(
+            (F.col("cum_tokens") * MIX_BUDGET_DEN).cast("decimal(38,6)")
+            <= F.col("mix_weight") * F.col("total_tokens") * MIX_BUDGET_NUM
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept_docs"), F.sum("tok_ct").alias("kept_tokens"))
+    )
+    return wtd.join(kept, "lang", "left").select(
+        "lang",
+        "doc_ct",
+        "mix_weight",
+        F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.round(
+            (F.coalesce("kept_tokens", F.lit(0)) * MIX_BUDGET_DEN).cast("double")
+            / (F.col("mix_weight") * F.col("total_tokens") * MIX_BUDGET_NUM).cast("double"),
+            4,
+        ).alias("budget_utilization"),
+    )
+
+
 N_SHARDS = 16
 
 
@@ -186,6 +270,7 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "priority_sample": priority_sample,
     "mixture_weights": mixture_weights,
+    "assemble_training_mix": assemble_training_mix,
 }
 
 _BUCKET = "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
@@ -264,5 +349,45 @@ ORACLES = {
                ROUND(POWER(doc_ct, {MIX_ALPHA}) / tot, 6) AS mix_weight,
                ROUND(POWER(doc_ct, {MIX_ALPHA}) / tot * n / doc_ct, 6) AS upsample_factor
         FROM c, t
+    """,
+    "assemble_training_mix": f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok_ct,
+               ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+        FROM documents
+    ), c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(tok_ct) AS BIGINT) AS lang_tokens
+        FROM base GROUP BY lang
+    ), t AS (
+        SELECT SUM(POWER(doc_ct, {MIX_ALPHA})) AS tot_w,
+               CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens
+        FROM c
+    ), wtd AS (
+        SELECT lang, doc_ct,
+               CAST(ROUND(POWER(doc_ct, {MIX_ALPHA}) / tot_w, 6) AS DECIMAL(18,6)) AS mix_weight,
+               total_tokens
+        FROM c, t
+    ), cum AS (
+        SELECT lang, tok_ct,
+               SUM(tok_ct) OVER (PARTITION BY lang ORDER BY key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM base
+    ), k AS (
+        SELECT cm.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(cm.tok_ct) AS BIGINT) AS kept_tokens
+        FROM cum cm JOIN wtd w ON cm.lang = w.lang
+        WHERE CAST(cm.cum_tokens * {MIX_BUDGET_DEN} AS DECIMAL(38,6))
+              <= w.mix_weight * w.total_tokens * {MIX_BUDGET_NUM}
+        GROUP BY cm.lang
+    )
+    SELECT w.lang, w.doc_ct, w.mix_weight,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           ROUND(CAST(COALESCE(k.kept_tokens, 0) * {MIX_BUDGET_DEN} AS DOUBLE)
+                 / CAST(w.mix_weight * w.total_tokens * {MIX_BUDGET_NUM} AS DOUBLE), 4)
+                 AS budget_utilization
+    FROM wtd w LEFT JOIN k ON w.lang = k.lang
     """,
 }

@@ -150,3 +150,58 @@ def test_stream_hypertable_equals_batch_cascade(spark):
         for r in hypertable_rollup(spark, SF_DIR).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_assemble_training_mix_vs_pure_python(spark):
+    """Independent pure-Python replay of the budget-quota admission:
+    per-lang kept docs/tokens and utilization must agree exactly, and
+    the admission must be greedy-maximal (the next doc in hash order
+    would cross the quota)."""
+    import hashlib
+    import re
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from gmallbiguan_parent_spark.operators.sampling import (
+        MIX_ALPHA, MIX_BUDGET_DEN, MIX_BUDGET_NUM, assemble_training_mix,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def tok_ct(text):
+        return len(re.findall(r"[a-z0-9]+", text.lower()))
+
+    def key(doc_id):
+        return int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((key(r.doc_id), r.doc_id, tok_ct(r.text)))
+    total_tokens = sum(t for docs in by_lang.values() for *_, t in docs)
+    tot_w = sum(len(d) ** MIX_ALPHA for d in by_lang.values())
+    ref = {}
+    for lang, docs in by_lang.items():
+        mw = Decimal(str(len(docs) ** MIX_ALPHA / tot_w)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        quota_num = mw * total_tokens * MIX_BUDGET_NUM
+        docs.sort()
+        cum = kept_docs = kept_tokens = 0
+        for _, _, t in docs:
+            cum += t
+            if Decimal(cum * MIX_BUDGET_DEN) > quota_num:
+                break
+            kept_docs += 1
+            kept_tokens += t
+        ref[lang] = (len(docs), kept_docs, kept_tokens)
+
+    out = {
+        r.lang: (r.doc_ct, r.kept_docs, r.kept_tokens, r.budget_utilization)
+        for r in assemble_training_mix(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(ref)
+    for lang, (doc_ct, kd, kt) in ref.items():
+        o = out[lang]
+        assert o[:3] == (doc_ct, kd, kt), (lang, o, ref[lang])
+        assert 0.0 <= o[3] <= 1.0

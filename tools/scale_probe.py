@@ -98,6 +98,7 @@ PROBE_QUERIES = [
     "dsir_importance_weights",
     "ngram_decontaminate",
     "stream_hypertable_rollup",
+    "assemble_training_mix",
 ]
 
 
