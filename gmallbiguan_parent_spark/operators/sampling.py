@@ -219,7 +219,7 @@ def assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("kept_docs"), F.sum("tok_ct").alias("kept_tokens"))
     )
-    return wtd.join(kept, "lang", "left").select(
+    return wtd.join(F.broadcast(kept), "lang", "left").select(
         "lang",
         "doc_ct",
         "mix_weight",
