@@ -15,7 +15,7 @@ SURVEY §2.4, provided here as engine capability):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dec
@@ -609,17 +609,27 @@ GMV_WIN_END = "1997-04-01"
 
 
 def _daily_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-quarter daily GMV series (decimal sums, double at the edge)
-    — shared by the EWMA/Holt/CUSUM smoothers so the three twins and
-    their oracles can never diverge on the series definition."""
+    """One-quarter daily GMV series — shared by the EWMA/Holt/CUSUM
+    smoothers so the three twins and their oracles can never diverge on
+    the series definition. The series stays EXACT DECIMAL (gmv_d): the
+    smoothers' recurrences fold in decimal arithmetic, because a float
+    recursion re-rounded every step gives each of ~90 steps a chance to
+    land on a half-way double and flip the 6th decimal differently per
+    engine — observed once at sf0.1 (ewma, 1-ulp-at-6dp divergence)
+    before the decimal rewrite. Doubles appear only at the output edge."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(
             (F.col("o_orderdate") >= GMV_WIN_START) & (F.col("o_orderdate") < GMV_WIN_END)
         )
         .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("gmv"))
+        .agg(F.sum(dec("o_totalprice")).alias("gmv_d"))
     )
+
+
+def _dlit(x: float) -> Column:
+    """One-decimal constant as an exact decimal literal (0.3, 0.7, ...)."""
+    return F.lit(str(x)).cast("decimal(2,1)")
 
 
 EWMA_ALPHA = 0.3
@@ -635,34 +645,40 @@ def gmv_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), then fold the ordered day array with F.aggregate in a
     single tiny task — the 'pre-aggregate, then sequential-fold the
     small series' recipe for any recursive smoother at warehouse scale.
-    Each step rounds to 6 dp; the oracle replays with a recursive CTE."""
+    Each step rounds to 6 dp IN EXACT DECIMAL (see _daily_gmv: a double
+    recursion diverged 1 ulp at sf0.1); the oracle replays the same
+    decimal recurrence with a recursive CTE."""
     daily = _daily_gmv(spark, sf_dir)
     series = daily.agg(
-        F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s")
+        F.array_sort(F.collect_list(F.struct("dt", "gmv_d"))).alias("s")
     )
     step = F.aggregate(
         F.col("s"),
-        F.array().cast("array<struct<dt:string,gmv:double,ewma:double>>"),
+        F.array().cast("array<struct<dt:string,gmv:decimal(28,4),ewma:decimal(28,6)>>"),
         lambda acc, e: F.concat(
             acc,
             F.array(F.struct(
                 e.dt.alias("dt"),
-                e.gmv.alias("gmv"),
+                e.gmv_d.alias("gmv"),
                 F.when(
-                    F.size(acc) == 0, F.round(e.gmv, 6)
+                    F.size(acc) == 0, F.round(e.gmv_d, 6).cast("decimal(28,6)")
                 ).otherwise(
                     F.round(
-                        F.lit(EWMA_ALPHA) * e.gmv
-                        + F.lit(EWMA_BETA) * F.element_at(acc, -1).ewma,
+                        _dlit(EWMA_ALPHA) * e.gmv_d
+                        + _dlit(EWMA_BETA) * F.element_at(acc, -1).ewma,
                         6,
-                    )
+                    ).cast("decimal(28,6)")
                 ).alias("ewma"),
             )),
         ),
     )
     return (
         series.select(F.explode(step).alias("r"))
-        .select("r.dt", "r.gmv", "r.ewma")
+        .select(
+            "r.dt",
+            F.col("r.gmv").cast("double").alias("gmv"),
+            F.col("r.ewma").cast("double").alias("ewma"),
+        )
         .orderBy("dt")
     )
 
@@ -679,25 +695,32 @@ def gmv_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory/revenue dashboard shows). Two COUPLED recurrences
     (l_t = a*x_t + (1-a)*(l+b); b_t = B*(l_t-l) + (1-B)*b) folded over
     the pre-aggregated day array exactly like gmv_ewma, with a
-    struct-typed accumulator carrying (series, level, trend)."""
+    struct-typed accumulator carrying (series, level, trend). Exact
+    decimal throughout (see _daily_gmv); trend can go negative — both
+    engines' decimal ROUND is half-away-from-zero, so signs are safe."""
     daily = _daily_gmv(spark, sf_dir)
-    series = daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s"))
+    series = daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv_d"))).alias("s"))
+    D6 = "decimal(28,6)"
     acc0 = F.struct(
-        F.array().cast("array<struct<dt:string,gmv:double,level:double,trend:double>>").alias("arr"),
-        F.lit(None).cast("double").alias("l"),
-        F.lit(None).cast("double").alias("b"),
+        F.array().cast(f"array<struct<dt:string,gmv:decimal(28,4),level:{D6},trend:{D6}>>").alias("arr"),
+        F.lit(None).cast(D6).alias("l"),
+        F.lit(None).cast(D6).alias("b"),
     )
 
     def step(acc, e):
         first = acc.l.isNull()
-        l_new = F.when(first, F.round(e.gmv, 6)).otherwise(
-            F.round(F.lit(HOLT_ALPHA) * e.gmv + F.lit(HOLT_CALPHA) * (acc.l + acc.b), 6)
+        l_new = F.when(first, F.round(e.gmv_d, 6).cast(D6)).otherwise(
+            F.round(
+                _dlit(HOLT_ALPHA) * e.gmv_d + _dlit(HOLT_CALPHA) * (acc.l + acc.b), 6
+            ).cast(D6)
         )
-        b_new = F.when(first, F.lit(0.0)).otherwise(
-            F.round(F.lit(HOLT_BETA) * (l_new - acc.l) + F.lit(HOLT_CBETA) * acc.b, 6)
+        b_new = F.when(first, F.lit("0").cast(D6)).otherwise(
+            F.round(
+                _dlit(HOLT_BETA) * (l_new - acc.l) + _dlit(HOLT_CBETA) * acc.b, 6
+            ).cast(D6)
         )
         entry = F.struct(
-            e.dt.alias("dt"), e.gmv.alias("gmv"),
+            e.dt.alias("dt"), e.gmv_d.alias("gmv"),
             l_new.alias("level"), b_new.alias("trend"),
         )
         return F.struct(
@@ -710,8 +733,11 @@ def gmv_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         series.select(F.explode(folded).alias("r"))
         .select(
-            "r.dt", "r.gmv", "r.level", "r.trend",
-            F.round(F.col("r.level") + F.col("r.trend"), 6).alias("forecast_next"),
+            "r.dt",
+            F.col("r.gmv").cast("double").alias("gmv"),
+            F.col("r.level").cast("double").alias("level"),
+            F.col("r.trend").cast("double").alias("trend"),
+            (F.col("r.level") + F.col("r.trend")).cast("double").alias("forecast_next"),
         )
         .orderBy("dt")
     )
@@ -768,44 +794,60 @@ def gmv_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     gmv_ewma/gmv_holt (pre-aggregate, then sequential-fold the tiny
     series)."""
     daily = _daily_gmv(spark, sf_dir)
+    gmv_dbl = F.col("gmv_d").cast("double")
     stats = daily.agg(
         F.count("*").alias("n"),
-        F.sum(F.round("gmv", 9).cast("decimal(28,9)")).alias("s1"),
-        F.sum(F.round(F.col("gmv") * F.col("gmv"), 12).cast("decimal(38,12)")).alias("s2"),
+        F.sum(F.round(gmv_dbl, 9).cast("decimal(28,9)")).alias("s1"),
+        F.sum(F.round(gmv_dbl * gmv_dbl, 12).cast("decimal(38,12)")).alias("s2"),
     )
     mu = F.round(F.col("s1").cast("double") / F.col("n").cast("double"), 6)
     var = F.round(
         F.col("s2").cast("double") / F.col("n").cast("double") - mu * mu, 6
     )
     sg = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    # sigma passes through sqrt, so mu/sigma are double-computed ONCE,
+    # then pinned to exact decimal — the fold itself never re-rounds a
+    # double (the per-step half-way risk the ewma rewrite eliminated).
+    # A 6dp-rounded double is never half-way at 6dp, so the cast is
+    # engine-identical.
+    D7 = "decimal(32,7)"
     base = (
-        daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv"))).alias("s"))
+        daily.agg(F.array_sort(F.collect_list(F.struct("dt", "gmv_d"))).alias("s"))
         .crossJoin(F.broadcast(stats))
-        .select("s", mu.alias("mu"), sg.alias("sigma"))
+        .select(
+            "s",
+            mu.cast("decimal(28,6)").alias("mu"),
+            (_dlit(CUSUM_K) * sg.cast("decimal(28,6)")).alias("slack"),
+            (_dlit(CUSUM_H) * sg.cast("decimal(28,6)")).alias("thresh"),
+        )
     )
     acc0 = F.struct(
-        F.array().cast("array<struct<dt:string,gmv:double,s_pos:double,s_neg:double>>").alias("arr"),
-        F.lit(0.0).alias("sp"),
-        F.lit(0.0).alias("sn"),
+        F.array().cast(f"array<struct<dt:string,gmv:decimal(28,4),s_pos:{D7},s_neg:{D7}>>").alias("arr"),
+        F.lit("0").cast(D7).alias("sp"),
+        F.lit("0").cast(D7).alias("sn"),
     )
 
     def step(acc, e):
-        sp = F.round(
-            F.greatest(F.lit(0.0), acc.sp + e.gmv - F.col("mu") - F.lit(CUSUM_K) * F.col("sigma")), 6
+        zero = F.lit("0").cast(D7)
+        sp = F.greatest(
+            zero, (acc.sp + e.gmv_d - F.col("mu") - F.col("slack")).cast(D7)
         )
-        sn = F.round(
-            F.greatest(F.lit(0.0), acc.sn + F.col("mu") - e.gmv - F.lit(CUSUM_K) * F.col("sigma")), 6
+        sn = F.greatest(
+            zero, (acc.sn + F.col("mu") - e.gmv_d - F.col("slack")).cast(D7)
         )
-        entry = F.struct(e.dt.alias("dt"), e.gmv.alias("gmv"), sp.alias("s_pos"), sn.alias("s_neg"))
+        entry = F.struct(e.dt.alias("dt"), e.gmv_d.alias("gmv"), sp.alias("s_pos"), sn.alias("s_neg"))
         return F.struct(F.concat(acc.arr, F.array(entry)).alias("arr"), sp.alias("sp"), sn.alias("sn"))
 
     folded = F.aggregate(F.col("s"), acc0, step).getField("arr")
     return (
-        base.select(F.explode(folded).alias("r"), "mu", "sigma")
+        base.select(F.explode(folded).alias("r"), "thresh")
         .select(
-            "r.dt", "r.gmv", "r.s_pos", "r.s_neg",
-            ((F.col("r.s_pos") > F.lit(CUSUM_H) * F.col("sigma"))
-             | (F.col("r.s_neg") > F.lit(CUSUM_H) * F.col("sigma"))).alias("shift_flag"),
+            "r.dt",
+            F.col("r.gmv").cast("double").alias("gmv"),
+            F.round("r.s_pos", 6).cast("double").alias("s_pos"),
+            F.round("r.s_neg", 6).cast("double").alias("s_neg"),
+            ((F.col("r.s_pos") > F.col("thresh"))
+             | (F.col("r.s_neg") > F.col("thresh"))).alias("shift_flag"),
         )
         .orderBy("dt")
     )
@@ -964,14 +1006,14 @@ ORACLES = {
     "gmv_cusum": f"""
     WITH RECURSIVE daily AS (
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS gmv
         FROM orders
         WHERE o_orderdate >= DATE '{GMV_WIN_START}' AND o_orderdate < DATE '{GMV_WIN_END}'
         GROUP BY 1
     ), stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(ROUND(gmv, 9) AS DECIMAL(28,9))) AS s1,
-               SUM(CAST(ROUND(gmv * gmv, 12) AS DECIMAL(38,12))) AS s2
+               SUM(CAST(ROUND(CAST(gmv AS DOUBLE), 9) AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(ROUND(CAST(gmv AS DOUBLE) * CAST(gmv AS DOUBLE), 12) AS DECIMAL(38,12))) AS s2
         FROM daily
     ), ms AS (
         SELECT ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mu,
@@ -979,44 +1021,58 @@ ORACLES = {
                      - ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
                        * ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6), 6), 0.0)), 6) AS sigma
         FROM stats
+    ), md AS (
+        SELECT CAST(mu AS DECIMAL(28,6)) AS mu,
+               CAST({CUSUM_K!r} AS DECIMAL(2,1)) * CAST(sigma AS DECIMAL(28,6)) AS slack,
+               CAST({CUSUM_H!r} AS DECIMAL(2,1)) * CAST(sigma AS DECIMAL(28,6)) AS thresh
+        FROM ms
     ), idx AS (
         SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
     ), c AS (
         SELECT x.dt, x.gmv, x.i,
-               ROUND(GREATEST(0.0, 0.0 + x.gmv - m.mu - {CUSUM_K!r} * m.sigma), 6) AS s_pos,
-               ROUND(GREATEST(0.0, 0.0 + m.mu - x.gmv - {CUSUM_K!r} * m.sigma), 6) AS s_neg
-        FROM idx x, ms m WHERE x.i = 1
+               CAST(GREATEST(CAST(0 AS DECIMAL(32,7)), CAST(x.gmv - m.mu - m.slack AS DECIMAL(32,7))) AS DECIMAL(32,7)) AS s_pos,
+               CAST(GREATEST(CAST(0 AS DECIMAL(32,7)), CAST(m.mu - x.gmv - m.slack AS DECIMAL(32,7))) AS DECIMAL(32,7)) AS s_neg
+        FROM idx x, md m WHERE x.i = 1
         UNION ALL
         SELECT x.dt, x.gmv, x.i,
-               ROUND(GREATEST(0.0, p.s_pos + x.gmv - m.mu - {CUSUM_K!r} * m.sigma), 6),
-               ROUND(GREATEST(0.0, p.s_neg + m.mu - x.gmv - {CUSUM_K!r} * m.sigma), 6)
-        FROM idx x JOIN c p ON x.i = p.i + 1, ms m
+               CAST(GREATEST(CAST(0 AS DECIMAL(32,7)), CAST(p.s_pos + x.gmv - m.mu - m.slack AS DECIMAL(32,7))) AS DECIMAL(32,7)),
+               CAST(GREATEST(CAST(0 AS DECIMAL(32,7)), CAST(p.s_neg + m.mu - x.gmv - m.slack AS DECIMAL(32,7))) AS DECIMAL(32,7))
+        FROM idx x JOIN c p ON x.i = p.i + 1, md m
     )
-    SELECT c.dt, c.gmv, c.s_pos, c.s_neg,
-           (c.s_pos > {CUSUM_H!r} * m.sigma OR c.s_neg > {CUSUM_H!r} * m.sigma) AS shift_flag
-    FROM c, ms m
+    SELECT c.dt, CAST(c.gmv AS DOUBLE) AS gmv,
+           CAST(ROUND(c.s_pos, 6) AS DOUBLE) AS s_pos,
+           CAST(ROUND(c.s_neg, 6) AS DOUBLE) AS s_neg,
+           (c.s_pos > m.thresh OR c.s_neg > m.thresh) AS shift_flag
+    FROM c, md m
     ORDER BY c.dt
     """,
     "gmv_holt": f"""
     WITH RECURSIVE daily AS (
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS gmv
         FROM orders
         WHERE o_orderdate >= DATE '{GMV_WIN_START}' AND o_orderdate < DATE '{GMV_WIN_END}'
         GROUP BY 1
     ), idx AS (
         SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
     ), h AS (
-        SELECT dt, gmv, i, ROUND(gmv, 6) AS level, CAST(0.0 AS DOUBLE) AS trend
+        SELECT dt, gmv, i, CAST(ROUND(gmv, 6) AS DECIMAL(28,6)) AS level,
+               CAST(0 AS DECIMAL(28,6)) AS trend
         FROM idx WHERE i = 1
         UNION ALL
         SELECT x.dt, x.gmv, x.i,
-               ROUND({HOLT_ALPHA!r} * x.gmv + {HOLT_CALPHA!r} * (p.level + p.trend), 6),
-               ROUND({HOLT_BETA!r} * (ROUND({HOLT_ALPHA!r} * x.gmv + {HOLT_CALPHA!r} * (p.level + p.trend), 6) - p.level)
-                     + {HOLT_CBETA!r} * p.trend, 6)
+               CAST(ROUND(CAST({HOLT_ALPHA!r} AS DECIMAL(2,1)) * x.gmv
+                        + CAST({HOLT_CALPHA!r} AS DECIMAL(2,1)) * (p.level + p.trend), 6) AS DECIMAL(28,6)),
+               CAST(ROUND(CAST({HOLT_BETA!r} AS DECIMAL(2,1))
+                          * (CAST(ROUND(CAST({HOLT_ALPHA!r} AS DECIMAL(2,1)) * x.gmv
+                                      + CAST({HOLT_CALPHA!r} AS DECIMAL(2,1)) * (p.level + p.trend), 6) AS DECIMAL(28,6))
+                             - p.level)
+                        + CAST({HOLT_CBETA!r} AS DECIMAL(2,1)) * p.trend, 6) AS DECIMAL(28,6))
         FROM idx x JOIN h p ON x.i = p.i + 1
     )
-    SELECT dt, gmv, level, trend, ROUND(level + trend, 6) AS forecast_next
+    SELECT dt, CAST(gmv AS DOUBLE) AS gmv, CAST(level AS DOUBLE) AS level,
+           CAST(trend AS DOUBLE) AS trend,
+           CAST(level + trend AS DOUBLE) AS forecast_next
     FROM h ORDER BY dt
     """,
     "event_transition_matrix": """
@@ -1039,20 +1095,21 @@ ORACLES = {
     "gmv_ewma": f"""
     WITH RECURSIVE daily AS (
         SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS gmv
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS gmv
         FROM orders
         WHERE o_orderdate >= DATE '{GMV_WIN_START}' AND o_orderdate < DATE '{GMV_WIN_END}'
         GROUP BY 1
     ), idx AS (
         SELECT dt, gmv, ROW_NUMBER() OVER (ORDER BY dt) AS i FROM daily
     ), ew AS (
-        SELECT dt, gmv, i, ROUND(gmv, 6) AS ewma FROM idx WHERE i = 1
+        SELECT dt, gmv, i, CAST(ROUND(gmv, 6) AS DECIMAL(28,6)) AS ewma FROM idx WHERE i = 1
         UNION ALL
         SELECT x.dt, x.gmv, x.i,
-               ROUND({EWMA_ALPHA!r} * x.gmv + {EWMA_BETA!r} * e.ewma, 6)
+               CAST(ROUND(CAST({EWMA_ALPHA!r} AS DECIMAL(2,1)) * x.gmv
+                        + CAST({EWMA_BETA!r} AS DECIMAL(2,1)) * e.ewma, 6) AS DECIMAL(28,6))
         FROM idx x JOIN ew e ON x.i = e.i + 1
     )
-    SELECT dt, gmv, ewma FROM ew ORDER BY dt
+    SELECT dt, CAST(gmv AS DOUBLE) AS gmv, CAST(ewma AS DOUBLE) AS ewma FROM ew ORDER BY dt
     """,
     "rfm_segments": f"""
     WITH per_cust AS (

@@ -179,3 +179,51 @@ def test_bpe_merge_semantics_on_adversarial_vocab(spark):
                 [s, f" {lhs} {rhs} ", f" {merged} ", f" {lhs} {rhs} ", f" {merged} "],
             ).fetchone()
             assert py == dk
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7200),   # start offset seconds
+        st.integers(min_value=0, max_value=9000),   # width seconds (0 = empty)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+POINTS = st.lists(
+    st.integers(min_value=-600, max_value=10_000),  # offset seconds
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(points=POINTS, intervals=INTERVALS, bin_seconds=st.sampled_from([60, 600, 3600]))
+def test_interval_bin_join_matches_bruteforce(spark, points, intervals, bin_seconds):
+    """For arbitrary interval widths (narrower/wider than the bin,
+    zero-width) and any bin size, the bin join equals the theta join."""
+    from gmallbiguan_parent_spark.operators.timeseries import interval_bin_join
+
+    pts = spark.createDataFrame(
+        [(i, BASE + datetime.timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, BASE + datetime.timedelta(seconds=s), BASE + datetime.timedelta(seconds=s + w))
+            for j, (s, w) in enumerate(intervals)
+        ],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.pid, r.wid)
+        for r in interval_bin_join(pts, ivs, "ts", "w_start", "w_end", bin_seconds=bin_seconds)
+        .select("pid", "wid").collect()
+    }
+    ref = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (ws, w) in enumerate(intervals)
+        if ws <= s < ws + w
+    }
+    assert got == ref
