@@ -948,6 +948,19 @@ LINE_TOKENS = 6     # the corpus is an unpunctuated token stream: a "line" = 6-t
 SPAN_TOKENS = 8     # exact-substring window length, in tokens
 
 
+def _token_windows(text_col, k: int):
+    """All overlapping k-token windows of the normalized token stream,
+    as an array<string> column (empty when the doc is shorter than one
+    window). Single source for duplicated_spans and ngram_decontaminate
+    so their window semantics can never drift apart."""
+    toks = F.filter(F.split(_norm_text(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+
+
 def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication detection (the ExactSubstr dedup of
     Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
@@ -964,13 +977,9 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the span's md5 (16 bytes through the shuffle instead of the text,
     keeping min(span) for display) — same plan shape."""
     docs = load_table_spread(spark, sf_dir, "documents")
-    toks = F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-    n = F.size(toks)
-    idx = F.when(n >= SPAN_TOKENS, F.sequence(F.lit(0), n - SPAN_TOKENS)).otherwise(
-        F.array().cast("array<int>")
+    exploded = docs.select(
+        "doc_id", F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("span")
     )
-    spans = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SPAN_TOKENS)))
-    exploded = docs.select("doc_id", F.explode(spans).alias("span"))
     return (
         exploded.groupBy("span")
         .agg(
@@ -1091,15 +1100,9 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (nothing to collide on).
     """
     docs = load_table_spread(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    exploded = docs.select(
+        "doc_id", F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
     )
-    n = F.size(toks)
-    idx = F.when(n >= SPAN_TOKENS, F.sequence(F.lit(0), n - SPAN_TOKENS)).otherwise(
-        F.array().cast("array<int>")
-    )
-    spans = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SPAN_TOKENS)))
-    exploded = docs.select("doc_id", F.explode(spans).alias("gram"))
     bench = (
         exploded.filter(F.col("doc_id") % 17 == 0)
         .select("gram")

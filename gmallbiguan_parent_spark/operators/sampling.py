@@ -179,12 +179,17 @@ def assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table_spread(spark, sf_dir, "documents")
+    # checkpoint the 4-scalar-per-doc projection: it feeds BOTH the
+    # quota aggregate and the admission window, whose subtrees share no
+    # exchange — without it the dominant cost (tokenizing every doc)
+    # runs twice (the dedup-signature-table convention: materialize
+    # exactly when the projection is smaller than its source)
     base = docs.select(
         "doc_id",
         "lang",
         F.size(tokenize("text")).cast("long").alias("tok_ct"),
         md5_bigint(F.col("doc_id").cast("string"), salt="mix:").alias("key"),
-    )
+    ).localCheckpoint()
     counts = base.groupBy("lang").agg(
         F.count("*").alias("doc_ct"), F.sum("tok_ct").alias("lang_tokens")
     )

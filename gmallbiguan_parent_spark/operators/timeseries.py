@@ -61,7 +61,16 @@ def interval_bin_join(
     ceil(span/bin)+1 rows (one per overlapped bin); each point exactly
     one. Correct for arbitrary interval widths; pick bin_seconds near
     the typical interval span so the fan-out per interval stays small.
+
+    The two sides join on a generated __bin column and the boundary
+    filter references columns unqualified, so the inputs must not share
+    column names (and must not carry __bin) — enforced loudly.
     """
+    dup = set(points.columns) & set(intervals.columns)
+    if dup:
+        raise ValueError(f"interval_bin_join: column collision {sorted(dup)}")
+    if "__bin" in points.columns or "__bin" in intervals.columns:
+        raise ValueError("interval_bin_join: __bin is reserved")
     b = F.lit(bin_seconds)
     lo = (F.unix_timestamp(F.col(w_start)) / b).cast("long")
     hi = (F.unix_timestamp(F.col(w_end)) / b).cast("long")

@@ -628,7 +628,15 @@ def _daily_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dlit(x: float) -> Column:
-    """One-decimal constant as an exact decimal literal (0.3, 0.7, ...)."""
+    """One-decimal constant as an exact decimal literal (0.3, 0.7, ...).
+    Guards the width: a 2-dp constant (0.25) would be silently rounded
+    by the cast on BOTH engines, so the oracle gate could never catch
+    the corruption — fail at plan-build time instead."""
+    import decimal
+
+    d = decimal.Decimal(str(x))
+    if d != d.quantize(decimal.Decimal("0.1")):
+        raise ValueError(f"_dlit expects a 1-dp constant, got {x!r}")
     return F.lit(str(x)).cast("decimal(2,1)")
 
 

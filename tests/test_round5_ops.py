@@ -132,7 +132,10 @@ def test_ngram_decontaminate_vs_pure_python(spark):
         for r in ngram_decontaminate(spark, SF_DIR).collect()
     }
     assert got == ref and len(got) > 0
-    assert any(d == "drop" for *_, d in got.values()) or True
+    assert {d for *_, d in got.values()} <= {"keep", "review", "drop"}
+    # the synthetic corpus carries duplicated content, so the screen
+    # must actually fire somewhere — not return all-keep
+    assert any(d != "keep" for *_, d in got.values())
 
 
 def test_stream_hypertable_equals_batch_cascade(spark):
