@@ -206,7 +206,7 @@ def main() -> None:
         "posting join): their factors here are OUTPUT-bound, not",
         "candidate-bound — the 10x corpus replicates every doc 10 times,",
         "so the true pair set grows ~1000x (prefix 256 -> 250,600 rows,",
-        "containment 512 -> 501,200), and runtime ~18x/15x against ~980x",
+        "containment 512 -> 501,200), and runtime ~15-20x against ~980x",
         "more output means per-pair cost DROPS ~50x at scale. The exact",
         "confirm is candidates-only and the verify join is SHUFFLE_HASH",
         "(nothing corpus- or candidate-array-sized broadcasts).",
