@@ -114,6 +114,7 @@ EXTENDED = [
     "ngram_decontaminate",
     "stream_hypertable_rollup",
     "assemble_training_mix",
+    "remove_duplicated_spans",
 ]
 
 

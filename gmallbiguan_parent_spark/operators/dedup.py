@@ -948,12 +948,19 @@ LINE_TOKENS = 6     # the corpus is an unpunctuated token stream: a "line" = 6-t
 SPAN_TOKENS = 8     # exact-substring window length, in tokens
 
 
+def _norm_tokens(text_col):
+    """Normalized token stream (lowercased, alnum runs) — the span
+    family's shared tokenization."""
+    return F.filter(F.split(_norm_text(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
 def _token_windows(text_col, k: int):
     """All overlapping k-token windows of the normalized token stream,
     as an array<string> column (empty when the doc is shorter than one
-    window). Single source for duplicated_spans and ngram_decontaminate
-    so their window semantics can never drift apart."""
-    toks = F.filter(F.split(_norm_text(text_col), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    window). Single source for duplicated_spans, ngram_decontaminate,
+    and remove_duplicated_spans so their window semantics can never
+    drift apart."""
+    toks = _norm_tokens(text_col)
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
@@ -1077,6 +1084,61 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL transformation (Lee et al. 2022 actually
+    rewrites the corpus, not just reports it): every token covered by at
+    least one corpus-duplicated SPAN_TOKENS-window is dropped, and the
+    doc is re-emitted from its surviving tokens. duplicated_spans is the
+    detector; this is the rewrite — kept_md5 fingerprints the cleaned
+    text so the oracle verifies the reconstruction byte-for-byte.
+
+    Plan: the posexploded window table (~n_tokens rows/doc, the same
+    shape duplicated_spans shuffles) feeds ONE span-keyed aggregate;
+    the duplicated-span set left-semi joins back on the same key
+    (shuffle reuse); coverage collapses to one int array per doc
+    (collect_set of window starts — bounded by tokens/doc, never
+    corpus-sized); the final rewrite is pure array expressions in the
+    doc projection. At 100 TB the span group key would be md5(span)
+    (16 bytes through the shuffle), same plan shape."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    win = (
+        docs.select("doc_id", F.posexplode(_token_windows(F.col("text"), SPAN_TOKENS)))
+        .withColumnRenamed("col", "span")
+    )
+    dup = (
+        win.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("span")
+    )
+    covered = (
+        win.join(dup, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("ps"))
+    )
+    base = docs.select("doc_id", _norm_tokens(F.col("text")).alias("toks"))
+    k = F.lit(SPAN_TOKENS)
+    joined = base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("ps", F.array().cast("array<int>")).alias("ps"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("token_ct"),
+        F.filter(
+            "toks",
+            lambda t, i: ~F.exists("ps", lambda p: (p <= i) & (i < p + k)),
+        ).alias("kept"),
+    )
+    return joined.select(
+        "doc_id",
+        "token_ct",
+        (F.col("token_ct") - F.size("kept")).alias("removed_ct"),
+        F.size("kept").alias("kept_ct"),
+        F.md5(F.concat_ws(" ", "kept")).alias("kept_md5"),
+    )
+
+
 CONTAM_DROP_FRAC = 0.05
 
 
@@ -1131,6 +1193,7 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "line_dedup_stats": line_dedup_stats,
     "ngram_decontaminate": ngram_decontaminate,
+    "remove_duplicated_spans": remove_duplicated_spans,
     "duplicated_spans": duplicated_spans,
     "dedup_exact": dedup_exact,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1260,6 +1323,41 @@ _DUCK_XKEEP = f"""
     )"""
 
 ORACLES = {
+    "remove_duplicated_spans": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), w AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+{SPAN_TOKENS} - 1], ' ') AS span
+        FROM toks, unnest(range(1, len(toks) - {SPAN_TOKENS} + 2)) AS u(i)
+        WHERE len(toks) >= {SPAN_TOKENS}
+    ), dup AS (
+        SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flag AS (
+        SELECT DISTINCT w.doc_id, w.pos FROM w JOIN dup USING (span)
+    ), cov AS (
+        SELECT DISTINCT f.doc_id, u.j
+        FROM flag f, unnest(range(f.pos, f.pos + {SPAN_TOKENS})) AS u(j)
+    ), pos AS (
+        SELECT t.doc_id, u.j, t.toks[CAST(u.j + 1 AS INTEGER)] AS tok
+        FROM toks t, unnest(range(0, len(t.toks))) AS u(j)
+    ), kept AS (
+        SELECT p.doc_id, p.j, p.tok
+        FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.j = c.j
+        WHERE c.j IS NULL
+    ), k AS (
+        SELECT doc_id, COUNT(*) AS ct, string_agg(tok, ' ' ORDER BY j) AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS token_ct,
+           CAST(len(t.toks) - COALESCE(k.ct, 0) AS INTEGER) AS removed_ct,
+           CAST(COALESCE(k.ct, 0) AS INTEGER) AS kept_ct,
+           md5(COALESCE(k.txt, '')) AS kept_md5
+    FROM toks t LEFT JOIN k ON t.doc_id = k.doc_id
+    """,
     "ngram_decontaminate": f"""
     WITH toks AS (
         SELECT doc_id,

@@ -208,3 +208,51 @@ def test_assemble_training_mix_vs_pure_python(spark):
         o = out[lang]
         assert o[:3] == (doc_ct, kd, kt), (lang, o, ref[lang])
         assert 0.0 <= o[3] <= 1.0
+
+
+def test_remove_duplicated_spans_vs_pure_python(spark):
+    """Independent pure-Python replay of the ExactSubstr removal:
+    per-doc token/removed/kept counts and the cleaned-text fingerprint
+    must agree exactly, and a doc that shares a span must actually
+    lose tokens."""
+    import hashlib
+    import re
+
+    from gmallbiguan_parent_spark.operators.dedup import (
+        SPAN_TOKENS, remove_duplicated_spans,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def toks(text):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        return [t for t in re.split(r"[^a-z0-9]+", norm) if t]
+
+    spans = {}  # span -> set of doc_ids
+    tokd = {}
+    for r in rows:
+        ts = toks(r.text)
+        tokd[r.doc_id] = ts
+        for i in range(len(ts) - SPAN_TOKENS + 1):
+            spans.setdefault(" ".join(ts[i : i + SPAN_TOKENS]), set()).add(r.doc_id)
+    dup = {s for s, d in spans.items() if len(d) >= 2}
+    ref = {}
+    for doc_id, ts in tokd.items():
+        covered = set()
+        for i in range(len(ts) - SPAN_TOKENS + 1):
+            if " ".join(ts[i : i + SPAN_TOKENS]) in dup:
+                covered.update(range(i, i + SPAN_TOKENS))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        ref[doc_id] = (
+            len(ts), len(ts) - len(kept), len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.token_ct, r.removed_ct, r.kept_ct, r.kept_md5)
+        for r in remove_duplicated_spans(spark, SF_DIR).collect()
+    }
+    assert got == ref and len(got) == len(rows)
+    assert any(rm > 0 for _, rm, *_ in got.values())

@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     "ngram_decontaminate",
     "stream_hypertable_rollup",
     "assemble_training_mix",
+    "remove_duplicated_spans",
 ]
 
 
