@@ -115,6 +115,7 @@ EXTENDED = [
     "stream_hypertable_rollup",
     "assemble_training_mix",
     "remove_duplicated_spans",
+    "stream_ngram_decontaminate",
 ]
 
 

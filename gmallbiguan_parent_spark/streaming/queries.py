@@ -510,6 +510,83 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# benchmark gram-set checkpoint for the streaming decontamination
+# screen, keyed on (applicationId, sf_dir)
+_DECON_STATIC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream benchmark decontamination — the screen an ingestion
+    pipeline runs as documents arrive: each incoming doc's 8-token
+    windows stream-static join the held-out benchmark gram set
+    (distinct, checkpointed once per session — at warehouse scale the
+    persisted index maintained next to the benchmark suite), and the
+    per-doc collision tally aggregates in complete mode. The window
+    projection is a pure row expression (stateless, legal mid-stream);
+    the only state is the per-doc counter pair. A bounded replay must
+    equal batch ngram_decontaminate exactly — its oracle is reused
+    verbatim, so the streaming and batch screens can never drift."""
+    from ..operators.dedup import CONTAM_DROP_FRAC, SPAN_TOKENS, _token_windows
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DECON_STATIC_CACHE:
+        for k in [k for k in _DECON_STATIC_CACHE if k[0] != key[0]]:
+            del _DECON_STATIC_CACHE[k]
+        from ..io import load_table_spread
+
+        bench_docs = load_table_spread(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 17 == 0
+        )
+        _DECON_STATIC_CACHE[key] = (
+            bench_docs.select(
+                F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
+            )
+            .distinct()
+            .withColumn("hit", F.lit(1))
+            .localCheckpoint()
+        )
+    bench = _DECON_STATIC_CACHE[key]
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 17 != 0)
+    )
+    tallies = (
+        stream.select(
+            "doc_id", F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
+        )
+        .join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("gram_ct"), F.count("hit").alias("hit_ct"))
+    )
+    name = f"dcq_{uuid.uuid4().hex[:10]}"
+    (
+        tallies.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_dcq_"))
+        .start()
+        .awaitTermination()
+    )
+    frac = F.round(
+        F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
+    ).cast("decimal(9,4)")
+    return (
+        spark.table(name)
+        .select("doc_id", "gram_ct", "hit_ct", frac.alias("contam_frac"))
+        .withColumn(
+            "decision",
+            F.when(F.col("contam_frac") >= CONTAM_DROP_FRAC, "drop")
+            .when(F.col("hit_ct") > 0, "review")
+            .otherwise("keep"),
+        )
+    )
+
+
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stream model-based quality gating — the filter a crawl
     ingestion pipeline runs BEFORE anything lands: the linear quality
@@ -620,6 +697,7 @@ QUERIES = {
     "stream_hypertable_rollup": stream_hypertable_rollup_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
+    "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
     "stream_rate_limit": stream_rate_limit_q,
     "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
@@ -641,12 +719,15 @@ from ..operators.text import ORACLES as _TEXT_ORACLES
 
 from ..pipelines.analytics import ORACLES as _ANALYTICS_ORACLES
 
+from ..operators.dedup import ORACLES as _DEDUP_ORACLES
 from ..operators.timeseries import ORACLES as _TS_ORACLES
 
 ORACLES = {
     # the streamed hour grain + derived cascade must equal the batch
     # hypertable direct-aggregation answer bit-for-bit
     "stream_hypertable_rollup": _TS_ORACLES["hypertable_rollup"],
+    # the streaming decontamination screen must equal the batch screen
+    "stream_ngram_decontaminate": _DEDUP_ORACLES["ngram_decontaminate"],
     # the streaming screen must emit EXACTLY the batch xkeep pair set
     "stream_incremental_neardup": _DSH + _DMP + _DXK + """
     SELECT batch_id, ref_id, jaccard FROM xkeep

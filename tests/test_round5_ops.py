@@ -256,3 +256,22 @@ def test_remove_duplicated_spans_vs_pure_python(spark):
     }
     assert got == ref and len(got) == len(rows)
     assert any(rm > 0 for _, rm, *_ in got.values())
+
+
+def test_stream_ngram_decontaminate_equals_batch(spark):
+    """The in-stream contamination screen must emit exactly the batch
+    screen's per-doc tallies and decisions."""
+    from gmallbiguan_parent_spark.operators.dedup import ngram_decontaminate
+    from gmallbiguan_parent_spark.streaming.queries import (
+        stream_ngram_decontaminate_q,
+    )
+
+    got = {
+        r.doc_id: (r.gram_ct, r.hit_ct, r.contam_frac, r.decision)
+        for r in stream_ngram_decontaminate_q(spark, SF_DIR).collect()
+    }
+    ref = {
+        r.doc_id: (r.gram_ct, r.hit_ct, r.contam_frac, r.decision)
+        for r in ngram_decontaminate(spark, SF_DIR).collect()
+    }
+    assert got == ref and len(got) > 0

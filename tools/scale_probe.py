@@ -100,6 +100,7 @@ PROBE_QUERIES = [
     "stream_hypertable_rollup",
     "assemble_training_mix",
     "remove_duplicated_spans",
+    "stream_ngram_decontaminate",
 ]
 
 
