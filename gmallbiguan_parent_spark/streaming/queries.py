@@ -558,7 +558,7 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select(
             "doc_id", F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
         )
-        .join(bench, "gram", "left")
+        .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(F.count("*").alias("gram_ct"), F.count("hit").alias("hit_ct"))
     )
