@@ -151,8 +151,9 @@ def _prefix_candidates(sets: DataFrame, ordered: DataFrame | None = None) -> Dat
 
     - length filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t, so
       postings join only within a size band (sizes ride the rows; the
-      float t is < exact 0.6 in binary, so ceil/floor err on the KEEP
-      side — never drops a true pair).
+      bounds are INTEGER cross-multiplications of t = NUM/DEN — no
+      float ever enters a ceil/floor, so no rounding argument is
+      needed for completeness).
     - positional filter: for a shared token at 1-based positions
       (i, j) of the rarest-first-ordered sets, the overlap is bounded
       by min(i,j)-1 (common tokens strictly before it) plus
@@ -165,8 +166,15 @@ def _prefix_candidates(sets: DataFrame, ordered: DataFrame | None = None) -> Dat
     """
     if ordered is None:
         ordered = _ordered_from_sets(sets)
-    t = PREFIX_JACCARD_T
-    L = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+    # t = 3/5 exactly; all bounds below are integer arithmetic:
+    #   prefix length  n - ceil(3n/5) + 1          -> n - (3n+4) div 5 + 1
+    #   length filter  ceil(t*na) <= nb <= na/t    -> 5*nb >= 3*na AND 3*nb <= 5*na
+    #   overlap bound  ceil(t/(1+t)*(na+nb))       -> 8*ubound >= 3*(na+nb)
+    # (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)
+    num, den = 3, 5
+    L = (
+        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+    ).cast("int")
     prefix = ordered.select(
         "doc_id",
         "n",
@@ -175,17 +183,15 @@ def _prefix_candidates(sets: DataFrame, ordered: DataFrame | None = None) -> Dat
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
     pa, pb = F.col("a.p"), F.col("b.p")
-    # overlap needed for J >= t; t/(1+t) = 0.375 is exact in binary
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (na + nb))
     ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
     return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (nb >= F.ceil(F.lit(t) * na))
-            & (nb <= F.floor(na / F.lit(t)))
-            & (ubound >= alpha),
+            & (nb * den >= na * num)
+            & (nb * num <= na * den)
+            & (ubound * (num + den) >= (na + nb) * num),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -241,6 +247,48 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_T = 0.8
 
 
+def _containment_candidates(ordered: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for the asymmetric containment
+    screen — factored out (the _prefix_candidates pattern) so the
+    pruning test counts THIS DataFrame, not the verified output.
+
+    t = 4/5 exactly; every bound is integer cross-multiplication — no
+    float ever enters a ceil/floor, so unlike a 0.8 double literal
+    (which sits ABOVE 4/5) no double-rounding argument is needed for
+    completeness, and an error here could only keep extra candidates:
+      prefix length  n - ceil(4n/5) + 1   -> n - (4n+4) div 5 + 1
+      length filter  nb >= ceil(4*na/5)   -> 5*nb >= 4*na
+      overlap bound  ubound >= ceil(4na/5)-> 5*ubound >= 4*na
+    (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)."""
+    num, den = 4, 5
+    La = (
+        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+    ).cast("int")
+    a_prefix = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.posexplode(F.slice("arr", 1, La)).alias("p0", "tok"),
+    ).select("doc_a", "n_a", (F.col("p0") + 1).alias("p_a"), "tok")
+    b_full = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.posexplode("arr").alias("q0", "tok"),
+    ).select("doc_b", "n_b", (F.col("q0") + 1).alias("p_b"), "tok")
+    na, nb, pa, pb = F.col("n_a"), F.col("n_b"), F.col("p_a"), F.col("p_b")
+    ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
+    return (
+        a_prefix.join(
+            b_full,
+            (a_prefix.tok == b_full.tok)
+            & (F.col("doc_a") != F.col("doc_b"))
+            & (nb * den >= na * num)
+            & (ubound * den >= na * num),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT containment self-join: ordered pairs (doc_a, doc_b) where
     doc_a's shingle set is >= t contained in doc_b's
@@ -265,31 +313,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _shingle_sets(spark, sf_dir)
     t = CONTAINMENT_T
     ordered = _ordered_token_arrays(spark, sf_dir)
-    La = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
-    a_prefix = ordered.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("n_a"),
-        F.posexplode(F.slice("arr", 1, La)).alias("p0", "tok"),
-    ).select("doc_a", "n_a", (F.col("p0") + 1).alias("p_a"), "tok")
-    b_full = ordered.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("n_b"),
-        F.posexplode("arr").alias("q0", "tok"),
-    ).select("doc_b", "n_b", (F.col("q0") + 1).alias("p_b"), "tok")
-    na, nb, pa, pb = F.col("n_a"), F.col("n_b"), F.col("p_a"), F.col("p_b")
-    alpha = F.ceil(F.lit(t) * na)
-    ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
-    cand = (
-        a_prefix.join(
-            b_full,
-            (a_prefix.tok == b_full.tok)
-            & (F.col("doc_a") != F.col("doc_b"))
-            & (nb >= alpha)
-            & (ubound >= alpha),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _containment_candidates(ordered)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     contain = F.round(
@@ -973,9 +997,12 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
     Better', bounded to fixed windows): every OVERLAPPING
     SPAN_TOKENS-token window of every document, grouped corpus-wide;
-    spans occurring in more than one document are exactly the substrings
-    a suffix-array pass would flag at this granularity. Documents
-    shorter than the window emit nothing.
+    spans occurring MORE THAN ONCE — across documents or repeated
+    within a single document, exactly Lee et al.'s definition (their
+    suffix array flags any repeated substring, not just cross-doc
+    ones) — are the substrings that pass would flag at this
+    granularity. doc_ct/occ_ct separate the two cases for triage.
+    Documents shorter than the window emit nothing.
 
     Plan: window construction + explode is scan-stage expression work
     (~n_tokens rows per doc); ONE span-keyed aggregate (partial agg
@@ -994,7 +1021,7 @@ def duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("occ_ct"),
             F.min("doc_id").alias("first_doc_id"),
         )
-        .filter(F.col("doc_ct") >= 2)
+        .filter(F.col("occ_ct") >= 2)
     )
 
 
@@ -1086,8 +1113,10 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr REMOVAL transformation (Lee et al. 2022 actually
-    rewrites the corpus, not just reports it): every token covered by at
-    least one corpus-duplicated SPAN_TOKENS-window is dropped, and the
+    rewrites the corpus, not just reports it): every token covered by a
+    SPAN_TOKENS-window occurring more than once corpus-wide — in
+    another document OR repeated within the same one, the full
+    ExactSubstr definition — is dropped, and the
     doc is re-emitted from its surviving tokens. duplicated_spans is the
     detector; this is the rewrite — kept_md5 fingerprints the cleaned
     text so the oracle verifies the reconstruction byte-for-byte.
@@ -1105,9 +1134,13 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(_token_windows(F.col("text"), SPAN_TOKENS)))
         .withColumnRenamed("col", "span")
     )
+    # count(*), not countDistinct(doc_id): ExactSubstr (Lee et al.)
+    # deduplicates ANY repeated substring — an 8-token window repeated
+    # many times WITHIN one document is removed too, not only
+    # cross-document duplication.
     dup = (
         win.groupBy("span")
-        .agg(F.countDistinct("doc_id").alias("c"))
+        .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 2)
         .select("span")
     )
@@ -1139,7 +1172,11 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAM_DROP_FRAC = 0.05
+# Exact decimal string, never a Python float: both engines compare the
+# decimal(9,4) contam_frac against the SAME decimal literal, so no
+# decimal->double promotion can diverge for thresholds that are not
+# double-clean at 4dp (the repo's _dlit discipline).
+CONTAM_DROP_FRAC = "0.05"
 
 
 def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,7 +1221,10 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "gram_ct", "hit_ct", frac.alias("contam_frac")
     ).withColumn(
         "decision",
-        F.when(F.col("contam_frac") >= CONTAM_DROP_FRAC, "drop")
+        F.when(
+            F.col("contam_frac") >= F.lit(CONTAM_DROP_FRAC).cast("decimal(9,4)"),
+            "drop",
+        )
         .when(F.col("hit_ct") > 0, "review")
         .otherwise("keep"),
     )
@@ -1334,7 +1374,7 @@ ORACLES = {
         FROM toks, unnest(range(1, len(toks) - {SPAN_TOKENS} + 2)) AS u(i)
         WHERE len(toks) >= {SPAN_TOKENS}
     ), dup AS (
-        SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        SELECT span FROM w GROUP BY span HAVING COUNT(*) >= 2
     ), flag AS (
         SELECT DISTINCT w.doc_id, w.pos FROM w JOIN dup USING (span)
     ), cov AS (
@@ -1407,7 +1447,7 @@ ORACLES = {
            MIN(doc_id) AS first_doc_id
     FROM windows
     GROUP BY span
-    HAVING COUNT(DISTINCT doc_id) >= 2
+    HAVING COUNT(*) >= 2
     """,
     "line_dedup_stats": f"""
         WITH tok AS (

@@ -71,14 +71,22 @@ def interval_bin_join(
         raise ValueError(f"interval_bin_join: column collision {sorted(dup)}")
     if "__bin" in points.columns or "__bin" in intervals.columns:
         raise ValueError("interval_bin_join: __bin is reserved")
+    # F.floor, NOT a truncating cast: a cast rounds toward zero, which
+    # for pre-1970 (negative-epoch) timestamps makes bin 0 span
+    # (-bin, +bin) — double width. Completeness would survive (both
+    # sides truncate identically and the interval enumerates the full
+    # bin range), but only via a subtle monotonicity argument, and the
+    # double-width bin doubles the false-positive fan-out at the epoch.
+    # floor keeps every bin uniform, so the documented "generic, any
+    # timestamp" contract holds without caveats.
     b = F.lit(bin_seconds)
-    lo = (F.unix_timestamp(F.col(w_start)) / b).cast("long")
-    hi = (F.unix_timestamp(F.col(w_end)) / b).cast("long")
+    lo = F.floor(F.unix_timestamp(F.col(w_start)) / b).cast("long")
+    hi = F.floor(F.unix_timestamp(F.col(w_end)) / b).cast("long")
     binned_iv = intervals.select(
         "*", F.explode(F.sequence(lo, hi)).alias("__bin")
     )
     binned_pt = points.withColumn(
-        "__bin", (F.unix_timestamp(F.col(point_ts)) / b).cast("long")
+        "__bin", F.floor(F.unix_timestamp(F.col(point_ts)) / b).cast("long")
     )
     return (
         binned_pt.join(binned_iv, "__bin")

@@ -518,14 +518,21 @@ _DECON_STATIC_CACHE: dict[tuple[str, str], DataFrame] = {}
 def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stream benchmark decontamination — the screen an ingestion
     pipeline runs as documents arrive: each incoming doc's 8-token
-    windows stream-static join the held-out benchmark gram set
-    (distinct, checkpointed once per session — at warehouse scale the
-    persisted index maintained next to the benchmark suite), and the
-    per-doc collision tally aggregates in complete mode. The window
-    projection is a pure row expression (stateless, legal mid-stream);
-    the only state is the per-doc counter pair. A bounded replay must
-    equal batch ngram_decontaminate exactly — its oracle is reused
-    verbatim, so the streaming and batch screens can never drift."""
+    windows join the held-out benchmark gram set (distinct,
+    checkpointed once per session — at warehouse scale the persisted
+    index maintained next to the benchmark suite) and the doc is
+    decided on its collision fraction. STATELESS by construction: a
+    file source never splits a row, so every doc's windows are
+    contained in one micro-batch and the screen needs no cross-batch
+    state at all — foreachBatch scores each arriving micro-batch as a
+    plain DataFrame (explode -> broadcast-hash lookup -> in-batch
+    per-doc aggregate, map-side partial) and APPENDS the decided rows
+    to the sink. No state store, no complete-mode re-emission: the
+    sink grows by exactly the new docs per trigger, and driver memory
+    holds nothing — the shape that survives an unbounded corpus. A
+    bounded replay must equal batch ngram_decontaminate exactly — its
+    oracle is reused verbatim, so the streaming and batch screens can
+    never drift."""
     from ..operators.dedup import CONTAM_DROP_FRAC, SPAN_TOKENS, _token_windows
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -554,37 +561,50 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(F.col("doc_id") % 17 != 0)
     )
-    tallies = (
-        stream.select(
-            "doc_id", F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
+    frac = F.round(
+        F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
+    ).cast("decimal(9,4)")
+    out_dir = tempfile.mkdtemp(prefix="out_dcq_")
+
+    # the file source hands each trigger's files over partition-per-file;
+    # spread the raw docs across the executors BEFORE the window explode
+    # (a narrow shuffle of doc rows — negligible next to the ~100x wider
+    # exploded gram stream it parallelizes)
+    n_part = spark.sparkContext.defaultParallelism
+
+    def _score(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.repartition(n_part, "doc_id")
+            .select(
+                "doc_id",
+                F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram"),
+            )
+            .join(F.broadcast(bench), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("gram_ct"), F.count("hit").alias("hit_ct"))
+            .select("doc_id", "gram_ct", "hit_ct", frac.alias("contam_frac"))
+            .withColumn(
+                "decision",
+                F.when(
+                    F.col("contam_frac")
+                    >= F.lit(CONTAM_DROP_FRAC).cast("decimal(9,4)"),
+                    "drop",
+                )
+                .when(F.col("hit_ct") > 0, "review")
+                .otherwise("keep"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
         )
-        .join(F.broadcast(bench), "gram", "left")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("gram_ct"), F.count("hit").alias("hit_ct"))
-    )
-    name = f"dcq_{uuid.uuid4().hex[:10]}"
+
     (
-        tallies.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        stream.writeStream.foreachBatch(_score)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_dcq_"))
         .start()
         .awaitTermination()
     )
-    frac = F.round(
-        F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
-    ).cast("decimal(9,4)")
-    return (
-        spark.table(name)
-        .select("doc_id", "gram_ct", "hit_ct", frac.alias("contam_frac"))
-        .withColumn(
-            "decision",
-            F.when(F.col("contam_frac") >= CONTAM_DROP_FRAC, "drop")
-            .when(F.col("hit_ct") > 0, "review")
-            .otherwise("keep"),
-        )
-    )
+    return spark.read.parquet(out_dir)
 
 
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,12 +47,16 @@ def test_containment_complete_vs_bruteforce(spark):
 
 
 def test_containment_candidates_pruned(spark):
-    """The posting join must be a sliver of the quadratic."""
-    from gmallbiguan_parent_spark.operators.dedup import containment_pairs
+    """The CANDIDATE set (before the exact verify) must be a sliver of
+    the quadratic — counting the verified output would let the pruning
+    filters regress to all-pairs candidate generation unnoticed."""
+    from gmallbiguan_parent_spark.operators.dedup import (
+        _containment_candidates, _ordered_token_arrays,
+    )
 
     n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    out = containment_pairs(spark, SF_DIR).count()
-    assert out < n * (n - 1) * 0.05
+    cand = _containment_candidates(_ordered_token_arrays(spark, SF_DIR)).count()
+    assert cand < n * (n - 1) * 0.05
 
 
 def test_ann_filtered_topk_respects_predicate_and_rank(spark):
@@ -230,14 +234,15 @@ def test_remove_duplicated_spans_vs_pure_python(spark):
         norm = re.sub(r"\s+", " ", text.lower()).strip()
         return [t for t in re.split(r"[^a-z0-9]+", norm) if t]
 
-    spans = {}  # span -> set of doc_ids
+    spans = {}  # span -> total occurrence count (intra-doc repeats too)
     tokd = {}
     for r in rows:
         ts = toks(r.text)
         tokd[r.doc_id] = ts
         for i in range(len(ts) - SPAN_TOKENS + 1):
-            spans.setdefault(" ".join(ts[i : i + SPAN_TOKENS]), set()).add(r.doc_id)
-    dup = {s for s, d in spans.items() if len(d) >= 2}
+            key = " ".join(ts[i : i + SPAN_TOKENS])
+            spans[key] = spans.get(key, 0) + 1
+    dup = {s for s, c in spans.items() if c >= 2}
     ref = {}
     for doc_id, ts in tokd.items():
         covered = set()

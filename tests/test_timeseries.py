@@ -46,6 +46,43 @@ def test_interval_bin_join_equals_theta_join(spark):
     assert got == ref and len(ref) > 0
 
 
+def test_interval_bin_join_pre_1970_negative_epoch(spark):
+    """Negative-epoch timestamps: bin ids floor (uniform bins across
+    the epoch) rather than truncate toward zero; the join must still
+    equal the theta join for intervals that straddle, precede, and
+    follow the epoch boundary."""
+    from gmallbiguan_parent_spark.operators.timeseries import interval_bin_join
+
+    t0 = datetime.datetime(1969, 12, 31, 22, 0)  # 2h before the epoch
+    pts = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(minutes=13 * i)) for i in range(40)],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            # straddles the epoch boundary
+            (1, t0 + datetime.timedelta(minutes=90), t0 + datetime.timedelta(minutes=150)),
+            # entirely pre-epoch
+            (2, t0 + datetime.timedelta(minutes=5), t0 + datetime.timedelta(minutes=65)),
+            # entirely post-epoch
+            (3, t0 + datetime.timedelta(minutes=130), t0 + datetime.timedelta(minutes=300)),
+        ],
+        "wid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.pid, r.wid)
+        for r in interval_bin_join(pts, ivs, "ts", "w_start", "w_end", bin_seconds=3600)
+        .select("pid", "wid").collect()
+    }
+    ref = {
+        (r.pid, r.wid)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("pid", "wid").collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
 def test_spike_window_impact_matches_theta_join(spark):
     from gmallbiguan_parent_spark.operators.timeseries import (
         SPIKE_FACTOR, WINDOW_AFTER_MIN, WINDOW_BEFORE_MIN, spike_window_impact,
