@@ -409,8 +409,10 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffles are the basket collect and the (a,b,c)-keyed count;
     no joins blow up in candidate space."""
     li = load_table(spark, sf_dir, "lineitem")
+    # collect_set dedups per basket, so no distinct() first — that was
+    # a second full shuffle of lineitem for nothing (r4->r5 warm drift)
     baskets = (
-        li.select("l_orderkey", "l_partkey").distinct()
+        li.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("p"))
         .filter(F.size("p") >= 3)

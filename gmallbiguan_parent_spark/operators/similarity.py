@@ -1342,17 +1342,20 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.transform("ms", lambda e: e.mean).alias("m"))
     )
     d = SRP_DIM
-    # C is exactly symmetric (the rounded term is commutative in i,j),
-    # so aggregate only the upper triangle — d(d+1)/2 = 2080 terms per
-    # vector instead of 4096 — and mirror the lower triangle after the
-    # aggregate: identical cell values, half the explode+shuffle work.
+    # Full d*d = 4096 terms per vector, deliberately NOT the
+    # upper-triangle-then-mirror variant: measured head-to-head at
+    # sf0.1, the ragged sequence(i, d-1) inner loop runs ~20% SLOWER
+    # than this constant-shape double loop despite half the terms
+    # (variable-length nested transform + flatten defeats the
+    # expression fusion the rectangular loop gets), and the mirror
+    # union added a second pass over the cells on top.
     pair_terms = F.expr(
         f"flatten(transform(sequence(0, {d - 1}), i -> "
-        f"transform(sequence(i, {d - 1}), j -> "
+        f"transform(sequence(0, {d - 1}), j -> "
         f"struct(i AS i, j AS j, "
         f"cast(round((v[i] - m[i]) * (v[j] - m[j]), 12) as decimal(28,12)) AS t))))"
     )
-    upper = (
+    cov = (
         vecs.crossJoin(F.broadcast(means))
         .select(F.explode(pair_terms).alias("p"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
@@ -1363,15 +1366,10 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("st").cast("double") / F.col("n").cast("double"), 9).alias("c"),
         )
     )
-    # checkpoint the triangle BEFORE mirroring — a union of two lazy
-    # branches would execute the corpus aggregate twice; the mirror then
-    # reads 2080 checkpointed rows (reused by every matvec iteration)
-    upper = upper.localCheckpoint()
-    cov = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    )
+    # checkpoint the 4096 cells — every matvec iteration re-reads C,
+    # and without the checkpoint each of the PCA_ITERS rounds would
+    # replay the corpus-scale aggregate
+    cov = cov.localCheckpoint()
     # v0 = e_1 (unit basis vector)
     v = spark.range(d).select(
         F.col("id").cast("int").alias("j"),
