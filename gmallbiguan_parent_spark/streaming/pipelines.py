@@ -434,6 +434,125 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def stream_decontaminate_sink(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    bench: DataFrame | None = None,
+    glob: str = "documents.parquet",
+) -> None:
+    """Production form of the ingest-time decontamination screen: a
+    CHECKPOINTED foreachBatch append to a parquet sink. Stateless by
+    construction (every doc's windows are contained in one micro-batch
+    — a file source never splits a row), so restart recovery is pure
+    source-offset bookkeeping: resuming with the same checkpoint scores
+    ONLY newly-arrived files and appends exactly their decisions (the
+    recovery test's contract). `bench` is the benchmark gram set
+    (columns gram, hit=1); defaults to the harness pseudo-benchmark
+    (the src corpus' doc_id % 17 == 0 slice), in which case benchmark
+    docs are excluded from scoring, mirroring ngram_decontaminate."""
+    from ..operators.dedup import CONTAM_DROP_FRAC, SPAN_TOKENS, _token_windows
+
+    sample = spark.read.option("pathGlobFilter", glob).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("pathGlobFilter", glob)
+        .parquet(src_dir)
+    )
+    if bench is None:
+        bench = (
+            sample.filter(F.col("doc_id") % 17 == 0)
+            .select(
+                F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
+            )
+            .distinct()
+            .withColumn("hit", F.lit(1))
+            .localCheckpoint()
+        )
+        stream = stream.filter(F.col("doc_id") % 17 != 0)
+    frac = F.round(
+        F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
+    ).cast("decimal(9,4)")
+    n_part = spark.sparkContext.defaultParallelism
+
+    def _score(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.repartition(n_part, "doc_id")
+            .select(
+                "doc_id",
+                F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram"),
+            )
+            .join(F.broadcast(bench), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("gram_ct"), F.count("hit").alias("hit_ct"))
+            .select("doc_id", "gram_ct", "hit_ct", frac.alias("contam_frac"))
+            .withColumn(
+                "decision",
+                F.when(
+                    F.col("contam_frac")
+                    >= F.lit(CONTAM_DROP_FRAC).cast("decimal(9,4)"),
+                    "drop",
+                )
+                .when(F.col("hit_ct") > 0, "review")
+                .otherwise("keep"),
+            )
+            .write.mode("append")
+            .parquet(f"{out_dir}/data")
+        )
+
+    (
+        stream.writeStream.foreachBatch(_score)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_hypertable_hour_sink(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Production form of the hypertable continuous aggregate: the hour
+    grain as an APPEND-mode watermarked windowed agg to a parquet sink
+    — each hour row lands exactly once, when the watermark passes its
+    window end (the deploy shape; the complete-mode query form is the
+    oracle harness). End-of-input windows close via the jump-detect
+    sentinel pattern: one row staged past max_ts + pad advances the
+    watermark beyond every real window's end; sentinels pass through
+    the watermark node (that is what moves it) and are filtered BEFORE
+    the aggregate, so the sink holds exactly the real hours. Day/month
+    grains derive from this sink batch-side, re-aggregating view rows,
+    never raw — the 100 TB split."""
+    # pad > window (1 h) + watermark delay so the last real hour closes
+    stage = _stage_events_with_sentinels(spark, sf_dir, pad_s=3700)
+    ev = _events_stream(spark, stage, glob="*.parquet")
+    # Sentinels are excluded INSIDE the aggregate, never by a pre-agg
+    # filter: a `filter(event_id != -1)` between watermark and agg gets
+    # PUSHED BELOW the EventTimeWatermark node by Catalyst (it doesn't
+    # reference ts) straight into the parquet scan — the sentinel rows
+    # then never reach the watermark operator and the last real window
+    # never closes. Conditional count/sum keep the sentinels flowing
+    # through the watermark while contributing nothing; the post-agg
+    # n_events > 0 filter (which CANNOT push below the agg) drops any
+    # sentinel-only window if a longer-running stream ever closes one.
+    real = F.col("event_id") != -1
+    hour = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.when(real, F.lit(1))).alias("n_events"),
+            F.sum(F.when(real, dec("value"))).alias("sum_value"),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
+    )
+    (
+        hour.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
 def run_stream_to_df(spark: SparkSession, sf_dir: str, runner, out_dir: str | None = None) -> DataFrame:
     """Run a bounded streaming replay and read the sink back as a batch
     DataFrame (how tests and the driver consume streaming results)."""

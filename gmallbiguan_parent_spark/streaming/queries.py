@@ -712,9 +712,29 @@ def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(hour, "hour").unionByName(tag(day, "day")).unionByName(tag(month, "month"))
 
 
+def stream_hypertable_hour_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the hypertable hour grain as a gate
+    query: a bounded replay of the checkpointed APPEND-mode watermarked
+    hour aggregate (stream_hypertable_hour_sink — rows land exactly
+    once when the watermark passes their window end, end-of-input
+    windows closed by the sentinel staging). The appended parquet rows
+    must hash-match the batch hour grain exactly — same aggregation SQL
+    as the batch hypertable oracle, restricted to 'hour'."""
+    from .pipelines import stream_hypertable_hour_sink
+
+    out = tempfile.mkdtemp(prefix="hta_")
+    stream_hypertable_hour_sink(spark, sf_dir, out)
+    return spark.read.parquet(f"{out}/data").select(
+        "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("decimal(28,4)").alias("sum_value"),
+    )
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_hypertable_rollup": stream_hypertable_rollup_q,
+    "stream_hypertable_hour_append": stream_hypertable_hour_append_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
@@ -746,6 +766,14 @@ ORACLES = {
     # the streamed hour grain + derived cascade must equal the batch
     # hypertable direct-aggregation answer bit-for-bit
     "stream_hypertable_rollup": _TS_ORACLES["hypertable_rollup"],
+    # the append-mode production twin: sentinel-closed hour windows
+    # must equal the batch hour grain (the deploy shape, hash-gated)
+    "stream_hypertable_hour_append": """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_value
+    FROM events GROUP BY 1
+    """,
     # the streaming decontamination screen must equal the batch screen
     "stream_ngram_decontaminate": _DEDUP_ORACLES["ngram_decontaminate"],
     # the streaming screen must emit EXACTLY the batch xkeep pair set

@@ -1,0 +1,98 @@
+"""Round-6 streaming production twins: the checkpointed append-mode
+forms of the round-5 ingest screens (VERDICT r5 item 3) — restart
+recovery for the stateless decontamination sink, batch parity for the
+sentinel-closed append-mode hypertable hour grain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _write_docs(spark, path: str, rows: list[tuple[int, str]]) -> None:
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_decontaminate_sink_restart_scores_only_new_files(spark, tmp_path):
+    """ST7 for the ingest screen: resuming with the same checkpoint
+    scores ONLY newly-arrived files (no re-scores, no duplicates), and
+    decisions match the stateless screen's semantics."""
+    import os
+
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_decontaminate_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    contaminated = "alpha bravo charlie delta echo foxtrot golf hotel"
+    clean = "one two three four five six seven eight nine ten"
+    bench = spark.createDataFrame([(contaminated,)], "gram string").withColumn(
+        "hit", F.lit(1)
+    )
+
+    _write_docs(spark, src, [(1, contaminated + " extra tail tokens here padd pad2 pad3"),
+                             (2, clean)])
+    stream_decontaminate_sink(spark, src, out, bench=bench, glob="*.parquet")
+    first = {r.doc_id: r.decision for r in spark.read.parquet(f"{out}/data").collect()}
+    assert set(first) == {1, 2}
+    assert first[2] == "keep" and first[1] in ("drop", "review")
+
+    # a new file lands; the RESUMED query (same checkpoint) scores only it
+    _write_docs(spark, src, [(3, clean + " more words land here now")])
+    stream_decontaminate_sink(spark, src, out, bench=bench, glob="*.parquet")
+    rows = spark.read.parquet(f"{out}/data").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]  # no duplicates
+
+    # a third resume with nothing new appends nothing
+    stream_decontaminate_sink(spark, src, out, bench=bench, glob="*.parquet")
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/data").collect()
+    ) == [1, 2, 3]
+
+
+def test_stream_decontaminate_sink_default_bench_matches_batch(spark, tmp_path):
+    """With the harness pseudo-benchmark (bench=None), the sink's rows
+    equal batch ngram_decontaminate exactly."""
+    from gmallbiguan_parent_spark.operators.dedup import ngram_decontaminate
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_decontaminate_sink
+
+    out = str(tmp_path / "out")
+    stream_decontaminate_sink(spark, SF_DIR, out)
+    got = {
+        (r.doc_id, r.gram_ct, r.hit_ct, str(r.contam_frac), r.decision)
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    want = {
+        (r.doc_id, r.gram_ct, r.hit_ct, str(r.contam_frac), r.decision)
+        for r in ngram_decontaminate(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_hypertable_hour_append_matches_batch_hour_grain(spark, tmp_path):
+    """The append-mode production twin (watermark-closed windows, no
+    complete-mode re-emission) must equal the batch hour grain — every
+    real hour window closes via the sentinel, lands exactly once, and
+    carries the identical decimal sum."""
+    from gmallbiguan_parent_spark.operators.timeseries import hypertable_rollup
+    from gmallbiguan_parent_spark.streaming.pipelines import (
+        stream_hypertable_hour_sink,
+    )
+
+    out = str(tmp_path / "out")
+    stream_hypertable_hour_sink(spark, SF_DIR, out)
+    got = {
+        (r.bucket_start, r.n_events, str(r.sum_value))
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    want = {
+        (r.bucket_start, r.n_events, str(r.sum_value))
+        for r in hypertable_rollup(spark, SF_DIR).filter(
+            F.col("grain") == "hour"
+        ).collect()
+    }
+    assert got == want and got
