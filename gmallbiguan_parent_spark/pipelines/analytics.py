@@ -801,7 +801,14 @@ def gmv_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the coupled recurrences fold over the day array like
     gmv_ewma/gmv_holt (pre-aggregate, then sequential-fold the tiny
     series)."""
-    daily = _daily_gmv(spark, sf_dir)
+    return _cusum_over_daily(_daily_gmv(spark, sf_dir))
+
+
+def _cusum_over_daily(daily: DataFrame) -> DataFrame:
+    """The CUSUM stats + decimal fold over a (dt, gmv_d decimal(28,4))
+    daily series — factored out so the streaming alert screen
+    (stream_gmv_cusum) folds EXACTLY the batch arithmetic over its
+    ledger-reaggregated series and the two can never drift."""
     gmv_dbl = F.col("gmv_d").cast("double")
     stats = daily.agg(
         F.count("*").alias("n"),

@@ -712,6 +712,58 @@ def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(hour, "hour").unionByName(tag(day, "day")).unionByName(tag(month, "month"))
 
 
+def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM alert screen — the monitoring chart an order
+    stream drives: each arriving micro-batch appends its per-day
+    decimal GMV partials to a checkpointed daily ledger (the
+    continuous-aggregate shape — the stream maintains ONLY the
+    day-grain partial sums, bounded by the calendar, never raw
+    orders), and the alert pass re-aggregates the tiny ledger and
+    folds the batch twin's EXACT decimal CUSUM arithmetic over it
+    (_cusum_over_daily, shared code). Decimal partials sum
+    associatively, so any batch split of the orders yields the
+    identical series — a bounded replay equals batch gmv_cusum
+    bit-for-bit, and its oracle is reused verbatim."""
+    from ..pipelines.analytics import (
+        GMV_WIN_END, GMV_WIN_START, _cusum_over_daily,
+    )
+    from ..functions import dec as _dec
+
+    batch_orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stream = (
+        spark.readStream.schema(batch_orders.schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    ledger = tempfile.mkdtemp(prefix="led_gcs_")
+
+    def _partials(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.filter(
+                (F.col("o_orderdate") >= GMV_WIN_START)
+                & (F.col("o_orderdate") < GMV_WIN_END)
+            )
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+            .agg(F.sum(_dec("o_totalprice")).alias("partial"))
+            .write.mode("append")
+            .parquet(ledger)
+        )
+
+    (
+        stream.writeStream.foreachBatch(_partials)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_gcs_"))
+        .start()
+        .awaitTermination()
+    )
+    daily = (
+        spark.read.parquet(ledger)
+        .groupBy("dt")
+        .agg(F.sum("partial").cast("decimal(28,4)").alias("gmv_d"))
+    )
+    return _cusum_over_daily(daily)
+
+
 def stream_hypertable_hour_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION form of the hypertable hour grain as a gate
     query: a bounded replay of the checkpointed APPEND-mode watermarked
@@ -735,6 +787,7 @@ QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_hypertable_rollup": stream_hypertable_rollup_q,
     "stream_hypertable_hour_append": stream_hypertable_hour_append_q,
+    "stream_gmv_cusum": stream_gmv_cusum_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
@@ -789,6 +842,9 @@ ORACLES = {
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_transition_matrix": _ANALYTICS_ORACLES["event_transition_matrix"],
+    # the streaming CUSUM alert folds the batch twin's exact decimal
+    # arithmetic over the ledger-reaggregated series — oracle verbatim
+    "stream_gmv_cusum": _ANALYTICS_ORACLES["gmv_cusum"],
     "stream_gmv_incremental": """
         SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount

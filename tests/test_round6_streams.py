@@ -96,3 +96,21 @@ def test_stream_hypertable_hour_append_matches_batch_hour_grain(spark, tmp_path)
         ).collect()
     }
     assert got == want and got
+
+
+def test_stream_gmv_cusum_equals_batch(spark):
+    """The streaming CUSUM alert (per-batch daily ledger + shared
+    decimal fold) must equal batch gmv_cusum exactly — decimal
+    partials sum associatively, so the batch split cannot matter."""
+    from gmallbiguan_parent_spark.pipelines.analytics import gmv_cusum
+    from gmallbiguan_parent_spark.streaming.queries import stream_gmv_cusum_q
+
+    got = {
+        (r.dt, r.gmv, r.s_pos, r.s_neg, r.shift_flag)
+        for r in stream_gmv_cusum_q(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.dt, r.gmv, r.s_pos, r.s_neg, r.shift_flag)
+        for r in gmv_cusum(spark, SF_DIR).collect()
+    }
+    assert got == want and got
