@@ -139,17 +139,60 @@ def resize_image(content: bytes, width: int, height: int, *, fake: bool = False)
     return {"width": width, "height": height, "content_digest": digest}
 
 
+# Guarded video codec import — the frame_sample analog of the PIL
+# branch above: wherever opencv imports, the same operator decodes for
+# real with no change to the Spark plan; absent, the deterministic fake
+# keeps every test and oracle running.
+try:  # pragma: no cover - environment-dependent
+    import cv2 as _cv2
+except ImportError:
+    _cv2 = None
+
+
 def frame_sample(content: bytes, n_frames: int, *, fake: bool = False) -> list[bytes]:
-    """STUB: video frame sampling. fake=True slices the payload into
-    n_frames deterministic chunks (stand-ins for decoded frames)."""
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg bindings; not available in this environment"
-        )
+    """Video frame sampling. With opencv importable, decodes the payload
+    for real: n_frames evenly-spaced frames grabbed from the container
+    and re-encoded as PNG bytes (VideoCapture needs a seekable path, so
+    the payload round-trips through a temp file — per task, executor-
+    local, deleted immediately). Otherwise fake=True slices the payload
+    into n_frames deterministic chunks (stand-ins for decoded frames,
+    stable and content-dependent) and fake=False fails loudly."""
     if n_frames <= 0 or not content:
         return []
-    step = max(1, len(content) // n_frames)
-    return [content[i * step : (i + 1) * step] for i in range(min(n_frames, len(content)))]
+    if fake:
+        step = max(1, len(content) // n_frames)
+        return [content[i * step : (i + 1) * step] for i in range(min(n_frames, len(content)))]
+    if _cv2 is None:
+        raise NotImplementedError(
+            "video decode requires opencv/ffmpeg bindings; not available in this environment"
+        )
+    import os as _os
+    import tempfile as _tempfile
+
+    fd, path = _tempfile.mkstemp(suffix=".video")
+    try:
+        with _os.fdopen(fd, "wb") as fh:
+            fh.write(content)
+        cap = _cv2.VideoCapture(path)
+        try:
+            total = int(cap.get(_cv2.CAP_PROP_FRAME_COUNT))
+            if total <= 0:
+                return []
+            picks = sorted({min(total - 1, (i * total) // n_frames) for i in range(min(n_frames, total))})
+            frames: list[bytes] = []
+            for idx in picks:
+                cap.set(_cv2.CAP_PROP_POS_FRAMES, idx)
+                ok, frame = cap.read()
+                if not ok:
+                    continue
+                ok, buf = _cv2.imencode(".png", frame)
+                if ok:
+                    frames.append(buf.tobytes())
+            return frames
+        finally:
+            cap.release()
+    finally:
+        _os.unlink(path)
 
 
 def media_decode_features(spark: SparkSession, sf_dir: str, *, fake: bool = True) -> DataFrame:

@@ -89,3 +89,39 @@ def test_real_pil_decode_branch_when_importable():
     out = resize_image(png, 16, 8)
     assert (out["width"], out["height"]) == (16, 8)
     assert len(out["content_digest"]) == 32
+
+
+def test_real_opencv_frame_sample_branch_when_importable():
+    """Wherever opencv imports, frame_sample decodes a real container:
+    write a tiny MJPG video, sample 4 frames, get 4 PNG payloads back.
+    Skipped (not failed) in codec-free containers — the deterministic
+    fake keeps the plan-level tests running there."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gmallbiguan_parent_spark.operators.multimodal import frame_sample
+
+    fd, path = tempfile.mkstemp(suffix=".avi")
+    os.close(fd)
+    try:
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 5.0, (32, 24))
+        for i in range(10):
+            w.write(np.full((24, 32, 3), i * 20, dtype=np.uint8))
+        w.release()
+        with open(path, "rb") as fh:
+            payload = fh.read()
+    finally:
+        os.unlink(path)
+
+    frames = frame_sample(payload, 4)
+    assert len(frames) == 4
+    # PNG magic on every re-encoded frame
+    assert all(f.startswith(b"\x89PNG") for f in frames)
+    # empty payload short-circuits in the real branch too
+    assert frame_sample(b"", 4) == []
