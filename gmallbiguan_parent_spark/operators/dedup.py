@@ -657,6 +657,32 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate REMOVAL — the rewrite that consumes
+    neardup_clusters (detection alone doesn't shrink a corpus): every
+    doc in a near-dup cluster except its representative (the min
+    doc_id, = cluster_id) is dropped; emits the per-lang survivor
+    ledger (doc_ct / min_doc_id / char_sum) a curation run records.
+    Completes the dedup-rewrite family: exact fingerprints
+    (curate_corpus), duplicated spans (remove_duplicated_spans), and
+    now MinHash near-dups.
+
+    Plan: the cluster table derives from the checkpointed LSH pair set
+    (tiny vs the corpus — only docs in >=1 near-dup pair appear); the
+    non-representative id list BROADCASTS into a left_anti, so the
+    corpus itself never shuffles — one scan, one broadcast anti join,
+    one per-lang aggregate (map-side partial)."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = neardup_clusters(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("doc_ct"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").alias("char_sum"),
+    )
+
+
 DEDUP_CURVE_THRESHOLDS = ("0.50", "0.60", "0.70", "0.80", "0.90")
 
 
@@ -1246,6 +1272,7 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "decontaminate_corpus": decontaminate_corpus,
     "neardup_clusters": neardup_clusters,
+    "neardup_dedup_rewrite": neardup_dedup_rewrite,
     "leakage_safe_split": leakage_safe_split,
     "dedup_threshold_curve": dedup_threshold_curve,
     "neardup_edit_distance": neardup_edit_distance,
@@ -1532,6 +1559,31 @@ ORACLES = {
     )
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
+    """,
+    # same component CTEs as neardup_clusters; the rewrite drops every
+    # clustered doc except its component min and rolls up survivors
+    "neardup_dedup_rewrite": _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
+    + _DUCK_MINHASH_PAIRS + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM good
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), reach(src, dst) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), losers AS (
+        SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> MIN(dst)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS char_sum
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY lang
     """,
     "containment_pairs": f"""
     WITH toks AS (

@@ -321,6 +321,125 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filtering (Rae et al. 2021,
+    App. A — the rule set Dolma/RefinedWeb descend from), adapted to
+    this corpus' token model: per document, the five applicable rules
+    and the combined keep decision —
+
+      f_words : 50 <= word count <= 100,000
+      f_mtl   : 3 <= mean word length <= 10
+      f_alpha : >= 80% of words contain an alphabetic character
+      f_symbol: symbol-to-word ratio ('#' / '...') <= 0.1
+      f_stop  : >= 2 distinct stop words present
+
+    (the bullet-line / ellipsis-line rules need line structure the
+    synthetic corpus lacks; on real data they join this projection as
+    two more flags — same plan.) All ratios are 4-dp decimals compared
+    against exact decimal literals, so the boundary decision is
+    engine-identical. ONE codegen projection over the scan: no
+    shuffle, no state, no Python."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    word_ct = F.size(toks)
+
+    def dec4(x):
+        return F.round(x, 4).cast("decimal(9,4)")
+
+    mtl = dec4(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("decimal(18,6)")
+        / F.greatest(word_ct, F.lit(1))
+    )
+    alpha_word_r = dec4(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("decimal(18,6)")
+        / F.greatest(word_ct, F.lit(1))
+    )
+    symbol_r = dec4(
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("decimal(18,6)")
+        / F.greatest(word_ct, F.lit(1))
+    )
+    stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+
+    def d(x: str):
+        return F.lit(x).cast("decimal(9,4)")
+
+    out = docs.select(
+        "doc_id",
+        word_ct.alias("word_ct"),
+        mtl.alias("mean_tok_len"),
+        alpha_word_r.alias("alpha_word_r"),
+        symbol_r.alias("symbol_r"),
+        stop_distinct.alias("stop_distinct"),
+    )
+    f_words = (F.col("word_ct") >= GOPHER_MIN_WORDS) & (F.col("word_ct") <= GOPHER_MAX_WORDS)
+    f_mtl = (F.col("mean_tok_len") >= d("3")) & (F.col("mean_tok_len") <= d("10"))
+    f_alpha = F.col("alpha_word_r") >= d("0.8")
+    f_symbol = F.col("symbol_r") <= d("0.1")
+    f_stop = F.col("stop_distinct") >= 2
+    return out.select(
+        "*",
+        f_words.alias("f_words"),
+        f_mtl.alias("f_mtl"),
+        f_alpha.alias("f_alpha"),
+        f_symbol.alias("f_symbol"),
+        f_stop.alias("f_stop"),
+        (f_words & f_mtl & f_alpha & f_symbol & f_stop).alias("keep"),
+    )
+
+
+CCNET_Q1 = 1 / 3
+CCNET_Q2 = 2 / 3
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): per-language
+    LM-score terciles split the corpus into head / middle / tail — the
+    partition CCNet feeds downstream so a pipeline can train on head,
+    sample middle, drop tail. The LM signal is unigram_logprob's
+    exactly-replayable score (lower = more typical text -> head).
+
+    Plan: per-doc scores are one token-keyed aggregate + shuffle-
+    reusing probe join (unigram_logprob's plan); the tercile cut
+    points are exact percentile_disc aggregates PER LANGUAGE — a
+    lang-count-sized table broadcast back over the scored docs (the
+    quality_buckets recipe: no global sort, no ntile window; at 100 TB
+    the only corpus-scale work is the scoring pass). Cut points are
+    data values (disc, not interpolated), so the boundary docs compare
+    exact-equal in both engines."""
+    docs = load_table_spread(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = unigram_logprob(spark, sf_dir).join(docs, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.expr(
+            f"percentile_disc({CCNET_Q1!r}) WITHIN GROUP (ORDER BY logprob_score)"
+        ).alias("c1"),
+        F.expr(
+            f"percentile_disc({CCNET_Q2!r}) WITHIN GROUP (ORDER BY logprob_score)"
+        ).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("logprob_score") <= F.col("c1"), "head")
+        .when(F.col("logprob_score") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "logprob_score", "tok_ct")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("doc_ct"),
+            F.min("logprob_score").alias("min_score"),
+            F.max("logprob_score").alias("max_score"),
+            F.sum("tok_ct").alias("tok_sum"),
+        )
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signals (the Gopher/FineWeb-style filters that
     catch boilerplate and degenerate generations): per document, the
@@ -901,6 +1020,8 @@ QUERIES = {
     "token_positions": token_positions,
     "redact_pii": redact_pii,
     "repetition_stats": repetition_stats,
+    "gopher_quality_flags": gopher_quality_flags,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -1120,6 +1241,70 @@ ORACLES = {
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_ct,
            ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS logprob_score
     FROM scored GROUP BY doc_id
+    """,
+    "gopher_quality_flags": f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS word_ct,
+               CAST(ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS mean_tok_len,
+               CAST(ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS alpha_word_r,
+               CAST(ROUND(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DECIMAL(18,6))
+                    / GREATEST(len(toks), 1), 4) AS DECIMAL(9,4)) AS symbol_r,
+               CAST(len(list_intersect(list_distinct(toks), {_STOP_LIST})) AS INTEGER) AS stop_distinct
+        FROM t
+    ), fl AS (
+        SELECT *,
+               (word_ct >= {GOPHER_MIN_WORDS} AND word_ct <= {GOPHER_MAX_WORDS}) AS f_words,
+               (mean_tok_len >= 3 AND mean_tok_len <= 10) AS f_mtl,
+               (alpha_word_r >= CAST('0.8' AS DECIMAL(9,4))) AS f_alpha,
+               (symbol_r <= CAST('0.1' AS DECIMAL(9,4))) AS f_symbol,
+               (stop_distinct >= 2) AS f_stop
+        FROM m
+    )
+    SELECT *, (f_words AND f_mtl AND f_alpha AND f_symbol AND f_stop) AS keep FROM fl
+    """,
+    "ccnet_perplexity_buckets": f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS ct FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT SUM(ct) AS total FROM freq
+    ), lp AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-ln(CAST(f.ct AS DOUBLE) / CAST(tot.total AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS lp
+        FROM toks t JOIN freq f USING (tok), tot
+    ), scored AS (
+        SELECT s.doc_id, s.tok_ct, s.logprob_score, d.lang
+        FROM (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_ct,
+                   ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS logprob_score
+            FROM lp GROUP BY doc_id
+        ) s JOIN documents d USING (doc_id)
+    ), cuts AS (
+        SELECT lang,
+               quantile_disc(logprob_score, {CCNET_Q1!r}) AS c1,
+               quantile_disc(logprob_score, {CCNET_Q2!r}) AS c2
+        FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CASE WHEN s.logprob_score <= c.c1 THEN 'head'
+                WHEN s.logprob_score <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           MIN(s.logprob_score) AS min_score,
+           MAX(s.logprob_score) AS max_score,
+           CAST(SUM(s.tok_ct) AS BIGINT) AS tok_sum
+    FROM scored s JOIN cuts c USING (lang)
+    GROUP BY 1, 2
     """,
     "token_count": """
         SELECT doc_id,

@@ -1,0 +1,102 @@
+"""Round-6 operators: Gopher rule flags, CCNet perplexity buckets, and
+the near-dup cluster rewrite."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_gopher_flags_vs_pure_python(spark):
+    """Independent pure-Python replay of the five rules on the raw
+    corpus — flags and keep must agree exactly."""
+    import decimal
+    import re
+
+    from gmallbiguan_parent_spark.operators.text import (
+        GOPHER_MAX_WORDS, GOPHER_MIN_WORDS, STOPWORDS, gopher_quality_flags,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def dec4(num, den):
+        return (decimal.Decimal(num) / max(den, 1)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    ref = {}
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        n = len(toks)
+        mtl = dec4(sum(len(t) for t in toks), n)
+        alpha = dec4(sum(1 for t in toks if re.search("[a-z]", t)), n)
+        sym = dec4(len(re.findall(r"#|\.\.\.", r.text)), n)
+        stop = len(set(toks) & set(STOPWORDS))
+        f = (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+            decimal.Decimal(3) <= mtl <= decimal.Decimal(10),
+            alpha >= decimal.Decimal("0.8"),
+            sym <= decimal.Decimal("0.1"),
+            stop >= 2,
+        )
+        ref[r.doc_id] = f + (all(f),)
+
+    got = {
+        r.doc_id: (r.f_words, r.f_mtl, r.f_alpha, r.f_symbol, r.f_stop, r.keep)
+        for r in gopher_quality_flags(spark, SF_DIR).collect()
+    }
+    assert got == ref and len(got) == len(rows)
+    # the rule set must actually discriminate on this corpus
+    assert any(v[-1] for v in got.values()) and not all(v[-1] for v in got.values())
+
+
+def test_ccnet_buckets_partition_and_order(spark):
+    """Buckets must partition the scored corpus per language, doc
+    counts must be near-terciles, and score ranges must be ordered
+    head <= middle <= tail (lower unigram surprise = head)."""
+    from gmallbiguan_parent_spark.operators.text import (
+        ccnet_perplexity_buckets, unigram_logprob,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    n_scored = unigram_logprob(spark, SF_DIR).count()
+    assert sum(r.doc_ct for r in rows) == n_scored
+    for lang, bks in by_lang.items():
+        assert set(bks) == {"head", "middle", "tail"}
+        assert bks["head"].max_score <= bks["middle"].min_score
+        assert bks["middle"].max_score <= bks["tail"].min_score
+        total = sum(b.doc_ct for b in bks.values())
+        # disc cut points keep each bucket within one tie-run of n/3
+        assert bks["head"].doc_ct >= total // 3 - 1
+
+
+def test_neardup_dedup_rewrite_keeps_representatives(spark):
+    """Survivors = corpus minus non-representative cluster members;
+    every cluster keeps exactly its min doc_id."""
+    from gmallbiguan_parent_spark.operators.dedup import (
+        neardup_clusters, neardup_dedup_rewrite,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    clusters = neardup_clusters(spark, SF_DIR).collect()
+    losers = {r.doc_id for r in clusters if r.doc_id != r.cluster_id}
+    stats = neardup_dedup_rewrite(spark, SF_DIR).collect()
+    assert sum(r.doc_ct for r in stats) == n_docs - len(losers)
+    assert losers, "no near-dup losers at this SF - fixture drift"
+    # per-lang char sums must equal a direct survivor aggregate
+    want = {
+        (r.lang, r.doc_ct, r.char_sum)
+        for r in docs.filter(~F.col("doc_id").isin(losers))
+        .groupBy("lang")
+        .agg(F.count("*").alias("doc_ct"), F.sum("n_chars").alias("char_sum"))
+        .collect()
+    }
+    got = {(r.lang, r.doc_ct, r.char_sum) for r in stats}
+    assert got == want
