@@ -268,9 +268,46 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_EPOCHS = 3
+
+
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training shuffle — corpus_shards extended with the
+    property a training loader actually needs: every EPOCH is a
+    DIFFERENT reproducible permutation (epoch-salted md5 key), so
+    multi-epoch training never replays the same document order while
+    any run, any engine, and any restart reproduce the schedule
+    bit-for-bit (the key is a deterministic function of (doc, epoch),
+    never RNG state).
+
+    Scale: identical to corpus_shards — shard assignment is a pure
+    expression in the scan stage, position is a row_number partitioned
+    by (epoch, shard) (each shard sorts independently; no global
+    order); epochs explode from a 3-element literal array, so the one
+    corpus scan serves all epochs."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ep = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(N_EPOCHS)])).alias("epoch"),
+    )
+    key = F.md5(F.concat_ws(":", F.lit("epoch"), F.col("epoch"), F.col("doc_id")))
+    shard = (F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % N_SHARDS).alias(
+        "shard"
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(F.asc("sort_key"), F.asc("doc_id"))
+    return (
+        ep.select("doc_id", "epoch", shard, key.alias("sort_key"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "epoch", "shard", "pos")
+    )
+
+
 QUERIES = {
     "corpus_sample": corpus_sample,
     "corpus_shards": corpus_shards,
+    "epoch_shuffle_shards": epoch_shuffle_shards,
     "stratified_sample": stratified_sample,
     "weighted_sample": weighted_sample,
     "priority_sample": priority_sample,
@@ -295,6 +332,19 @@ ORACLES = {
     ORDER BY key ASC, doc_id ASC
     LIMIT {PRIO_K}
     """.replace("{PRIO_K}", str(PRIO_K)),
+    "epoch_shuffle_shards": f"""
+        WITH ep AS (
+            SELECT doc_id, unnest(range(0, {N_EPOCHS})) AS epoch FROM documents
+        ), keyed AS (
+            SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+                   ('0x' || substr(md5('epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {N_SHARDS} AS shard,
+                   md5('epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
+            FROM ep
+        )
+        SELECT doc_id, epoch, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY sort_key ASC, doc_id ASC) AS INTEGER) AS pos
+        FROM keyed
+    """,
     "corpus_shards": """
         WITH keyed AS (
             SELECT doc_id,

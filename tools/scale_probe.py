@@ -101,6 +101,13 @@ PROBE_QUERIES = [
     "assemble_training_mix",
     "remove_duplicated_spans",
     "stream_ngram_decontaminate",
+    # round-6 additions: rule filtering, perplexity buckets, near-dup
+    # rewrite, streaming CUSUM, append-mode hour grain
+    "gopher_quality_flags",
+    "ccnet_perplexity_buckets",
+    "neardup_dedup_rewrite",
+    "stream_gmv_cusum",
+    "stream_hypertable_hour_append",
 ]
 
 
