@@ -116,6 +116,14 @@ EXTENDED = [
     "assemble_training_mix",
     "remove_duplicated_spans",
     "stream_ngram_decontaminate",
+    # round-6 additions: rule filtering, perplexity buckets, near-dup
+    # rewrite, multi-epoch shuffle, streaming CUSUM, append hour grain
+    "gopher_quality_flags",
+    "ccnet_perplexity_buckets",
+    "neardup_dedup_rewrite",
+    "epoch_shuffle_shards",
+    "stream_gmv_cusum",
+    "stream_hypertable_hour_append",
 ]
 
 

@@ -427,6 +427,11 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .filter(F.col("doc_id") % 2 == 1)
+        # the file source hands each trigger's files over
+        # partition-per-file, serializing the 64-perm signature
+        # projection; one narrow shuffle of the raw doc rows per
+        # micro-batch parallelizes it (measured: warm 4.7s -> ~1.7s)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     # Two-step projection so _shingles evaluates ONCE per row: putting
     # sh_b and the hash transform in one select evaluates the (split +
