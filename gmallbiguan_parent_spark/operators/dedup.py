@@ -668,14 +668,18 @@ def neardup_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     now MinHash near-dups.
 
     Plan: the cluster table derives from the checkpointed LSH pair set
-    (tiny vs the corpus — only docs in >=1 near-dup pair appear); the
-    non-representative id list BROADCASTS into a left_anti, so the
-    corpus itself never shuffles — one scan, one broadcast anti join,
-    one per-lang aggregate (map-side partial)."""
+    (only docs in >=1 near-dup pair appear); the non-representative id
+    list left_anti joins the corpus on doc_id with NO forced broadcast
+    — at a low dup rate AQE broadcasts the id list (corpus never
+    shuffles), and at web-corpus dup rates (tens of percent — billions
+    of ids at 100 TB, far past any broadcast budget) the same plan
+    degrades gracefully to a key-partitioned anti join instead of
+    dying in a driver OOM. One scan, one anti join, one per-lang
+    aggregate (map-side partial)."""
     docs = load_table(spark, sf_dir, "documents")
     clusters = neardup_clusters(spark, sf_dir)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    kept = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    kept = docs.join(losers, "doc_id", "left_anti")
     return kept.groupBy("lang").agg(
         F.count("*").alias("doc_ct"),
         F.min("doc_id").alias("min_doc_id"),
