@@ -124,6 +124,8 @@ EXTENDED = [
     "epoch_shuffle_shards",
     "stream_gmv_cusum",
     "stream_hypertable_hour_append",
+    "large_volume_customers",
+    "dormant_rich_customers",
 ]
 
 

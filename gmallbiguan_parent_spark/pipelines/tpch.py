@@ -596,8 +596,82 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LARGE_ORDER_QTY = 250
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape: customers who placed very large orders — the
+    group-then-semi-join showcase: the lineitem aggregate finds order
+    keys whose total quantity exceeds the threshold (a HAVING over the
+    fact table), and only those keys join orders and customer. At
+    scale the qualifying key set is tiny, so the planner turns the
+    orders/customer side into broadcast-range joins; the only
+    corpus-scale work is the one quantity aggregate (map-side
+    partial). Total order (o_totalprice DESC, o_orderkey) before the
+    LIMIT makes the top-20 deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            dec("o_totalprice").alias("o_totalprice"),
+            F.col("sum_qty").cast("decimal(28,4)").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+DORMANT_SINCE = "1998-06-01"
+
+
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shape: customers with ABOVE-AVERAGE positive account balance
+    and NO RECENT orders (none since DORMANT_SINCE), rolled up per
+    nation — the scalar-subquery + anti-join showcase (TPC-H groups by
+    phone country code and requires no orders ever; this schema has no
+    phone and every customer orders, so nation plays the code's role
+    and recency plays dormancy's). The average is a 1-row broadcast
+    computed decimal-exact (sum of decimal / count, rounded once at
+    6 dp) so the balance cut is engine-identical; the anti join keys
+    on custkey — at scale the customer dim shuffles once against the
+    filtered orders key projection (the date filter pushes to the
+    scan), no broadcast of the big side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        F.round(
+            F.sum(dec("c_acctbal")).cast("double") / F.count("*"), 6
+        ).cast("decimal(18,6)").alias("ab")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= DORMANT_SINCE).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(dec("c_acctbal") > F.col("ab"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count("*").alias("cust_ct"),
+        F.sum(dec("c_acctbal")).cast("decimal(28,4)").alias("bal_sum"),
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "large_volume_customers": large_volume_customers,
+    "dormant_rich_customers": dormant_rich_customers,
     "forecast_revenue_change": forecast_revenue_change,
     "price_band_stats": price_band_stats,
     "order_lifecycle": order_lifecycle,
@@ -622,6 +696,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "large_volume_customers": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > {LARGE_ORDER_QTY}
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               CAST(o.o_totalprice AS DECIMAL(18,4)) AS o_totalprice,
+               b.sum_qty
+        FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    "dormant_rich_customers": f"""
+        WITH ab AS (
+            SELECT CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(18,6)) AS ab
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS cust_ct,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS bal_sum
+        FROM customer, ab
+        WHERE CAST(c_acctbal AS DECIMAL(18,4)) > ab
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{DORMANT_SINCE}'
+          )
+        GROUP BY c_nationkey
+    """,
     "promo_revenue_share": """
         WITH j AS (
             SELECT CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
