@@ -126,6 +126,8 @@ EXTENDED = [
     "stream_hypertable_hour_append",
     "large_volume_customers",
     "dormant_rich_customers",
+    "sq8_quantization_error",
+    "decontamination_gram_report",
 ]
 
 

@@ -1260,9 +1260,46 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_REPORT_TOP = 25
+
+
+def decontamination_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable companion to ngram_decontaminate: WHICH benchmark
+    grams leak and how widely — per colliding gram, the count of
+    contaminated corpus docs, total occurrences, and the smallest
+    affected doc id; top DECON_REPORT_TOP by doc count. This is the
+    triage list a curation owner reviews after the screen fires (a
+    gram hitting thousands of docs is boilerplate shared with the
+    benchmark — fix the template or whitelist it; a gram hitting two
+    docs is real leakage — drop them).
+
+    Plan: the same two-sided window projection as the screen; the
+    distinct benchmark gram set broadcasts (MBs at any scale) into an
+    INNER join this time, one gram-keyed aggregate (map-side partial),
+    then a TOP-N TakeOrderedAndProject — nothing corpus-sized past the
+    scan."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(_token_windows(F.col("text"), SPAN_TOKENS)).alias("gram")
+    )
+    bench = exploded.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    hits = exploded.filter(F.col("doc_id") % 17 != 0).join(F.broadcast(bench), "gram")
+    return (
+        hits.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_ct"),
+            F.count("*").alias("occ_ct"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy(F.desc("doc_ct"), "gram")
+        .limit(DECON_REPORT_TOP)
+    )
+
+
 QUERIES = {
     "line_dedup_stats": line_dedup_stats,
     "ngram_decontaminate": ngram_decontaminate,
+    "decontamination_gram_report": decontamination_gram_report,
     "remove_duplicated_spans": remove_duplicated_spans,
     "duplicated_spans": duplicated_spans,
     "dedup_exact": dedup_exact,
@@ -1428,6 +1465,32 @@ ORACLES = {
            CAST(COALESCE(k.ct, 0) AS INTEGER) AS kept_ct,
            md5(COALESCE(k.txt, '')) AS kept_md5
     FROM toks t LEFT JOIN k ON t.doc_id = k.doc_id
+    """,
+    "decontamination_gram_report": f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), windows AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= {SPAN_TOKENS} THEN
+                   [array_to_string(toks[i:i+{SPAN_TOKENS} - 1], ' ')
+                    for i in range(1, len(toks) - {SPAN_TOKENS} + 2)]
+               ELSE [] END) AS gram
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT gram FROM windows WHERE doc_id % 17 = 0
+    )
+    SELECT w.gram,
+           CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS doc_ct,
+           CAST(COUNT(*) AS BIGINT) AS occ_ct,
+           CAST(MIN(w.doc_id) AS BIGINT) AS first_doc_id
+    FROM windows w JOIN bench b ON w.gram = b.gram
+    WHERE w.doc_id % 17 <> 0
+    GROUP BY w.gram
+    ORDER BY doc_ct DESC, w.gram
+    LIMIT {DECON_REPORT_TOP}
     """,
     "ngram_decontaminate": f"""
     WITH toks AS (

@@ -1315,6 +1315,59 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 3
 
 
+def sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression QA for the SQ8 index: per label, the reconstruction
+    fidelity of the scalar quantizer — mean and worst 6-dp
+    cosine(original, dequantized) plus the vector count — the
+    ship/no-ship readout a pipeline checks BEFORE swapping the
+    full-precision index for the 8x-smaller codes table (a label whose
+    worst-case cosine dips below the recall budget keeps full
+    precision; the rest compress). Shares ann_sq8_rerank's quantizer
+    recipe (per-dim min/max affine, FLOOR(x+0.5) codes), so the report
+    measures exactly the codes that index would serve.
+
+    Plan: per-dim min/max is one bounded aggregate folded to a 1-row
+    broadcast (64 mins + 64 scales as plan literals); codes, dequant,
+    and cosine are pure array expressions in the scan projection; the
+    rollup is one label-keyed aggregate whose mean uses 6-dp decimal
+    summands (order-independent, engine-identical)."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "label",
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    stats = (
+        corpus.select(F.posexplode("c_emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda e: e.mn).alias("mn_arr"),
+            F.transform("s", lambda e: (e.mx - e.mn) / float(SQ8_LEVELS)).alias("sc_arr"),
+        )
+    )
+    codes = F.zip_with(
+        F.zip_with(F.col("c_emb"), F.col("mn_arr"), lambda x, m: x - m),
+        F.col("sc_arr"),
+        lambda d, s: F.when(s == 0.0, 0.0).otherwise(F.floor(d / s + 0.5).cast("double")),
+    )
+    dequant = F.zip_with(
+        F.zip_with(codes, F.col("sc_arr"), lambda c, s: c * s),
+        F.col("mn_arr"),
+        lambda v, m: v + m,
+    )
+    cos = _cos6(F.col("c_emb"), dequant).cast("decimal(9,6)")
+    per_vec = corpus.crossJoin(F.broadcast(stats)).select("label", cos.alias("cos"))
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("vec_ct"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).cast("decimal(9,6)").alias("mean_cos"),
+        F.min("cos").alias("worst_cos"),
+    )
+
+
 def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding corpus via POWER
     ITERATION over the covariance matrix — the whitening/decorrelation
@@ -1418,6 +1471,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
+    "sq8_quantization_error": sq8_quantization_error,
     "ann_pq_adc": ann_pq_adc,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_principal_component": embedding_principal_component,
@@ -1936,6 +1990,33 @@ ORACLES = {
            ROUND(mn, 9) AS mn, ROUND(mx, 9) AS mx
     FROM agg
     ORDER BY pos
+    """,
+    "sq8_quantization_error": f"""
+    WITH corpus AS (
+        SELECT label, vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), stats AS (
+        SELECT CAST(g.range AS INTEGER) AS pos,
+               MIN(c_emb[CAST(g.range AS INTEGER) + 1]) AS mn,
+               MAX(c_emb[CAST(g.range AS INTEGER) + 1]) AS mx
+        FROM corpus, range({SRP_DIM}) g GROUP BY 1
+    ), deq AS (
+        SELECT corpus_id,
+               list(CASE WHEN s.mx = s.mn THEN s.mn
+                    ELSE FLOOR((c_emb[s.pos + 1] - s.mn) / ((s.mx - s.mn) / {SQ8_LEVELS}.0) + 0.5)
+                         * ((s.mx - s.mn) / {SQ8_LEVELS}.0) + s.mn
+                    END ORDER BY s.pos) AS dq_emb
+        FROM corpus, stats s GROUP BY corpus_id
+    ), pv AS (
+        SELECT c.label,
+               CAST({_duck_cos('c.c_emb', 'd.dq_emb')} AS DECIMAL(9,6)) AS cos
+        FROM corpus c JOIN deq d USING (corpus_id)
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS vec_ct,
+           CAST(ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(9,6)) AS mean_cos,
+           MIN(cos) AS worst_cos
+    FROM pv GROUP BY label
     """,
     "ann_sq8_rerank": f"""
     WITH corpus AS (
