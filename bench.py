@@ -128,6 +128,7 @@ EXTENDED = [
     "dormant_rich_customers",
     "sq8_quantization_error",
     "decontamination_gram_report",
+    "window_funnel",
 ]
 
 

@@ -488,6 +488,67 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 6 * 3600
+
+
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel — the serving-layer funnel the
+    reference's ClickHouse sink exposes: per user, the MAXIMUM funnel
+    level (view -> click -> purchase) reachable by a time-ordered
+    event chain whose whole span fits in FUNNEL_WINDOW_S of its first
+    event; output is the level histogram. Complements
+    conversion_funnel (first-completion chaining, no window bound)
+    with the bounded-session semantics windowFunnel defines.
+
+    Plan: one shuffle on user_id collects each user's (ts, step)
+    events; the level is a GREEDY ARRAY FOLD over the sorted list —
+    dp[i] tracks the LATEST chain-start time achieving level i (a
+    later start only loosens the window bound, so the greedy dominates
+    every feasible chain; the DuckDB oracle proves it by computing the
+    same levels DECLARATIVELY as exists-joins). No per-user quadratic,
+    no theta join — the fold is O(events/user), the scale path a
+    3-way range join could never be."""
+    ev = load_table(spark, sf_dir, "events")
+    step_idx = F.when(F.col("event_type") == FUNNEL_STEPS[0], 1)
+    for i, s in enumerate(FUNNEL_STEPS[1:], start=2):
+        step_idx = step_idx.when(F.col("event_type") == s, i)
+    per_user = (
+        ev.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"), step_idx.cast("int").alias("s")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    W = F.lit(FUNNEL_WINDOW_S * 1_000_000).cast("long")
+    neg = F.lit(-1).cast("long")
+    acc0 = F.array(neg, neg, neg)
+
+    def fold(acc, e):
+        d1, d2, d3 = acc[0], acc[1], acc[2]
+        nd1 = F.when(e.s == 1, F.greatest(d1, e.t)).otherwise(d1)
+        nd2 = F.when((e.s == 2) & (d1 >= 0) & (e.t - d1 <= W), F.greatest(d2, d1)).otherwise(d2)
+        nd3 = F.when((e.s == 3) & (d2 >= 0) & (e.t - d2 <= W), F.greatest(d3, d2)).otherwise(d3)
+        return F.array(nd1, nd2, nd3)
+
+    dp = F.aggregate("evs", acc0, fold)
+    level = (
+        F.when(dp[2] >= 0, 3)
+        .when(dp[1] >= 0, 2)
+        .when(dp[0] >= 0, 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count("*").alias("user_ct"))
+    )
+
+
 def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity week,
     counted as retained in each later week they were active. Two
@@ -961,6 +1022,7 @@ QUERIES = {
     "user_daily_gapfill": user_daily_gapfill,
     "sales_grouping_sets": sales_grouping_sets,
     "conversion_funnel": conversion_funnel,
+    "window_funnel": window_funnel,
     "weekly_retention": weekly_retention,
     "activity_drop_bag_diff": activity_drop_bag_diff,
     "above_avg_orders": above_avg_orders,
@@ -1202,6 +1264,39 @@ ORACLES = {
         FROM orders
         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
         GROUP BY o_orderpriority
+    """,
+    # declarative exists-join twin of the greedy fold: level k iff a
+    # time-ordered chain of the first k steps fits in the window
+    "window_funnel": f"""
+    WITH ue AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    l1 AS (SELECT DISTINCT user_id FROM v),
+    l2 AS (
+        SELECT DISTINCT v.user_id FROM v JOIN c
+        ON v.user_id = c.user_id AND c.ts >= v.ts
+           AND c.ts <= v.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND
+    ), l3 AS (
+        SELECT DISTINCT v.user_id FROM v
+        JOIN c ON v.user_id = c.user_id AND c.ts >= v.ts
+        JOIN p ON p.user_id = v.user_id AND p.ts >= c.ts
+                  AND p.ts <= v.ts + INTERVAL {FUNNEL_WINDOW_S} SECOND
+    ), lev AS (
+        SELECT u.user_id,
+               CASE WHEN l3.user_id IS NOT NULL THEN 3
+                    WHEN l2.user_id IS NOT NULL THEN 2
+                    WHEN l1.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS level
+        FROM ue u
+        LEFT JOIN l1 ON u.user_id = l1.user_id
+        LEFT JOIN l2 ON u.user_id = l2.user_id
+        LEFT JOIN l3 ON u.user_id = l3.user_id
+    )
+    SELECT CAST(level AS INTEGER) AS level, CAST(COUNT(*) AS BIGINT) AS user_ct
+    FROM lev GROUP BY level
     """,
     "conversion_funnel": """
         WITH v AS (

@@ -100,3 +100,53 @@ def test_neardup_dedup_rewrite_keeps_representatives(spark):
     }
     got = {(r.lang, r.doc_ct, r.char_sum) for r in stats}
     assert got == want
+
+
+def test_window_funnel_greedy_equals_bruteforce():
+    """The latest-chain-start greedy the Spark fold implements must
+    equal the exists-a-chain definition on arbitrary event sequences
+    (hypothesis; pure Python — the oracle hash proves the Spark fold
+    matches the declarative exists-join on real data, this proves the
+    greedy itself on adversarial ones)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from itertools import combinations
+
+    W = 10
+
+    def greedy(evs):
+        dp = [-1, -1, -1]
+        for t, s in sorted(evs):
+            if s == 1:
+                dp[0] = max(dp[0], t)
+            elif s == 2 and dp[0] >= 0 and t - dp[0] <= W:
+                dp[1] = max(dp[1], dp[0])
+            elif s == 3 and dp[1] >= 0 and t - dp[1] <= W:
+                dp[2] = max(dp[2], dp[1])
+        return 3 if dp[2] >= 0 else 2 if dp[1] >= 0 else 1 if dp[0] >= 0 else 0
+
+    def brute(evs):
+        evs = sorted(evs)
+        best = 0
+        for k in (3, 2, 1):
+            for combo in combinations(range(len(evs)), k):
+                ts = [evs[i][0] for i in combo]
+                ss = [evs[i][1] for i in combo]
+                if ss == list(range(1, k + 1)) and ts == sorted(ts) and ts[-1] - ts[0] <= W:
+                    best = k
+                    break
+            if best:
+                break
+        return best
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=1, max_value=3)),
+            max_size=8,
+        )
+    )
+    def check(evs):
+        assert greedy(evs) == brute(evs)
+
+    check()
