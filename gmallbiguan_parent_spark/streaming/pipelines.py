@@ -447,7 +447,11 @@ def stream_decontaminate_sink(
     — a file source never splits a row), so restart recovery is pure
     source-offset bookkeeping: resuming with the same checkpoint scores
     ONLY newly-arrived files and appends exactly their decisions (the
-    recovery test's contract). `bench` is the benchmark gram set
+    recovery test's contract). Writes are IDEMPOTENT per batch: each
+    micro-batch OVERWRITES its own batch_id=<id> partition, so a
+    foreachBatch retry (at-least-once delivery) replaces rather than
+    duplicates its rows — the standard exactly-once foreachBatch sink
+    recipe. `bench` is the benchmark gram set
     (columns gram, hit=1); defaults to the harness pseudo-benchmark
     (the src corpus' doc_id % 17 == 0 slice), in which case benchmark
     docs are excluded from scoring, mirroring ngram_decontaminate."""
@@ -475,7 +479,7 @@ def stream_decontaminate_sink(
     ).cast("decimal(9,4)")
     n_part = spark.sparkContext.defaultParallelism
 
-    def _score(batch_df: DataFrame, _batch_id: int) -> None:
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.repartition(n_part, "doc_id")
             .select(
@@ -496,8 +500,10 @@ def stream_decontaminate_sink(
                 .when(F.col("hit_ct") > 0, "review")
                 .otherwise("keep"),
             )
-            .write.mode("append")
-            .parquet(f"{out_dir}/data")
+            # idempotent per-batch write: a retried batch overwrites
+            # its own partition instead of appending duplicates
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/data/batch_id={batch_id}")
         )
 
     (
