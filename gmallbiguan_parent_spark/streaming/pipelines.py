@@ -44,6 +44,26 @@ JUMP_TIMEOUT_S = 600
 SESSION_GAP_S = 1800
 
 
+def _table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over {sf_dir}/{table}.parquet whether the
+    dataset is ONE file (the driver's testdata layout) or a DIRECTORY
+    of part files (the 10x probe's multi-file splittable layout): file
+    sources need a directory, so stream the parent with a name glob in
+    the single-file case and the dataset directory itself otherwise.
+    Before this branch existed, every stream screen silently processed
+    an EMPTY stream on multi-file datasets — the glob matched no leaf
+    file name."""
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, glob: str = "events.parquet") -> DataFrame:
     """events as a file-source stream. Schema comes from a batch peek
     (file sources need an explicit schema); the ns→µs conversion mirrors
@@ -51,14 +71,17 @@ def _events_stream(spark: SparkSession, sf_dir: str, glob: str = "events.parquet
     # required to read the TIMESTAMP(NANOS) column on a foreign session
     # (the driver's plain SparkSession) — same defensive set as io.load_table
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # file stream sources need a directory: stream the sf_dir filtered
-    # down to the events file(s).
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
+    if glob == "events.parquet":
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        stream = _table_stream(spark, sf_dir, "events")
+    else:
+        # staged directories (sentinel builds) are always plain files
+        batch = spark.read.option("pathGlobFilter", glob).parquet(sf_dir)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+        )
     if dict(batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
@@ -188,7 +211,15 @@ def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | 
     part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
     shutil.move(f"{tmp_out}/{part}", f"{stage}/zz_sentinels.parquet")
     shutil.rmtree(tmp_out)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        # multi-file dataset (the 10x probe layout): stage every part
+        # under a distinct flat name so the stage glob sees them all
+        for i, p in enumerate(sorted(os.listdir(src))):
+            if p.endswith(".parquet"):
+                shutil.copy(f"{src}/{p}", f"{stage}/events_{i:05d}.parquet")
+    else:
+        shutil.copy(src, f"{stage}/events.parquet")
     return stage
 
 
@@ -439,7 +470,7 @@ def stream_decontaminate_sink(
     src_dir: str,
     out_dir: str,
     bench: DataFrame | None = None,
-    glob: str = "documents.parquet",
+    glob: str | None = None,
 ) -> None:
     """Production form of the ingest-time decontamination screen: a
     CHECKPOINTED foreachBatch append to a parquet sink. Stateless by
@@ -457,12 +488,18 @@ def stream_decontaminate_sink(
     docs are excluded from scoring, mirroring ngram_decontaminate."""
     from ..operators.dedup import CONTAM_DROP_FRAC, SPAN_TOKENS, _token_windows
 
-    sample = spark.read.option("pathGlobFilter", glob).parquet(src_dir)
-    stream = (
-        spark.readStream.schema(sample.schema)
-        .option("pathGlobFilter", glob)
-        .parquet(src_dir)
-    )
+    if glob is None:
+        # harness layout: {src_dir}/documents.parquet, file OR part dir
+        sample = spark.read.parquet(f"{src_dir}/documents.parquet")
+        stream = _table_stream(spark, src_dir, "documents")
+    else:
+        # explicit glob: a custom ingest directory of plain files
+        sample = spark.read.option("pathGlobFilter", glob).parquet(src_dir)
+        stream = (
+            spark.readStream.schema(sample.schema)
+            .option("pathGlobFilter", glob)
+            .parquet(src_dir)
+        )
     if bench is None:
         bench = (
             sample.filter(F.col("doc_id") % 17 == 0)

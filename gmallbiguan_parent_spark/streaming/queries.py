@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 
 from ..functions import dec
 from .pipelines import (
-    WINDOW, _events_stream, run_stream_to_df, stream_jump_detect,
-    stream_rate_limit, stream_transition_matrix,
+    WINDOW, _events_stream, _table_stream, run_stream_to_df,
+    stream_jump_detect, stream_rate_limit, stream_transition_matrix,
 )
 
 # static-side (band table, shingle sets, per-ref band-key arrays)
@@ -110,12 +110,7 @@ def stream_keyword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the batch keyword aggregation."""
     from ..functions import tokenize
 
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = _table_stream(spark, sf_dir, "documents")
     agg = (
         docs.select("source", F.explode(tokenize("text")).alias("keyword"))
         .filter(F.length("keyword") >= 2)
@@ -423,9 +418,7 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_bands, ref_sets, ref_keys = _SIN_STATIC_CACHE[key]
 
     stream = (
-        spark.readStream.schema(batch_docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        _table_stream(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 1)
         # the file source hands each trigger's files over
         # partition-per-file, serializing the 64-perm signature
@@ -559,12 +552,8 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     bench = _DECON_STATIC_CACHE[key]
 
-    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stream = (
-        spark.readStream.schema(batch_docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("doc_id") % 17 != 0)
+    stream = _table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 17 != 0
     )
     frac = F.round(
         F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
@@ -624,12 +613,7 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     against)."""
     from ..operators.text import QC_KEEP, QC_REVIEW, _quality_features
 
-    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stream = (
-        spark.readStream.schema(batch_docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "documents")
     feats = _quality_features()
     stop_r, alpha_r, mtl, n_toks = (
         feats["stop_r"], feats["alpha_r"], feats["mtl"], feats["token_ct"],
@@ -734,12 +718,7 @@ def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions import dec as _dec
 
-    batch_orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    stream = (
-        spark.readStream.schema(batch_orders.schema)
-        .option("pathGlobFilter", "orders.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _table_stream(spark, sf_dir, "orders")
     ledger = tempfile.mkdtemp(prefix="led_gcs_")
 
     def _partials(batch_df: DataFrame, _batch_id: int) -> None:
