@@ -108,6 +108,10 @@ PROBE_QUERIES = [
     "neardup_dedup_rewrite",
     "stream_gmv_cusum",
     "stream_hypertable_hour_append",
+    "epoch_shuffle_shards",
+    "sq8_quantization_error",
+    "decontamination_gram_report",
+    "window_funnel",
 ]
 
 
@@ -194,9 +198,12 @@ def main() -> None:
         "artifact. keyword_stats_cjk runs on a fixed inline fixture — its",
         "row is a constant-time sanity line, not a scaling measurement.",
         "stream_* rows time a bounded availableNow replay including per-call",
-        "checkpoint/session setup; their sub-1 factors are first-call-vs-warm",
-        "session artifacts, not sublinear compute — the scaling signal for the",
-        "streaming screens is their batch twins' rows.",
+        "checkpoint/session setup (~1-1.5s floor), so their factors mix that",
+        "fixed cost with linear replay compute. (Round-6 note: before the",
+        "_table_stream fix, stream rows at 10x silently replayed an EMPTY",
+        "stream — the multi-file layout matched no glob — so factors in",
+        "earlier rounds' tables were meaningless; from this round on they",
+        "measure real replays.)",
         "",
         "Round-5 investigation of the two former ~5x rows (both sublinear at",
         "10x data, but worth explaining): bloom_filtered_revenue is",
