@@ -129,6 +129,7 @@ EXTENDED = [
     "sq8_quantization_error",
     "decontamination_gram_report",
     "window_funnel",
+    "stream_window_funnel",
 ]
 
 

@@ -465,6 +465,103 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def _funnel_state_fn(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState body for the streaming window funnel:
+    state = the batch fold's dp triple (latest chain-start achieving
+    each level, -1 unreached) — the greedy is INCREMENTAL, so the
+    stream maintains exactly the batch operator's accumulator per
+    user. Emission: the per-user sentinel (event_id -1) flushes the
+    final level at end-of-replay (emit-and-remove), and the event-time
+    timeout emits it in production when the watermark passes the last
+    possible chain extension; a user whose state was never touched by
+    a real funnel event emits nothing (matching the batch operator's
+    population)."""
+    from ..pipelines.analytics import FUNNEL_WINDOW_S
+
+    w_us = FUNNEL_WINDOW_S * 1_000_000
+    if state.hasTimedOut:
+        d1, d2, d3 = state.get
+        state.remove()
+        level = 3 if d3 >= 0 else 2 if d2 >= 0 else 1 if d1 >= 0 else 0
+        yield pd.DataFrame({"user_id": [key[0]], "level": [level]})
+        return
+    rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+    dp = list(state.get) if state.exists else [-1, -1, -1]
+    saw_real = state.exists
+    flush = False
+    last_ts = None
+    for t, s, ev in zip(rows["ts_us"], rows["step"], rows["event_id"]):
+        if int(ev) == -1:
+            flush = True
+            continue
+        t, s = int(t), int(s)
+        saw_real = True
+        last_ts = t
+        if s == 1:
+            dp[0] = max(dp[0], t)
+        elif s == 2 and dp[0] >= 0 and t - dp[0] <= w_us:
+            dp[1] = max(dp[1], dp[0])
+        elif s == 3 and dp[1] >= 0 and t - dp[1] <= w_us:
+            dp[2] = max(dp[2], dp[1])
+    if flush:
+        if state.exists:
+            state.remove()
+        if saw_real:
+            level = 3 if dp[2] >= 0 else 2 if dp[1] >= 0 else 1 if dp[0] >= 0 else 0
+            yield pd.DataFrame({"user_id": [key[0]], "level": [level]})
+        return
+    if saw_real:
+        state.update(tuple(dp))
+        if last_ts is not None:
+            # level can only change while a chain can still extend
+            state.setTimeoutTimestamp(last_ts // 1000 + (FUNNEL_WINDOW_S + 60) * 1000)
+
+
+def stream_window_funnel(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Streaming twin of analytics.window_funnel (ClickHouse
+    windowFunnel semantics): per-user funnel level maintained as keyed
+    state by the SAME greedy dp the batch fold runs — the stream form
+    of an incremental fold is just 'keep the accumulator in state'.
+    Sentinels flush final levels for the bounded replay; the
+    event-time timeout is the production flusher. The replayed level
+    histogram equals batch window_funnel exactly (oracle reused)."""
+    from ..pipelines.analytics import FUNNEL_STEPS, FUNNEL_WINDOW_S
+
+    stage = _stage_events_with_sentinels(spark, sf_dir, pad_s=FUNNEL_WINDOW_S + 120)
+    ev = _events_stream(spark, stage, glob="*.parquet")
+    step_idx = F.when(F.col("event_type") == FUNNEL_STEPS[0], 1)
+    for i, s in enumerate(FUNNEL_STEPS[1:], start=2):
+        step_idx = step_idx.when(F.col("event_type") == s, i)
+    rows = (
+        ev.filter(
+            F.col("event_type").isin(*FUNNEL_STEPS) | (F.col("event_id") == -1)
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            F.coalesce(step_idx, F.lit(0)).cast("int").alias("step"),
+            "event_id",
+        )
+        .withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_state_fn,
+            outputStructType="user_id long, level int",
+            stateStructType="d1 long, d2 long, d3 long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    (
+        rows.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start(f"{out_dir}/data")
+        .awaitTermination()
+    )
+
+
 def stream_decontaminate_sink(
     spark: SparkSession,
     src_dir: str,

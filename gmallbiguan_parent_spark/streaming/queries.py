@@ -701,6 +701,18 @@ def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(hour, "hour").unionByName(tag(day, "day")).unionByName(tag(month, "month"))
 
 
+def stream_window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the stateful streaming window funnel: per-user
+    levels flushed by sentinels/timeout, rolled up to the level
+    histogram — must equal batch window_funnel exactly (its oracle is
+    reused verbatim; the dp accumulator in keyed state IS the batch
+    fold's accumulator)."""
+    from .pipelines import stream_window_funnel
+
+    levels = run_stream_to_df(spark, sf_dir, stream_window_funnel)
+    return levels.groupBy("level").agg(F.count("*").alias("user_ct"))
+
+
 def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM alert screen — the monitoring chart an order
     stream drives: each arriving micro-batch appends its per-day
@@ -772,6 +784,7 @@ QUERIES = {
     "stream_hypertable_rollup": stream_hypertable_rollup_q,
     "stream_hypertable_hour_append": stream_hypertable_hour_append_q,
     "stream_gmv_cusum": stream_gmv_cusum_q,
+    "stream_window_funnel": stream_window_funnel_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
@@ -829,6 +842,8 @@ ORACLES = {
     # the streaming CUSUM alert folds the batch twin's exact decimal
     # arithmetic over the ledger-reaggregated series — oracle verbatim
     "stream_gmv_cusum": _ANALYTICS_ORACLES["gmv_cusum"],
+    # the keyed-state dp IS the batch fold's accumulator — oracle verbatim
+    "stream_window_funnel": _ANALYTICS_ORACLES["window_funnel"],
     "stream_gmv_incremental": """
         SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS order_amount

@@ -114,3 +114,14 @@ def test_stream_gmv_cusum_equals_batch(spark):
         for r in gmv_cusum(spark, SF_DIR).collect()
     }
     assert got == want and got
+
+
+def test_stream_window_funnel_equals_batch(spark):
+    """The keyed-state dp is the batch fold's accumulator, so the
+    replayed level histogram must equal batch window_funnel exactly."""
+    from gmallbiguan_parent_spark.pipelines.analytics import window_funnel
+    from gmallbiguan_parent_spark.streaming.queries import stream_window_funnel_q
+
+    got = {(r.level, r.user_ct) for r in stream_window_funnel_q(spark, SF_DIR).collect()}
+    want = {(r.level, r.user_ct) for r in window_funnel(spark, SF_DIR).collect()}
+    assert got == want and got

@@ -112,6 +112,7 @@ PROBE_QUERIES = [
     "sq8_quantization_error",
     "decontamination_gram_report",
     "window_funnel",
+    "stream_window_funnel",
 ]
 
 
