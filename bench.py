@@ -130,6 +130,7 @@ EXTENDED = [
     "decontamination_gram_report",
     "window_funnel",
     "stream_window_funnel",
+    "stream_rate_limit_ledger",
 ]
 
 

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ..functions import dec
 from .pipelines import (
     WINDOW, _events_stream, _table_stream, run_stream_to_df,
-    stream_jump_detect, stream_rate_limit, stream_transition_matrix,
+    stream_jump_detect, stream_rate_limit, stream_rate_limit_ledger,
+    stream_transition_matrix,
 )
 
 # static-side (band table, shingle sets, per-ref band-key arrays)
@@ -335,6 +336,18 @@ def stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import admission_rollup
 
     df = run_stream_to_df(spark, sf_dir, stream_rate_limit)
+    return admission_rollup(df)
+
+
+def stream_rate_limit_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour admission stats from the LEDGER-form limiter (the scale
+    path: foreachBatch + JVM joins, no per-key Python state) — same
+    output and oracle as the batch rate_limited_events and the
+    keyed-state twin, so all three admission implementations are
+    pinned to one answer."""
+    from ..operators.quality import admission_rollup
+
+    df = run_stream_to_df(spark, sf_dir, stream_rate_limit_ledger)
     return admission_rollup(df)
 
 
@@ -789,6 +802,7 @@ QUERIES = {
     "stream_quality_gate": stream_quality_gate_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
     "stream_rate_limit": stream_rate_limit_q,
+    "stream_rate_limit_ledger": stream_rate_limit_ledger_q,
     "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
     "stream_uv_dedup": stream_uv_dedup_q,
@@ -838,6 +852,7 @@ ORACLES = {
     """,
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
+    "stream_rate_limit_ledger": _QUALITY_ORACLES["rate_limited_events"],
     "stream_transition_matrix": _ANALYTICS_ORACLES["event_transition_matrix"],
     # the streaming CUSUM alert folds the batch twin's exact decimal
     # arithmetic over the ledger-reaggregated series — oracle verbatim

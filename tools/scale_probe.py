@@ -113,6 +113,7 @@ PROBE_QUERIES = [
     "decontamination_gram_report",
     "window_funnel",
     "stream_window_funnel",
+    "stream_rate_limit_ledger",
 ]
 
 
