@@ -131,6 +131,7 @@ EXTENDED = [
     "window_funnel",
     "stream_window_funnel",
     "stream_rate_limit_ledger",
+    "stream_dedup_gate",
 ]
 
 

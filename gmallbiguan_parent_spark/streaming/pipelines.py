@@ -527,6 +527,64 @@ def stream_rate_limit_ledger(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     )
 
 
+def stream_dedup_gate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Ingest-time EXACT-dedup admission — the ledger pattern again
+    (the only honest shape: a fingerprint seen-set is unbounded state,
+    so keyed in-memory state would be a scale lie; the ledger IS the
+    production global dedup index, maintained as a table). Each
+    micro-batch fingerprints its docs (normalized-text md5, the
+    dedup_exact recipe), keeps the min-doc_id row per fingerprint
+    WITHIN the batch, left-anti joins the fingerprint ledger for
+    cross-batch misses, writes per-doc admit/reject decisions
+    idempotently under batch_id partitions, and appends admitted
+    fingerprints to the ledger. A bounded single-batch replay admits
+    exactly dedup_exact's keepers."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _norm_text
+
+    docs = _table_stream(spark, sf_dir, "documents")
+    ledger = f"{out_dir}/_ledger"
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fp = batch_df.select(
+            "doc_id", "lang", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
+        )
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        first_in_batch = F.row_number().over(w) == 1
+        ranked = fp.withColumn("batch_first", first_in_batch)
+        try:
+            seen = s.read.parquet(ledger).select("fingerprint").distinct()
+            ranked = ranked.join(
+                seen.withColumn("seen", F.lit(True)), "fingerprint", "left"
+            ).withColumn("seen", F.coalesce("seen", F.lit(False)))
+        except Exception:  # first batch: no ledger yet
+            ranked = ranked.withColumn("seen", F.lit(False))
+        decided = ranked.withColumn(
+            "admitted", F.col("batch_first") & ~F.col("seen")
+        ).localCheckpoint()
+        (
+            decided.select("doc_id", "lang", "fingerprint", "admitted")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/data/batch_id={batch_id}")
+        )
+        (
+            decided.filter("admitted")
+            .select("fingerprint")
+            .write.mode("overwrite")
+            .parquet(f"{ledger}/batch_id={batch_id}")
+        )
+
+    (
+        docs.writeStream.foreachBatch(_admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start()
+        .awaitTermination()
+    )
+
+
 def _funnel_state_fn(key, pdf_iter, state: GroupState):
     """applyInPandasWithState body for the streaming window funnel:
     state = the batch fold's dp triple (latest chain-start achieving

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from ..functions import dec
 from .pipelines import (
     WINDOW, _events_stream, _table_stream, run_stream_to_df,
-    stream_jump_detect, stream_rate_limit, stream_rate_limit_ledger,
-    stream_transition_matrix,
+    stream_dedup_gate, stream_jump_detect, stream_rate_limit,
+    stream_rate_limit_ledger, stream_transition_matrix,
 )
 
 # static-side (band table, shingle sets, per-ref band-key arrays)
@@ -349,6 +349,18 @@ def stream_rate_limit_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = run_stream_to_df(spark, sf_dir, stream_rate_limit_ledger)
     return admission_rollup(df)
+
+
+def stream_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the ledger-form exact-dedup gate: exactly one
+    admitted doc per fingerprint — the min doc_id — so the replayed
+    decisions fold to dedup_exact's (fingerprint, keeper, dup_ct) table
+    and its oracle applies verbatim."""
+    df = run_stream_to_df(spark, sf_dir, stream_dedup_gate)
+    return df.groupBy("fingerprint").agg(
+        F.min(F.when(F.col("admitted"), F.col("doc_id"))).alias("keeper_doc_id"),
+        F.count("*").alias("dup_ct"),
+    )
 
 
 def stream_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +815,7 @@ QUERIES = {
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
     "stream_rate_limit": stream_rate_limit_q,
     "stream_rate_limit_ledger": stream_rate_limit_ledger_q,
+    "stream_dedup_gate": stream_dedup_gate_q,
     "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
     "stream_uv_dedup": stream_uv_dedup_q,
@@ -853,6 +866,7 @@ ORACLES = {
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_rate_limit_ledger": _QUALITY_ORACLES["rate_limited_events"],
+    "stream_dedup_gate": _DEDUP_ORACLES["dedup_exact"],
     "stream_transition_matrix": _ANALYTICS_ORACLES["event_transition_matrix"],
     # the streaming CUSUM alert folds the batch twin's exact decimal
     # arithmetic over the ledger-reaggregated series — oracle verbatim

@@ -125,3 +125,37 @@ def test_stream_window_funnel_equals_batch(spark):
     got = {(r.level, r.user_ct) for r in stream_window_funnel_q(spark, SF_DIR).collect()}
     want = {(r.level, r.user_ct) for r in window_funnel(spark, SF_DIR).collect()}
     assert got == want and got
+
+
+def test_stream_dedup_gate_cross_batch_ledger(spark, tmp_path):
+    """A fingerprint admitted in an earlier batch must be rejected on
+    resume (the ledger carries the seen-set across restarts); new
+    fingerprints still admit; within-batch dups keep min doc_id."""
+    import os
+
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_dedup_gate
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    docs_dir = f"{src}/documents.parquet"
+
+    a = "alpha beta gamma delta"
+    b = "one two three four"
+    c = "five six seven eight"
+    spark.createDataFrame(
+        [(2, a, "en"), (5, a, "en"), (3, b, "en")], "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    stream_dedup_gate(spark, src, out)
+    d1 = {r.doc_id: r.admitted for r in spark.read.parquet(f"{out}/data").collect()}
+    assert d1 == {2: True, 5: False, 3: True}  # min doc_id wins in-batch
+
+    # batch 2: a's fingerprint re-arrives (doc 1, smaller id!) + new c
+    spark.createDataFrame(
+        [(1, a, "en"), (7, c, "en")], "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    stream_dedup_gate(spark, src, out)
+    d2 = {r.doc_id: r.admitted for r in spark.read.parquet(f"{out}/data").collect()}
+    # admission is arrival-ordered: doc 1 arrived AFTER doc 2's admit,
+    # so the ledger rejects it even though its id is smaller
+    assert d2 == {2: True, 5: False, 3: True, 1: False, 7: True}

@@ -114,6 +114,7 @@ PROBE_QUERIES = [
     "window_funnel",
     "stream_window_funnel",
     "stream_rate_limit_ledger",
+    "stream_dedup_gate",
 ]
 
 
