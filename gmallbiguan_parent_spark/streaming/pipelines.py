@@ -179,6 +179,12 @@ def _jump_state_fn(key, pdf_iter, state: GroupState):
                             "ts_us": out_ts, "is_jump": out_jump})
 
 
+# staged sentinel dirs are pure functions of (corpus, pad): memoized
+# per application so jump/sessions/funnel replays in one session reuse
+# one staging instead of rebuilding ~1s of copy+write per call
+_STAGE_CACHE: dict[tuple[str, str, int], str] = {}
+
+
 def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | None = None) -> str:
     """Copy events.parquet into a temp dir alongside one sentinel row per
     user at max_ts + pad_s (default JUMP_TIMEOUT_S + 10 s; event_id =
@@ -190,9 +196,15 @@ def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | 
     appear in output (state fns drop them, session sentinels stay
     unemitted because their own window never closes)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if pad_s is None:
         pad_s = JUMP_TIMEOUT_S + 10
+    ck = (spark.sparkContext.applicationId, sf_dir, pad_s)
+    cached = _STAGE_CACHE.get(ck)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    for k in [k for k in _STAGE_CACHE if k[0] != ck[0]]:
+        del _STAGE_CACHE[k]
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     max_ts = raw.agg(F.max("ts")).first()[0]
     if dict(raw.dtypes).get("ts") == "bigint":  # raw int64 nanoseconds
         sentinel_ts = F.lit(max_ts + pad_s * 1_000_000_000).cast("long")
@@ -220,6 +232,7 @@ def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | 
                 shutil.copy(f"{src}/{p}", f"{stage}/events_{i:05d}.parquet")
     else:
         shutil.copy(src, f"{stage}/events.parquet")
+    _STAGE_CACHE[ck] = stage
     return stage
 
 
