@@ -966,6 +966,75 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_DECON_REVIEW = 0.25    # any confirmed hit at/above this -> review
+SEM_DECON_DROP = 0.35      # same bar as the embedding near-dup screen
+
+
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    complement of `ngram_decontaminate` (dedup.py): a training vector
+    is contaminated if it is cosine-close to a held-out benchmark
+    vector (here the deterministic pseudo-benchmark vec_id % 17 == 0,
+    the same convention the n-gram screen uses on doc_id). N-gram
+    collision catches verbatim inclusion; THIS screen catches
+    paraphrased/translated benchmark leakage that shares no 8-token
+    window — the pairing modern curation stacks run (e.g. the
+    paraphrase-contamination findings of Yang et al. 2023,
+    "Rethinking Benchmark and Contamination ... with Rephrased
+    Samples").
+
+    Emits one row per FLAGGED corpus vector: confirmed-hit count, the
+    max cosine, the nearest benchmark id (cosine DESC, id ASC — both
+    engines replay the tie-break), and drop/review by threshold.
+
+    Plan (the shape that matters at 100 TB): benchmarks are MBs while
+    the corpus is the big side, so the benchmark SRP signatures
+    BROADCAST and the corpus NEVER shuffles at candidate time — scan
+    -> signature projection (pure JVM expressions) -> broadcast-hash
+    join on (table, bucket). Only confirmed candidates (tiny) reach
+    the one wide shuffle (per-vector window). Bucket width adapts to
+    corpus size via srp_bits_for, so candidates-per-probe stay
+    constant at any scale; the oracle derives the identical width from
+    count(embeddings)."""
+    sigs = _srp_signature_table(spark, sf_dir)
+    bench = sigs.filter(F.col("vec_id") % 17 == 0)
+    corpus = sigs.filter(F.col("vec_id") % 17 != 0)
+    cosine = F.round(
+        _dot(F.col("c.v"), F.col("b.v")) / (_norm(F.col("c.v")) * _norm(F.col("b.v"))), 6
+    )
+    cand = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(bench.alias("b")),
+            (F.col("c.table_id") == F.col("b.table_id"))
+            & (F.col("c.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("bench_id"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEM_DECON_REVIEW)
+        .dropDuplicates(["vec_id", "bench_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    wc = Window.partitionBy("vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("hit_ct", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "hit_ct",
+            F.col("cosine").alias("max_cosine"),
+            F.col("bench_id").alias("nearest_bench"),
+            F.when(F.col("cosine") >= SEM_DECON_DROP, F.lit("drop"))
+            .otherwise(F.lit("review"))
+            .alias("decision"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product Quantization (PQ) — Jégou et al., "Product Quantization for
 # Nearest Neighbor Search" (TPAMI 2011), the standard embedding
@@ -1477,6 +1546,7 @@ QUERIES = {
     "embedding_principal_component": embedding_principal_component,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "knn_graph": knn_graph,
+    "semantic_decontaminate": semantic_decontaminate,
 }
 
 def _duck_cos(a: str, b: str) -> str:
@@ -2095,6 +2165,26 @@ ORACLES = {
     )
     SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
     FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+    """,
+    "semantic_decontaminate": _DUCK_SRP_SIGS + f"""
+    , cand AS (
+        SELECT DISTINCT c.vec_id AS vec_id, b.vec_id AS bench_id,
+               {_duck_cos('c.v', 'b.v')} AS cosine
+        FROM sigs c JOIN sigs b
+          ON c.table_id = b.table_id AND c.sig = b.sig
+        WHERE c.vec_id % 17 <> 0 AND b.vec_id % 17 = 0
+          AND {_duck_cos('c.v', 'b.v')} >= {SEM_DECON_REVIEW}
+    ), ranked AS (
+        SELECT vec_id, bench_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, bench_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY vec_id) AS hit_ct
+        FROM cand
+    )
+    SELECT vec_id, CAST(hit_ct AS BIGINT) AS hit_ct, cosine AS max_cosine,
+           bench_id AS nearest_bench,
+           CASE WHEN cosine >= {SEM_DECON_DROP} THEN 'drop' ELSE 'review' END AS decision
+    FROM ranked WHERE rn = 1
     """,
     "knn_label_vote": _DUCK_SCORED + f"""
     , votes AS (

@@ -150,3 +150,87 @@ def test_window_funnel_greedy_equals_bruteforce():
         assert greedy(evs) == brute(evs)
 
     check()
+
+
+def test_semantic_decontaminate_pure_python(spark):
+    """Independent pure-Python replay of the whole screen at sf0.001:
+    same md5 SRP planes, same width rule, same 6-dp HALF_UP cosine,
+    same (cosine DESC, bench ASC) tie-break — flagged set, hit counts,
+    nearest bench, and decisions must all agree exactly. (The oracle
+    hash proves Spark==DuckDB; this proves both against a third,
+    loop-level implementation.)"""
+    import decimal
+    import math
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        SEM_DECON_DROP, SEM_DECON_REVIEW, SRP_TABLES, _srp_plane,
+        semantic_decontaminate, srp_bits_for,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    bits = srp_bits_for(len(vecs))
+
+    def r6(x):
+        # Spark F.round = BigDecimal(double) HALF_UP; Decimal(float) is
+        # the same exact binary value, so this replays it bit-for-bit.
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def sig(v, t):
+        s = 0
+        for p in range(bits):
+            plane = _srp_plane(t, p)
+            if r6(sum(a * b for a, b in zip(v, plane))) > 0:
+                s |= 1 << p
+        return s
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for vid, v in vecs.items():
+        for t in range(SRP_TABLES):
+            buckets.setdefault((t, sig(v, t)), []).append(vid)
+
+    def cos(a, b):
+        return r6(
+            sum(x * y for x, y in zip(a, b))
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            )
+        )
+
+    cand = set()
+    for ids in buckets.values():
+        bench = [i for i in ids if i % 17 == 0]
+        corp = [i for i in ids if i % 17 != 0]
+        cand.update((c, b) for c in corp for b in bench)
+
+    hits_by_vec: dict[int, list[tuple[float, int]]] = {}
+    for c, b in cand:
+        cs = cos(vecs[c], vecs[b])
+        if cs >= SEM_DECON_REVIEW:
+            hits_by_vec.setdefault(c, []).append((cs, b))
+
+    ref = {}
+    for c, hits in hits_by_vec.items():
+        hits.sort(key=lambda h: (-h[0], h[1]))
+        best_cos, best_b = hits[0]
+        ref[c] = (
+            len(hits),
+            best_cos,
+            best_b,
+            "drop" if best_cos >= SEM_DECON_DROP else "review",
+        )
+
+    got = {
+        r.vec_id: (r.hit_ct, r.max_cosine, r.nearest_bench, r.decision)
+        for r in semantic_decontaminate(spark, SF_DIR).collect()
+    }
+    assert got == ref
