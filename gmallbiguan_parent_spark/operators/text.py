@@ -768,6 +768,59 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIVERSITY_NS = (1, 2, 3)
+
+
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity per source — the distinct-1/2/3
+    metric of Li et al. 2016 ("A Diversity-Promoting Objective
+    Function for Neural Conversation Models") lifted from generations
+    to corpus QA: for each source and n in {1,2,3}, the count of
+    n-gram occurrences, the count of DISTINCT n-grams, and their ratio
+    (a low distinct-3 ratio means templated/boilerplate text — the
+    signal that complements repetition_stats' within-doc view with a
+    cross-doc one). Same normalized tokenization as the span family
+    (dedup._token_windows — one source of truth).
+
+    Plan: ONE corpus scan; the three window arrays concat inline INSIDE
+    the generator input (a Project between explode and its consumer
+    kills whole-stage generator fusion — the 5x lesson), so the scan
+    feeds explode -> partial hash agg on (source, n, gram) -> one
+    shuffle. countDistinct expands to a two-phase distinct agg on the
+    same key family; nothing corpus-sized crosses the exchange except
+    the gram groups themselves, and at 100 TB the group key would be
+    md5(gram) 16 bytes exactly like the span family."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    from .dedup import _token_windows
+
+    def _tag(n):
+        # single-parameter lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.concat(*[
+                F.transform(_token_windows(F.col("text"), n), _tag(n))
+                for n in DIVERSITY_NS
+            ])
+        ).alias("w"),
+    ).select("source", "w.n", "w.gram")
+    ratio = F.round(
+        F.col("distinct_ct").cast("decimal(18,6)") / F.col("total_ct"), 6
+    ).cast("decimal(9,6)")
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count("*").alias("total_ct"),
+            F.countDistinct("gram").alias("distinct_ct"),
+        )
+        .select("source", "n", "total_ct", "distinct_ct", ratio.alias("distinct_ratio"))
+        .orderBy("source", "n")
+    )
+
+
 def _nfc_col(col):
     """Unicode NFC normalization — genuinely Python (Spark has no NFC
     built-in), so an Arrow-batched pandas_udf like the CJK segmenter
@@ -1022,6 +1075,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "gopher_quality_flags": gopher_quality_flags,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "ngram_diversity": ngram_diversity,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -1268,6 +1322,32 @@ ORACLES = {
         FROM m
     )
     SELECT *, (f_words AND f_mtl AND f_alpha AND f_symbol AND f_stop) AS keep FROM fl
+    """,
+    "ngram_diversity": """
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+"""
+    + "\n        UNION ALL\n".join(
+        f"""        SELECT source, CAST({n} AS INTEGER) AS n,
+               unnest(CASE WHEN len(toks) >= {n} THEN
+                   [array_to_string(toks[i:i+{n} - 1], ' ')
+                    for i in range(1, len(toks) - {n} + 2)]
+               ELSE [] END) AS gram
+        FROM toks"""
+        for n in DIVERSITY_NS
+    )
+    + """
+    )
+    SELECT source, n, CAST(COUNT(*) AS BIGINT) AS total_ct,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ct,
+           CAST(ROUND(CAST(COUNT(DISTINCT gram) AS DECIMAL(18,6)) / COUNT(*), 6)
+                AS DECIMAL(9,6)) AS distinct_ratio
+    FROM grams GROUP BY source, n
+    ORDER BY source, n
     """,
     "ccnet_perplexity_buckets": f"""
     WITH toks AS (

@@ -234,3 +234,50 @@ def test_semantic_decontaminate_pure_python(spark):
         for r in semantic_decontaminate(spark, SF_DIR).collect()
     }
     assert got == ref
+
+
+def test_ngram_diversity_pure_python(spark):
+    """Loop-level replay at sf0.001: same normalization, same window
+    rule, same decimal HALF_UP ratio — all (source, n) rows agree."""
+    import decimal
+    import re
+
+    from gmallbiguan_parent_spark.operators.text import (
+        DIVERSITY_NS, ngram_diversity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    totals: dict[tuple[str, int], int] = {}
+    distincts: dict[tuple[str, int], set] = {}
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r.text.lower()).strip()
+        toks = [t for t in re.split(r"[^a-z0-9]+", norm) if t]
+        for n in DIVERSITY_NS:
+            grams = (
+                [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                if len(toks) >= n
+                else []
+            )
+            key = (r.source, n)
+            totals[key] = totals.get(key, 0) + len(grams)
+            distincts.setdefault(key, set()).update(grams)
+
+    ref = {}
+    for key, tot in totals.items():
+        if tot == 0:
+            continue
+        d = len(distincts[key])
+        ratio = (decimal.Decimal(d) / decimal.Decimal(tot)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+        ref[key] = (tot, d, ratio)
+
+    got = {
+        (r.source, r.n): (r.total_ct, r.distinct_ct, r.distinct_ratio)
+        for r in ngram_diversity(spark, SF_DIR).collect()
+    }
+    assert got == ref
