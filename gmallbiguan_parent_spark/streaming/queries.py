@@ -804,6 +804,74 @@ def stream_hypertable_hour_append_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN SERVING — the online half of the IVF index story:
+    query vectors arrive on a stream and probe the STATIC corpus index
+    (the same session-memoized trained quantizer + cell-assigned corpus
+    every batch IVF variant shares — at warehouse scale, the persisted
+    partitionBy(cell) layout). STATELESS by construction: each query's
+    top-k depends only on its own row + the static index, so
+    foreachBatch serves each arriving micro-batch with the batch
+    engine's exact probe plan (centroid scoring as literal expressions,
+    broadcast of the probed queries into the cell-pruned join, per-query
+    top-k window over ~one cell of candidates) and APPENDS answers to
+    the sink. No state store; the sink grows by exactly the answered
+    queries. A bounded replay over the full query set must equal batch
+    ann_ivf_topk exactly — its oracle is reused verbatim."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        N_QUERIES, TOP_K, _cached_cells, _dot, _ivf_cached_centroids,
+        _ivf_corpus_queries, _probe_cells,
+    )
+
+    corpus, _ = _ivf_corpus_queries(spark, sf_dir)
+    cent = _ivf_cached_centroids(spark, sf_dir, corpus)
+    cells = _cached_cells(spark, sf_dir, corpus, cent)
+
+    stream = _table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    )
+    out_dir = tempfile.mkdtemp(prefix="out_annq_")
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        queries = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        probed = _probe_cells(queries, cent, 1).select(
+            "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("corpus_id")
+        )
+        (
+            cells.join(F.broadcast(probed), cells.cell == probed.probe_cell, "inner")
+            .select(
+                "query_id", "probe_cell", "corpus_id",
+                F.round(
+                    _dot(F.col("q_emb"), F.col("c_emb"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "probe_cell", "rank", "corpus_id", "cosine")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(_serve)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_annq_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_hypertable_rollup": stream_hypertable_rollup_q,
@@ -824,6 +892,7 @@ QUERIES = {
     "stream_keyword_stats": stream_keyword_stats_q,
     "stream_user_sessions": stream_user_sessions_q,
     "stream_payment_pairs": stream_payment_pairs_q,
+    "stream_ann_topk": stream_ann_topk_q,
 }
 
 from ..operators.dedup import (
@@ -839,7 +908,11 @@ from ..pipelines.analytics import ORACLES as _ANALYTICS_ORACLES
 from ..operators.dedup import ORACLES as _DEDUP_ORACLES
 from ..operators.timeseries import ORACLES as _TS_ORACLES
 
+from ..operators.similarity import ORACLES as _SIM_ORACLES
+
 ORACLES = {
+    # online ANN serving must answer EXACTLY like the batch IVF probe
+    "stream_ann_topk": _SIM_ORACLES["ann_ivf_topk"],
     # the streamed hour grain + derived cascade must equal the batch
     # hypertable direct-aggregation answer bit-for-bit
     "stream_hypertable_rollup": _TS_ORACLES["hypertable_rollup"],

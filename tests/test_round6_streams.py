@@ -159,3 +159,20 @@ def test_stream_dedup_gate_cross_batch_ledger(spark, tmp_path):
     # admission is arrival-ordered: doc 1 arrived AFTER doc 2's admit,
     # so the ledger rejects it even though its id is smaller
     assert d2 == {2: True, 5: False, 3: True, 1: False, 7: True}
+
+
+def test_stream_ann_topk_equals_batch(spark):
+    """Online serving must answer exactly like the batch IVF probe:
+    same quantizer, same cells, same tie-break — full row agreement."""
+    from gmallbiguan_parent_spark.operators.similarity import ann_ivf_topk
+    from gmallbiguan_parent_spark.streaming.queries import stream_ann_topk_q
+
+    got = {
+        (r.query_id, r.probe_cell, r.rank, r.corpus_id, r.cosine)
+        for r in stream_ann_topk_q(spark, SF_DIR).collect()
+    }
+    want = {
+        (r.query_id, r.probe_cell, r.rank, r.corpus_id, r.cosine)
+        for r in ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    assert got == want and got
