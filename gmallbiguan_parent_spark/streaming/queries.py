@@ -872,6 +872,116 @@ def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+# static benchmark SRP signatures for the in-stream semantic screen,
+# keyed on (applicationId, sf_dir)
+_SEMDECON_STATIC_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def stream_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream SEMANTIC benchmark decontamination — the embedding
+    twin of stream_ngram_decontaminate: corpus vectors are screened
+    against the held-out benchmark set (vec_id % 17 == 0) as they
+    arrive. The benchmark SRP signature table is static (checkpointed
+    once per session, broadcast into every micro-batch — MBs at any
+    scale), and a vector's verdict depends only on its own embedding
+    plus that static side, so the screen is STATELESS: foreachBatch
+    computes each arriving vector's width-adaptive SRP signatures as
+    pure JVM expressions, probes the broadcast benchmark buckets,
+    confirms at cosine >= review, and APPENDS flagged rows. Signature
+    width derives from the STATIC corpus count at construction — the
+    same number the batch twin and its oracle derive — so a bounded
+    replay must equal batch semantic_decontaminate exactly (oracle
+    reused verbatim)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        SEM_DECON_DROP, SEM_DECON_REVIEW, SRP_TABLES, _dot, _norm,
+        _srp_signature, _srp_signature_table, srp_bits_for,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEMDECON_STATIC_CACHE:
+        for k in [k for k in _SEMDECON_STATIC_CACHE if k[0] != key[0]]:
+            del _SEMDECON_STATIC_CACHE[k]
+        from ..io import load_table_spread
+
+        n = load_table_spread(spark, sf_dir, "embeddings").count()
+        bench = (
+            _srp_signature_table(spark, sf_dir)
+            .filter(F.col("vec_id") % 17 == 0)
+            .localCheckpoint()
+        )
+        _SEMDECON_STATIC_CACHE[key] = (bench, srp_bits_for(n))
+    bench, bits = _SEMDECON_STATIC_CACHE[key]
+
+    stream = _table_stream(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 17 != 0
+    )
+    out_dir = tempfile.mkdtemp(prefix="out_semdcq_")
+
+    def _screen(batch_df: DataFrame, _batch_id: int) -> None:
+        vecs = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        sigs = vecs.select(
+            "vec_id", "v",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    _srp_signature(F.col("v"), t, bits).alias("sig"),
+                )
+                for t in range(SRP_TABLES)
+            ])).alias("b"),
+        ).select("vec_id", "v", "b.table_id", "b.sig")
+        cosine = F.round(
+            _dot(F.col("c.v"), F.col("b.v"))
+            / (_norm(F.col("c.v")) * _norm(F.col("b.v"))),
+            6,
+        )
+        cand = (
+            sigs.alias("c")
+            .join(
+                F.broadcast(bench.alias("b")),
+                (F.col("c.table_id") == F.col("b.table_id"))
+                & (F.col("c.sig") == F.col("b.sig")),
+            )
+            .select(
+                F.col("c.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("bench_id"),
+                cosine.alias("cosine"),
+            )
+            .filter(F.col("cosine") >= SEM_DECON_REVIEW)
+            .dropDuplicates(["vec_id", "bench_id"])
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+        wc = Window.partitionBy("vec_id")
+        (
+            cand.withColumn("rn", F.row_number().over(w))
+            .withColumn("hit_ct", F.count(F.lit(1)).over(wc).cast("bigint"))
+            .filter(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                "hit_ct",
+                F.col("cosine").alias("max_cosine"),
+                F.col("bench_id").alias("nearest_bench"),
+                F.when(F.col("cosine") >= SEM_DECON_DROP, F.lit("drop"))
+                .otherwise(F.lit("review"))
+                .alias("decision"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(_screen)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_semdcq_"))
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir)
+
+
 QUERIES = {
     "stream_visitor_stats": stream_visitor_stats_q,
     "stream_hypertable_rollup": stream_hypertable_rollup_q,
@@ -893,6 +1003,7 @@ QUERIES = {
     "stream_user_sessions": stream_user_sessions_q,
     "stream_payment_pairs": stream_payment_pairs_q,
     "stream_ann_topk": stream_ann_topk_q,
+    "stream_semantic_decontaminate": stream_semantic_decontaminate_q,
 }
 
 from ..operators.dedup import (
@@ -913,6 +1024,8 @@ from ..operators.similarity import ORACLES as _SIM_ORACLES
 ORACLES = {
     # online ANN serving must answer EXACTLY like the batch IVF probe
     "stream_ann_topk": _SIM_ORACLES["ann_ivf_topk"],
+    # the in-stream semantic screen must equal the batch screen
+    "stream_semantic_decontaminate": _SIM_ORACLES["semantic_decontaminate"],
     # the streamed hour grain + derived cascade must equal the batch
     # hypertable direct-aggregation answer bit-for-bit
     "stream_hypertable_rollup": _TS_ORACLES["hypertable_rollup"],

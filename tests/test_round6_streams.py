@@ -176,3 +176,23 @@ def test_stream_ann_topk_equals_batch(spark):
         for r in ann_ivf_topk(spark, SF_DIR).collect()
     }
     assert got == want and got
+
+
+def test_stream_semantic_decontaminate_equals_batch(spark):
+    """The in-stream semantic screen must flag exactly the batch
+    screen's rows: same SRP width, buckets, cosine, and tie-break."""
+    from gmallbiguan_parent_spark.operators.similarity import semantic_decontaminate
+    from gmallbiguan_parent_spark.streaming.queries import (
+        stream_semantic_decontaminate_q,
+    )
+
+    cols = ("vec_id", "hit_ct", "max_cosine", "nearest_bench", "decision")
+    got = {
+        tuple(getattr(r, c) for c in cols)
+        for r in stream_semantic_decontaminate_q(spark, SF_DIR).collect()
+    }
+    want = {
+        tuple(getattr(r, c) for c in cols)
+        for r in semantic_decontaminate(spark, SF_DIR).collect()
+    }
+    assert got == want and got
