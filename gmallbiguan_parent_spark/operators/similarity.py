@@ -966,6 +966,141 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_LAMBDA = "0.7"   # relevance weight — EXACT decimal strings, never
+MMR_OM = "0.3"       # floats: lambda*rel with rel at 6 dp lands on
+                     # 7th-digit halves systematically, where Spark's
+                     # shortest-repr HALF_UP and DuckDB's exact-binary
+                     # round disagree (_dlit discipline)
+MMR_CAND = TOP_K * 3           # candidates feeding the greedy
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-k retrieval — Maximal Marginal Relevance
+    (Carbonell & Goldstein, SIGIR 1998), the standard re-rank RAG
+    stacks run so the k passages aren't five near-copies: greedily pick
+    argmax over remaining candidates of
+        lambda*rel(q,d) - (1-lambda)*max_{s in selected} sim(d,s),
+    ties by higher rel then lower id. Candidates are the exact
+    brute-force top MMR_CAND per query; every similarity is the
+    repo's round-6 cosine so both engines take identical branches.
+
+    Plan: the candidate pass is the brute scorer's single corpus scan +
+    per-query top-N window; the greedy itself runs as ONE pure-JVM
+    higher-order-function fold per query row (candidates pack into a
+    rank-sorted array; F.aggregate over sequence(1,k) appends the best
+    remaining candidate, scoring diversity via zip_with dot products
+    against the accumulator). No Python in the loop, no extra shuffle —
+    the fold is a projection over ~MMR_CAND-sized arrays, which is why
+    the greedy costs nothing at any corpus scale: scale lives entirely
+    in the candidate pass (at 100 TB you'd swap the brute candidate
+    stage for the IVF probe and keep this fold verbatim)."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(F.col("query_id") < N_QUERIES)
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "corpus_id", "c_emb",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
+            6,
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("corpus_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+    )
+    packed = cand.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rn").alias("rn"),
+                    F.col("corpus_id").alias("cid"),
+                    F.col("rel").alias("rel"),
+                    F.col("c_emb").alias("v"),
+                    _norm(F.col("c_emb")).alias("nrm"),
+                )
+            )
+        ).alias("cands")
+    )
+
+    def _cos6(c, s):
+        dot = F.aggregate(
+            F.zip_with(c["v"], s["v"], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda p, q: p + q,
+        )
+        return F.round(dot / (c["nrm"] * s["nrm"]), 6)
+
+    def _mmr(c, acc):
+        maxsim = F.coalesce(
+            F.array_max(F.transform(acc, lambda s: _cos6(c, s))), F.lit(0.0)
+        )
+        # exact decimal: rel/maxsim are round-6 values so the casts are
+        # lossless, and the weighted difference rounds deterministically
+        return F.round(
+            F.lit(MMR_LAMBDA).cast("decimal(2,1)") * c["rel"].cast("decimal(9,6)")
+            - F.lit(MMR_OM).cast("decimal(2,1)") * maxsim.cast("decimal(9,6)"),
+            6,
+        ).cast("decimal(9,6)")
+
+    def _better(x, m):
+        return (x["score"] > m["score"]) | (
+            (x["score"] == m["score"])
+            & (
+                (x["rel"] > m["rel"])
+                | ((x["rel"] == m["rel"]) & (x["cid"] < m["cid"]))
+            )
+        )
+
+    def _pick(cands, acc):
+        rem = F.filter(
+            cands, lambda c: ~F.exists(acc, lambda s: s["cid"] == c["cid"])
+        )
+        scored_rem = F.transform(
+            rem,
+            lambda c: F.struct(
+                c["cid"].alias("cid"),
+                c["rel"].alias("rel"),
+                _mmr(c, acc).alias("score"),
+                c["v"].alias("v"),
+                c["nrm"].alias("nrm"),
+            ),
+        )
+        best = F.aggregate(
+            scored_rem,
+            F.element_at(scored_rem, 1),
+            lambda m, x: F.when(_better(x, m), x).otherwise(m),
+        )
+        return F.when(F.size(rem) == 0, acc).otherwise(F.array_append(acc, best))
+
+    acc_t = (
+        "array<struct<cid:bigint,rel:double,score:decimal(9,6),"
+        "v:array<double>,nrm:double>>"
+    )
+    sel = F.aggregate(
+        F.sequence(F.lit(1), F.lit(TOP_K)),
+        F.expr(f"cast(array() as {acc_t})"),
+        lambda acc, _i: _pick(F.col("cands"), acc),
+    )
+    return (
+        packed.select("query_id", F.posexplode(sel))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("col.cid").alias("corpus_id"),
+            F.col("col.rel").alias("cosine"),
+            F.col("col.score").alias("mmr_score"),
+        )
+    )
+
+
 SEM_DECON_REVIEW = 0.25    # any confirmed hit at/above this -> review
 SEM_DECON_DROP = 0.35      # same bar as the embedding near-dup screen
 
@@ -1547,7 +1682,79 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "knn_graph": knn_graph,
     "semantic_decontaminate": semantic_decontaminate,
+    "ann_mmr_topk": ann_mmr_topk,
 }
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy: TOP_K chained selection steps (no recursion —
+    each step's argmax is a window over the not-yet-selected
+    candidates, diversity via a correlated MAX over precomputed
+    candidate-pair cosines). Semantically identical to the Spark fold;
+    deliberately a different shape so the two engines can't share a
+    bug."""
+    base = f"""
+    WITH corpus AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scoredall AS (
+        SELECT query_id, cid, v,
+               {_duck_cos('q_emb', 'v')} AS rel
+        FROM corpus, queries
+    ), cand AS (
+        SELECT query_id, cid, v, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, cid ASC) AS rn
+            FROM scoredall
+        ) WHERE rn <= {MMR_CAND}
+    ), pairs AS (
+        SELECT a.query_id, a.cid AS a, b.cid AS b,
+               {_duck_cos('a.v', 'b.v')} AS cos
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.cid <> b.cid
+    ), selall0 AS (
+        SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS cid,
+               CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DECIMAL(9,6)) AS score,
+               0 AS rank
+        WHERE 1 = 0
+    )"""
+    steps = []
+    prev = "selall0"
+    for i in range(1, TOP_K + 1):
+        steps.append(f""", sel{i} AS (
+        SELECT query_id, cid, rel, score, {i} AS rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, rel DESC, cid ASC) AS rn
+            FROM (
+                SELECT c.query_id, c.cid, c.rel,
+                       CAST(ROUND(
+                           CAST({MMR_LAMBDA} AS DECIMAL(2,1))
+                             * CAST(c.rel AS DECIMAL(9,6))
+                           - CAST({MMR_OM} AS DECIMAL(2,1))
+                             * CAST(COALESCE((
+                               SELECT MAX(p.cos) FROM pairs p
+                               WHERE p.query_id = c.query_id AND p.a = c.cid
+                                 AND p.b IN (SELECT s.cid FROM {prev} s
+                                             WHERE s.query_id = c.query_id)
+                           ), 0.0) AS DECIMAL(9,6)), 6) AS DECIMAL(9,6)) AS score
+                FROM cand c
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                                  WHERE s.query_id = c.query_id AND s.cid = c.cid)
+            )
+        ) WHERE rn = 1
+    ), selall{i} AS (
+        SELECT * FROM {prev}
+        UNION ALL SELECT query_id, cid, rel, score, rank FROM sel{i}
+    )""")
+        prev = f"selall{i}"
+    return base + "".join(steps) + f"""
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, cid AS corpus_id,
+           rel AS cosine, score AS mmr_score
+    FROM {prev}
+    """
 
 def _duck_cos(a: str, b: str) -> str:
     return (
@@ -2166,6 +2373,7 @@ ORACLES = {
     SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
     FROM ranked WHERE rnk <= {KNN_GRAPH_K}
     """,
+    "ann_mmr_topk": _mmr_oracle(),
     "semantic_decontaminate": _DUCK_SRP_SIGS + f"""
     , cand AS (
         SELECT DISTINCT c.vec_id AS vec_id, b.vec_id AS bench_id,

@@ -281,3 +281,78 @@ def test_ngram_diversity_pure_python(spark):
         for r in ngram_diversity(spark, SF_DIR).collect()
     }
     assert got == ref
+
+
+def test_ann_mmr_topk_pure_python(spark):
+    """Loop-level greedy replay at sf0.001: same round-6 cosines, same
+    exact-decimal score, same tie-breaks — full row agreement. Also
+    pins the MMR contract: rank 1 is always the plain-relevance top-1."""
+    import decimal
+    import math
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        MMR_CAND, MMR_LAMBDA, MMR_OM, N_QUERIES, TOP_K, ann_mmr_topk,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def r6(x):
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def cos(a, b):
+        return r6(
+            sum(x * y for x, y in zip(a, b))
+            / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+        )
+
+    lam, om = decimal.Decimal(MMR_LAMBDA), decimal.Decimal(MMR_OM)
+
+    def dscore(rel, maxsim):
+        raw = lam * decimal.Decimal(repr(rel)) - om * decimal.Decimal(repr(maxsim))
+        return raw.quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    ref = set()
+    for q in range(N_QUERIES):
+        rels = sorted(
+            ((cos(vecs[q], vecs[c]), c) for c in vecs if c >= N_QUERIES),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_CAND]
+        selected: list[int] = []
+        for rank in range(1, TOP_K + 1):
+            best = None
+            for rel, c in rels:
+                if c in selected:
+                    continue
+                maxsim = max(
+                    (cos(vecs[c], vecs[s]) for s in selected), default=0.0
+                )
+                sc = dscore(rel, maxsim)
+                key = (sc, rel, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, rel, sc)
+            selected.append(best[1])
+            ref.add((q, rank, best[1], best[2], best[3]))
+
+    got = {
+        (r.query_id, r.rank, r.corpus_id, r.cosine, r.mmr_score)
+        for r in ann_mmr_topk(spark, SF_DIR).collect()
+    }
+    assert got == ref
+    # rank 1 must be the plain top-1 (empty selected set -> pure relevance)
+    top1 = {q: c for q, rank, c, _, _ in ref if rank == 1}
+    for q in range(N_QUERIES):
+        rel1 = max(
+            ((cos(vecs[q], vecs[c]), -c) for c in vecs if c >= N_QUERIES),
+        )
+        assert top1[q] == -rel1[1]
