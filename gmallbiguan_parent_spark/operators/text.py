@@ -982,6 +982,47 @@ def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — pieces-per-word of the trained
+    BPE tokenizer per lang slice (the standard multilingual-tokenizer
+    QA metric: a vocabulary trained on skewed data over-segments the
+    low-resource languages, inflating their token cost; see e.g. the
+    fertility tables of Rust et al. 2021, "How Good is Your
+    Tokenizer?"). High fertility for a language means its documents
+    burn budget — the number an assemble_training_mix planner corrects
+    with.
+
+    Plan: same apply-by-lookup shape as bpe_doc_tokens — the merge
+    chain runs once over the VOCAB (distinct words), documents explode
+    once and broadcast-join the token->pieces table, then ONE
+    lang-keyed aggregate (map-side partial; ~languages rows out). The
+    corpus-scale work is a single explode+join pass regardless of merge
+    count."""
+    _, vocab = _bpe_train(spark, sf_dir)
+    pieces = vocab.select(
+        "tok", F.size(F.split(F.trim(F.col("syms")), " ")).alias("n_pieces")
+    )
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokenize("text")).alias("tok"))
+    fert = F.round(
+        F.col("piece_ct").cast("double") / F.col("word_ct").cast("double"), 6
+    )
+    return (
+        toks.join(F.broadcast(pieces), "tok")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("word_ct"),
+            F.sum("n_pieces").alias("piece_ct"),
+            F.countDistinct("tok").alias("distinct_word_ct"),
+        )
+        .select(
+            "lang", "word_ct", "piece_ct", "distinct_word_ct",
+            fert.alias("pieces_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
 BPE_VOCAB_TOP = 50
 
 
@@ -1076,6 +1117,7 @@ QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "ngram_diversity": ngram_diversity,
+    "tokenizer_fertility": tokenizer_fertility,
 }
 
 _STOP_LIST = "['the','a','of','and','to','in','is','it','for','on']"
@@ -1130,6 +1172,26 @@ ORACLES = {
                CAST(len(string_split(trim(syms), ' ')) AS INTEGER) AS n_pieces
     FROM vocab{BPE_TRAIN_MERGES}
     ORDER BY wct DESC, tok ASC LIMIT {BPE_VOCAB_TOP}""",
+    ),
+    "tokenizer_fertility": _bpe_train_oracle(
+        BPE_TRAIN_MERGES,
+        f"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS word_ct,
+               CAST(SUM(n_pieces) AS BIGINT) AS piece_ct,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_word_ct,
+               ROUND(CAST(SUM(n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pieces_per_word
+    FROM (
+        SELECT d.lang, d.tok, p.n_pieces
+        FROM (
+            SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents
+        ) d
+        JOIN (
+            SELECT tok, len(string_split(trim(syms), ' ')) AS n_pieces
+            FROM vocab{BPE_TRAIN_MERGES}
+        ) p ON d.tok = p.tok
+    )
+    GROUP BY lang
+    ORDER BY lang""",
     ),
     "doc_perplexity": f"""
     WITH toks AS (

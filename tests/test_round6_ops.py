@@ -356,3 +356,31 @@ def test_ann_mmr_topk_pure_python(spark):
             ((cos(vecs[q], vecs[c]), -c) for c in vecs if c >= N_QUERIES),
         )
         assert top1[q] == -rel1[1]
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """Every lang's fertility is >= 1 (a word is at least one piece),
+    and the lang-weighted piece totals must reconcile with a direct
+    corpus-wide count through the same vocab lookup."""
+    from gmallbiguan_parent_spark.operators.text import (
+        _bpe_train, tokenizer_fertility,
+    )
+    from gmallbiguan_parent_spark.functions import tokenize
+
+    rows = tokenizer_fertility(spark, SF_DIR).collect()
+    assert rows and all(r.pieces_per_word >= 1.0 for r in rows)
+    assert all(r.piece_ct >= r.word_ct >= r.distinct_word_ct for r in rows)
+
+    _, vocab = _bpe_train(spark, SF_DIR)
+    pieces = vocab.select(
+        "tok", F.size(F.split(F.trim(F.col("syms")), " ")).alias("n_pieces")
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .join(pieces, "tok")
+        .agg(F.count("*").alias("w"), F.sum("n_pieces").alias("p"))
+        .collect()[0]
+    )
+    assert sum(r.word_ct for r in rows) == total.w
+    assert sum(r.piece_ct for r in rows) == total.p

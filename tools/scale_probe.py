@@ -115,6 +115,14 @@ PROBE_QUERIES = [
     "stream_window_funnel",
     "stream_rate_limit_ledger",
     "stream_dedup_gate",
+    # round-6 continuation: semantic decontamination (batch + stream),
+    # corpus diversity, online ANN serving, diversified retrieval
+    "semantic_decontaminate",
+    "stream_semantic_decontaminate",
+    "ngram_diversity",
+    "stream_ann_topk",
+    "ann_mmr_topk",
+    "tokenizer_fertility",
 ]
 
 
