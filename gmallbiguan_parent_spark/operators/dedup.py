@@ -1296,7 +1296,103 @@ def decontamination_gram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom admission gate: m bits as BLOOM_WORDS 32-bit words (BIGINT
+# storage, bit positions < 32 so the shifted mask is engine-portable
+# with no sign-bit / checked-overflow edge), k salted md5 hashes.
+# Sized small on purpose (2^16 bits for ~n*k = 1k set bits at sf0.01)
+# so the measured false-positive rate is non-degenerate at test scale;
+# production sizes m ≈ 10 bits/key the same way it sizes the CMS.
+BLOOM_BITS = 1 << 16
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(fp):
+    """array<struct<word,mask>> — the k bit positions of a fingerprint,
+    identical arithmetic in Spark and DuckDB (md5-salted 60-bit hash
+    mod m; see functions.md5_bigint)."""
+    from ..functions import md5_bigint
+
+    # 1 << pos via a 32-literal lookup (shiftleft needs a static count);
+    # element_at is 1-based
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(BLOOM_WORD_BITS)])
+    entries = []
+    for i in range(BLOOM_HASHES):
+        bit = md5_bigint(fp, salt=f"bf{i}:") % BLOOM_BITS
+        entries.append(
+            F.struct(
+                F.floor(bit / BLOOM_WORD_BITS).cast("long").alias("word"),
+                F.element_at(masks, (bit % BLOOM_WORD_BITS).cast("int") + 1).alias("mask"),
+            )
+        )
+    return F.array(*entries)
+
+
+def bloom_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-membership dedup gate QA — the Bloom pre-filter an
+    ingestion pipeline puts IN FRONT of the exact dedup ledger so the
+    common case (a genuinely new document) never pays the ledger
+    shuffle, with a measured false-positive report per source (a false
+    positive here costs one wasted exact-check probe, never a lost
+    document — the asymmetry that makes Bloom admission safe).
+
+    Already-ingested corpus = even doc_ids; incoming = odd. The filter
+    is BLOOM_WORDS 32-bit words built by ONE (word)-keyed bit_or
+    aggregate over the ingested fingerprints' k salted-md5 bit
+    positions — partial aggregation ORs masks map-side, so the shuffle
+    carries at most BLOOM_WORDS rows per task regardless of corpus size
+    (the same mergeability argument as cms_heavy_hitters; the sketch is
+    8 KB at any scale and broadcasts everywhere, including into a
+    streaming micro-batch). Probes explode each incoming fingerprint's
+    k positions, broadcast-join the word table, and flag when all k
+    bits are set; exact truth is the fingerprint equi-join. Every step
+    is integer arithmetic on md5, so the DuckDB oracle replays the
+    filter bit-for-bit. Reports per source: incoming docs, true dups,
+    bloom-flagged, false positives, and the measured FP rate over the
+    genuinely-new population."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", "source", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
+    ingested = fps.filter(F.col("doc_id") % 2 == 0)
+    incoming = fps.filter(F.col("doc_id") % 2 != 0)
+
+    words = (
+        ingested.select(F.explode(_bloom_positions(F.col("fp"))).alias("h"))
+        .groupBy(F.col("h.word").alias("word"))
+        .agg(F.bit_or("h.mask").alias("word_mask"))
+    )
+    probe = incoming.select(
+        "doc_id", "source", "fp", F.explode(_bloom_positions(F.col("fp"))).alias("h")
+    ).join(F.broadcast(words), F.col("h.word") == F.col("word"), "left")
+    hit = (F.col("word_mask").bitwiseAND(F.col("h.mask")) != 0) & F.col("word_mask").isNotNull()
+    flagged = probe.groupBy("doc_id", "source", "fp").agg(
+        (F.sum(F.when(hit, 1).otherwise(0)) == BLOOM_HASHES).alias("bloom_flag")
+    )
+    truth = ingested.select("fp").distinct().withColumn("is_dup", F.lit(True))
+    decided = flagged.join(F.broadcast(truth), "fp", "left").select(
+        "source",
+        "bloom_flag",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+    )
+    fp_ct = F.sum(F.when(F.col("bloom_flag") & ~F.col("is_dup"), 1).otherwise(0))
+    new_ct = F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+    return (
+        decided.groupBy("source")
+        .agg(
+            F.count("*").alias("incoming_ct"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("true_dup_ct"),
+            F.sum(F.when(F.col("bloom_flag"), 1).otherwise(0)).alias("flagged_ct"),
+            fp_ct.alias("false_pos_ct"),
+            (fp_ct.cast("decimal(18,6)") / new_ct).cast("decimal(9,6)").alias("fp_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "bloom_dedup_report": bloom_dedup_report,
     "line_dedup_stats": line_dedup_stats,
     "ngram_decontaminate": ngram_decontaminate,
     "decontamination_gram_report": decontamination_gram_report,
@@ -1431,6 +1527,45 @@ _DUCK_XKEEP = f"""
     )"""
 
 ORACLES = {
+    "bloom_dedup_report": f"""
+    WITH fps AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), pos AS (
+        SELECT fp, doc_id, source,
+               (('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR) || ':' || fp), 1, 15))::BIGINT
+                % {BLOOM_BITS}) AS bit
+        FROM fps CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+    ), words AS (
+        SELECT bit // {BLOOM_WORD_BITS} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD_BITS} AS INTEGER)) AS word_mask
+        FROM pos WHERE doc_id % 2 = 0 GROUP BY 1
+    ), probe AS (
+        SELECT p.doc_id, p.source, p.fp,
+               CASE WHEN w.word_mask IS NOT NULL
+                         AND (w.word_mask & (CAST(1 AS BIGINT) << CAST(p.bit % {BLOOM_WORD_BITS} AS INTEGER))) <> 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM pos p LEFT JOIN words w ON p.bit // {BLOOM_WORD_BITS} = w.word
+        WHERE p.doc_id % 2 <> 0
+    ), flagged AS (
+        SELECT doc_id, source, fp, SUM(hit) = {BLOOM_HASHES} AS bloom_flag
+        FROM probe GROUP BY 1, 2, 3
+    ), truth AS (
+        SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0
+    ), decided AS (
+        SELECT f.source, f.bloom_flag, (t.fp IS NOT NULL) AS is_dup
+        FROM flagged f LEFT JOIN truth t ON f.fp = t.fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS incoming_ct,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS true_dup_ct,
+           CAST(SUM(CASE WHEN bloom_flag THEN 1 ELSE 0 END) AS BIGINT) AS flagged_ct,
+           CAST(SUM(CASE WHEN bloom_flag AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) AS false_pos_ct,
+           CAST(CAST(SUM(CASE WHEN bloom_flag AND NOT is_dup THEN 1 ELSE 0 END) AS DECIMAL(18,6))
+                / SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS DECIMAL(9,6)) AS fp_rate
+    FROM decided GROUP BY source ORDER BY source
+    """,
     "remove_duplicated_spans": f"""
     WITH toks AS (
         SELECT doc_id,

@@ -97,6 +97,30 @@ QC_KEEP = 0.75
 QC_REVIEW = 0.35
 
 
+def _qc_logit():
+    """The quality model's logit as a Column — EXACT decimal arithmetic
+    end-to-end: 4-dp features × 2-dp weights sum with no float step and
+    no ROUND at all, so there is no half-way-boundary divergence between
+    engines (a double ROUND here failed at sf0.1 on .xxxx5 logits).
+    Features shared with text_quality via _quality_features."""
+    feats = _quality_features()
+    stop_r, alpha_r, mtl, n_toks = feats["stop_r"], feats["alpha_r"], feats["mtl"], feats["token_ct"]
+    len_norm = F.round(
+        F.least(n_toks, F.lit(256)).cast("decimal(18,6)") / F.lit(256), 4
+    ).cast("decimal(9,4)")
+
+    def w(x):
+        return F.lit(str(x)).cast("decimal(4,2)")
+
+    return (
+        w(QC_BIAS)
+        + w(QC_W_STOP) * stop_r
+        + w(QC_W_ALPHA) * alpha_r
+        + w(QC_W_LEN) * len_norm
+        + w(QC_W_MTL) * mtl
+    ).cast("decimal(12,6)")
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: score = w·x + b over four document
     features, thresholded into keep/review/drop. The model is linear so
@@ -107,27 +131,11 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; the logit rounds at 4 dp so threshold comparisons are
     boundary-exact in both engines."""
     docs = load_table_spread(spark, sf_dir, "documents")
-    # EXACT decimal arithmetic end-to-end: 4-dp features × 2-dp weights
-    # sum with no float step and no ROUND at all, so there is no
-    # half-way-boundary divergence between engines (a double ROUND here
-    # failed at sf0.1 on .xxxx5 logits). Features shared with
-    # text_quality via _quality_features.
-    feats = _quality_features()
-    stop_r, alpha_r, mtl, n_toks = feats["stop_r"], feats["alpha_r"], feats["mtl"], feats["token_ct"]
-    len_norm = F.round(
-        F.least(n_toks, F.lit(256)).cast("decimal(18,6)") / F.lit(256), 4
-    ).cast("decimal(9,4)")
+    logit = _qc_logit()
 
     def w(x):
         return F.lit(str(x)).cast("decimal(4,2)")
 
-    logit = (
-        w(QC_BIAS)
-        + w(QC_W_STOP) * stop_r
-        + w(QC_W_ALPHA) * alpha_r
-        + w(QC_W_LEN) * len_norm
-        + w(QC_W_MTL) * mtl
-    ).cast("decimal(12,6)")
     return docs.select(
         "doc_id",
         logit.alias("quality_logit"),
@@ -135,6 +143,52 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(logit >= w(QC_REVIEW), "review")
         .otherwise("drop")
         .alias("decision"),
+    )
+
+
+# Rejection sampling: acceptance probability = logit clamped into
+# [REJ_P_FLOOR, 1]; the floor keeps a thin stochastic tail of low-quality
+# text in the mix (the CCNet/FineWeb practice — hard-dropping everything
+# below a threshold skews the distribution a learned filter was
+# calibrated on). REJ_DEN makes the u < p comparison pure integers.
+REJ_P_FLOOR = "0.05"
+REJ_DEN = 1_000_000
+
+
+def quality_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic quality filtering — keep each document with
+    probability proportional to its model quality score (rejection
+    sampling), the filter FineWeb/CCNet-style pipelines run instead of
+    a hard threshold so the kept corpus preserves distributional
+    diversity. The coin is deterministic (salted md5 of doc_id →
+    uniform in [0, REJ_DEN)), so reruns and the oracle reproduce the
+    exact sample; the accept test u < p*REJ_DEN is integer-vs-integer
+    (the logit is decimal(12,6), so p*1e6 is integer-valued — no float
+    ever decides a boundary). Plan shape: the whole decision is ONE
+    codegen projection over the scan (score, clamp, hash, compare),
+    then a per-lang aggregate — no shuffle before the final rollup, the
+    same deploy shape as quality_classifier. Reports per language: docs
+    seen, docs admitted, exact admit rate, chars admitted."""
+    from ..functions import md5_bigint
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    p = F.least(
+        F.greatest(_qc_logit(), F.lit(REJ_P_FLOOR).cast("decimal(12,6)")),
+        F.lit("1").cast("decimal(12,6)"),
+    )
+    u = md5_bigint(F.col("doc_id").cast("string"), salt="rej:") % REJ_DEN
+    admit_expr = u < (p * REJ_DEN).cast("long")
+    adm_ct = F.sum(F.when(F.col("admitted"), 1).otherwise(0))
+    return (
+        docs.select("lang", "n_chars", admit_expr.alias("admitted"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_ct"),
+            adm_ct.alias("admitted_ct"),
+            (adm_ct.cast("decimal(18,6)") / F.count("*")).cast("decimal(9,6)").alias("admit_rate"),
+            F.sum(F.when(F.col("admitted"), F.col("n_chars")).otherwise(0)).alias("chars_admitted"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -1106,6 +1160,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "quality_classifier": quality_classifier,
+    "quality_rejection_sample": quality_rejection_sample,
     "top_tokens": top_tokens,
     "inverted_index": inverted_index,
     "lang_id": lang_id,
@@ -1479,6 +1534,32 @@ ORACLES = {
                     WHEN quality_logit >= CAST('{QC_REVIEW}' AS DECIMAL(4,2)) THEN 'review'
                     ELSE 'drop' END AS decision
         FROM s
+    """,
+    "quality_rejection_sample": _DUCK_QUALITY_F + f"""
+        , s AS (
+            SELECT doc_id,
+                   CAST(ROUND(CAST(LEAST(token_ct, 256) AS DECIMAL(18,6)) / 256, 4) AS DECIMAL(9,4)) AS len_norm,
+                   CAST(CAST('{QC_BIAS}' AS DECIMAL(4,2))
+                        + CAST('{QC_W_STOP}' AS DECIMAL(4,2)) * stop_r
+                        + CAST('{QC_W_ALPHA}' AS DECIMAL(4,2)) * alpha_r
+                        + CAST('{QC_W_LEN}' AS DECIMAL(4,2)) * len_norm
+                        + CAST('{QC_W_MTL}' AS DECIMAL(4,2)) * mtl
+                     AS DECIMAL(12,6)) AS quality_logit
+            FROM f
+        ), dec AS (
+            SELECT d.lang, d.n_chars,
+                   (('0x' || substr(md5('rej:' || CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % {REJ_DEN})
+                     < CAST(LEAST(GREATEST(s.quality_logit, CAST('{REJ_P_FLOOR}' AS DECIMAL(12,6))),
+                                  CAST('1' AS DECIMAL(12,6))) * {REJ_DEN} AS BIGINT) AS admitted
+            FROM s JOIN documents d ON s.doc_id = d.doc_id
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS admitted_ct,
+               CAST(CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS DECIMAL(18,6))
+                    / COUNT(*) AS DECIMAL(9,6)) AS admit_rate,
+               CAST(SUM(CASE WHEN admitted THEN n_chars ELSE 0 END) AS BIGINT) AS chars_admitted
+        FROM dec GROUP BY lang ORDER BY lang
     """,
     "top_tokens": """
         WITH toks AS (

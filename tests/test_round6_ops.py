@@ -384,3 +384,99 @@ def test_tokenizer_fertility_invariants(spark):
     )
     assert sum(r.word_ct for r in rows) == total.w
     assert sum(r.piece_ct for r in rows) == total.p
+
+
+def test_bloom_no_false_negatives(spark):
+    """The Bloom guarantee: every incoming doc whose fingerprint IS in
+    the ingested set must be flagged — per source, flagged_ct covers
+    true_dup_ct and false_pos_ct is exactly flagged - true_dup."""
+    from gmallbiguan_parent_spark.operators.dedup import bloom_dedup_report
+
+    rows = bloom_dedup_report(spark, SF_DIR).collect()
+    assert rows, "report must not be empty"
+    for r in rows:
+        assert r.flagged_ct >= r.true_dup_ct, r
+        assert r.false_pos_ct == r.flagged_ct - r.true_dup_ct, r
+        assert 0 <= r.false_pos_ct <= r.incoming_ct - r.true_dup_ct, r
+
+
+def test_bloom_flag_matches_exact_membership_replay(spark):
+    """Pure-Python replay of the filter on the raw corpus: build the
+    bit set from even doc_ids, probe odd ones, and compare aggregate
+    counts with the Spark report."""
+    import hashlib
+    import re
+
+    from gmallbiguan_parent_spark.operators.dedup import (
+        BLOOM_BITS, BLOOM_HASHES, bloom_dedup_report,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text").collect()
+
+    def fp(text):
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    def bits(f):
+        return [
+            int(hashlib.md5(f"bf{i}:{f}".encode()).hexdigest()[:15], 16) % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+
+    ingested_bits: set[int] = set()
+    ingested_fps: set[str] = set()
+    for r in docs:
+        if r.doc_id % 2 == 0:
+            f = fp(r.text)
+            ingested_fps.add(f)
+            ingested_bits.update(bits(f))
+    expect: dict[str, list[int]] = {}
+    for r in docs:
+        if r.doc_id % 2 == 0:
+            continue
+        f = fp(r.text)
+        flagged = all(b in ingested_bits for b in bits(f))
+        dup = f in ingested_fps
+        e = expect.setdefault(r.source, [0, 0, 0])
+        e[0] += 1
+        e[1] += int(dup)
+        e[2] += int(flagged)
+    got = {r.source: r for r in bloom_dedup_report(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for src, (inc, dup, flag) in expect.items():
+        g = got[src]
+        assert (g.incoming_ct, g.true_dup_ct, g.flagged_ct) == (inc, dup, flag), src
+
+
+def test_rejection_sample_probability_replay(spark):
+    """The admit decision is a deterministic function of (doc_id,
+    quality logit): replay it doc-by-doc in pure Python off the
+    quality_classifier output and match the per-lang counts."""
+    import hashlib
+
+    from gmallbiguan_parent_spark.operators.text import (
+        REJ_DEN, REJ_P_FLOOR, quality_classifier, quality_rejection_sample,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    import decimal
+
+    logits = {r.doc_id: r.quality_logit for r in quality_classifier(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang").collect()
+    floor = decimal.Decimal(REJ_P_FLOOR)
+    expect: dict[str, list[int]] = {}
+    for r in docs:
+        p = min(max(logits[r.doc_id], floor), decimal.Decimal(1))
+        u = int(hashlib.md5(f"rej:{r.doc_id}".encode()).hexdigest()[:15], 16) % REJ_DEN
+        admitted = u < int(p * REJ_DEN)
+        e = expect.setdefault(r.lang, [0, 0])
+        e[0] += 1
+        e[1] += int(admitted)
+    got = {r.lang: r for r in quality_rejection_sample(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for lang, (ct, adm) in expect.items():
+        assert (got[lang].doc_ct, got[lang].admitted_ct) == (ct, adm), lang
+        # the floor keeps the admit rate strictly positive in expectation;
+        # sanity-bound it
+        assert 0 <= got[lang].admitted_ct <= got[lang].doc_ct
