@@ -1482,6 +1482,112 @@ def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Radius (range) search: all corpus vectors with cosine >= RANGE_TAU.
+# Threshold calibrated to the synthetic corpus (near-orthogonal 64-dim
+# vectors: max query-corpus cosine ~0.49 at sf0.01) so results are
+# non-empty at every sf. RANGE_EPS absorbs float-fold noise AND the
+# 6-dp HALF_UP rounding of the final cosine (a raw cosine of tau-5e-7
+# rounds UP to tau and must survive the screen).
+RANGE_TAU = 0.35
+RANGE_EPS = 1e-6
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query (FAISS range_search): EVERY corpus vector within a
+    cosine threshold of each query — the retrieval API dedup-style
+    consumers need when "how many neighbors" is data-dependent (top-k
+    truncates real matches and pads with noise).
+
+    EXACT results via compressed-domain filter-and-refine: the corpus
+    is screened with its SQ8 codes (the ann_sq8_rerank quantizer — 8x
+    less IO at scale), but unlike a heuristic shortlist the screen
+    keeps everything whose quantization-error UPPER BOUND could still
+    clear the threshold: dot(q,x) <= dot(q, dequant(x)) + sum_i
+    |q_i|*step_i/2 (per-dim reconstruction error is at most half a
+    quantization step; no clipping — codes span the corpus min/max by
+    construction), so with the exact stored norm the screened-out pairs
+    PROVABLY fall below tau and recall is 100% — the oracle is plain
+    brute force, not a replay of the screen. On near-orthogonal
+    embeddings the bound sits ~0.01 above the true cosine, so the
+    exact-confirm stage touches a tiny candidate fraction
+    (tests/test_round6_ops.py bounds it at <25% of all pairs).
+
+    At 100 TB: the screen scans the codes table (with the norm stored
+    alongside, the write-time artifact SQ8 indexes persist), queries
+    broadcast, candidates-only rows read the full-precision vectors —
+    the confirm-candidates-only shape the LSH dedup family uses."""
+    cand = _range_search_candidates(spark, sf_dir)
+    return (
+        cand.select(
+            "query_id",
+            "corpus_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
+def _range_search_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-domain screen — its own seam so the pruning test
+    bounds the CANDIDATE count, not just the verified output."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(F.col("query_id") < N_QUERIES)
+
+    stats = (
+        corpus.select(F.posexplode("c_emb").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s"))
+        .select(
+            F.transform("s", lambda e: e.mn).alias("mn_arr"),
+            F.transform("s", lambda e: (e.mx - e.mn) / float(SQ8_LEVELS)).alias("sc_arr"),
+        )
+    )
+    with_stats = corpus.crossJoin(F.broadcast(stats))
+    codes = F.zip_with(
+        F.zip_with(F.col("c_emb"), F.col("mn_arr"), lambda x, m: x - m),
+        F.col("sc_arr"),
+        lambda d, s: F.when(s == 0.0, 0.0).otherwise(F.floor(d / s + 0.5).cast("double")),
+    )
+    dequant = F.zip_with(
+        F.zip_with(codes, F.col("sc_arr"), lambda c, s: c * s),
+        F.col("mn_arr"),
+        lambda t, m: t + m,
+    )
+    # at scale (dq_emb, c_norm) IS the stored codes artifact; c_emb is
+    # carried here only for the confirm projection
+    dq = with_stats.select(
+        "corpus_id", "c_emb", dequant.alias("dq_emb"), _norm(F.col("c_emb")).alias("c_norm")
+    )
+
+    q_side = queries.crossJoin(F.broadcast(stats)).select(
+        "query_id",
+        "q_emb",
+        _norm(F.col("q_emb")).alias("q_norm"),
+        (
+            F.aggregate(
+                F.zip_with(F.col("q_emb"), F.col("sc_arr"), lambda q, s: F.abs(q) * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / 2
+        ).alias("q_slack"),
+    )
+    ub = (_dot(F.col("q_emb"), F.col("dq_emb")) + F.col("q_slack")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    return dq.crossJoin(F.broadcast(q_side)).filter(ub >= RANGE_TAU - RANGE_EPS)
+
+
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension distribution profile of the embedding corpus —
     the batch QA step before indexing (a dead dimension, a variance
@@ -1675,6 +1781,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "ann_truncated_rerank": ann_truncated_rerank,
     "ann_sq8_rerank": ann_sq8_rerank,
+    "ann_range_search": ann_range_search,
     "sq8_quantization_error": sq8_quantization_error,
     "ann_pq_adc": ann_pq_adc,
     "embedding_dim_stats": embedding_dim_stats,
@@ -2111,6 +2218,20 @@ ORACLES = {
     "ann_cosine_topk_arrow": _DUCK_SCORED + f"""
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, cosine
     FROM ranked WHERE rank <= {TOP_K}
+    """,
+    # brute force IS the oracle: the SQ8 screen is lossless by the
+    # quantization-error bound, so the result must equal the full scan
+    "ann_range_search": f"""
+    WITH corpus AS (
+        SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS c_emb
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, corpus_id, {_duck_cos('q_emb', 'c_emb')} AS cosine
+    FROM queries CROSS JOIN corpus
+    WHERE {_duck_cos('q_emb', 'c_emb')} >= {RANGE_TAU}
     """,
     "ann_ivf_topk": _ivf_oracle(
         "rn = 1",

@@ -480,3 +480,53 @@ def test_rejection_sample_probability_replay(spark):
         # the floor keeps the admit rate strictly positive in expectation;
         # sanity-bound it
         assert 0 <= got[lang].admitted_ct <= got[lang].doc_ct
+
+
+def test_range_search_equals_brute_force(spark):
+    """The SQ8 screen is lossless: the pruned range search must return
+    exactly the brute-force threshold set (same pairs, same cosines)."""
+    import pyspark.sql.functions as FN
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        N_QUERIES, RANGE_TAU, _dot, _norm, ann_range_search,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.select(
+        FN.col("vec_id").alias("corpus_id"),
+        FN.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(FN.col("corpus_id") >= N_QUERIES)
+    queries = emb.select(
+        FN.col("vec_id").alias("query_id"),
+        FN.col("embedding").cast("array<double>").alias("q_emb"),
+    ).filter(FN.col("query_id") < N_QUERIES)
+    brute = (
+        corpus.crossJoin(FN.broadcast(queries))
+        .select(
+            "query_id", "corpus_id",
+            FN.round(
+                _dot(FN.col("q_emb"), FN.col("c_emb"))
+                / (_norm(FN.col("q_emb")) * _norm(FN.col("c_emb"))), 6,
+            ).alias("cosine"),
+        )
+        .filter(FN.col("cosine") >= RANGE_TAU)
+    )
+    got = sorted((r.query_id, r.corpus_id, r.cosine) for r in ann_range_search(spark, SF_DIR).collect())
+    want = sorted((r.query_id, r.corpus_id, r.cosine) for r in brute.collect())
+    assert got == want
+    assert got, "threshold must produce a non-empty result at test sf"
+
+
+def test_range_search_screen_prunes(spark):
+    """The quantization-error bound must do real work: the candidate
+    set the exact confirm touches is a small fraction of all pairs."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        N_QUERIES, _range_search_candidates,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    total_pairs = (n - N_QUERIES) * N_QUERIES
+    cand = _range_search_candidates(spark, SF_DIR).count()
+    assert cand < total_pairs * 0.25, (cand, total_pairs)
