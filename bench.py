@@ -140,6 +140,13 @@ EXTENDED = [
     "stream_ann_topk",
     "ann_mmr_topk",
     "tokenizer_fertility",
+    # round-6 continuation: bloom admission QA, stochastic quality
+    # sampling, lossless radius search, mergeable-sketch stream twins
+    "bloom_dedup_report",
+    "quality_rejection_sample",
+    "ann_range_search",
+    "stream_cms_heavy_hitters",
+    "stream_psi_drift",
 ]
 
 

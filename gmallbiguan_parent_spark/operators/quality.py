@@ -221,24 +221,39 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.filter(F.col("o_orderdate") < PSI_SPLIT_DATE)
     cur = orders.filter(F.col("o_orderdate") >= PSI_SPLIT_DATE)
-    cuts = ref.agg(*[
+    cuts = _psi_cuts(ref)
+    r = _psi_bucket_counts(ref, cuts).select("bucket", F.col("ct").alias("ref_ct"))
+    c = _psi_bucket_counts(cur, cuts).select("bucket", F.col("ct").alias("cur_ct"))
+    return _psi_detail(r, c)
+
+
+def _psi_cuts(ref: DataFrame) -> DataFrame:
+    """The reference window's decile cut points as one broadcastable row."""
+    return ref.agg(*[
         F.expr(f"percentile_disc({p / PSI_BUCKETS}) WITHIN GROUP (ORDER BY o_totalprice)").alias(f"c{p}")
         for p in range(1, PSI_BUCKETS)
     ])
 
-    def bucketed(df):
-        b = F.lit(1)
-        for p in range(1, PSI_BUCKETS):
-            b = b + F.when(F.col("o_totalprice") > F.col(f"c{p}"), 1).otherwise(0)
-        return (
-            df.crossJoin(F.broadcast(cuts))
-            .select(b.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("ct"))
-        )
 
-    r = bucketed(ref).select("bucket", F.col("ct").alias("ref_ct"))
-    c = bucketed(cur).select("bucket", F.col("ct").alias("cur_ct"))
+def _psi_bucket_counts(df: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Bucket o_totalprice by the reference cut points (shared
+    when-chain) and count per bucket — one shuffle of at most
+    PSI_BUCKETS rows per task."""
+    b = F.lit(1)
+    for p in range(1, PSI_BUCKETS):
+        b = b + F.when(F.col("o_totalprice") > F.col(f"c{p}"), 1).otherwise(0)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
+def _psi_detail(r: DataFrame, c: DataFrame) -> DataFrame:
+    """(bucket, ref_ct) × (bucket, cur_ct) → the PSI detail + total
+    table — shared by psi_drift and its streaming ledger twin so both
+    produce byte-identical reports."""
     r_tot = r.agg(F.sum("ref_ct").alias("ref_n"))
     c_tot = c.agg(F.sum("cur_ct").alias("cur_n"))
     p = F.col("ref_ct").cast("double") / F.col("ref_n").cast("double")

@@ -259,6 +259,47 @@ CMS_WIDTH = 1024
 CMS_EVAL_TOP = 20
 
 
+def cms_bucket_entries(token_col):
+    """array<struct<r,bucket>> — the CMS_DEPTH salted-md5 bucket slots of
+    a token; the single hash definition the batch sketch, its probes,
+    and the streaming ledger twin all share."""
+    from ..functions import md5_bigint
+
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            (md5_bigint(token_col, salt=f"cms{r}:") % CMS_WIDTH).alias("bucket"),
+        )
+        for r in range(CMS_DEPTH)
+    ])
+
+
+def cms_eval_probes(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame:
+    """Evaluate a (r, bucket, cnt) sketch against exact truth for the
+    corpus's CMS_EVAL_TOP tokens — shared by cms_heavy_hitters and the
+    streaming ledger twin, so both produce byte-identical reports."""
+    from ..functions import tokenize
+    from ..io import load_table_spread
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    truth = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_ct"))
+        .orderBy(F.desc("true_ct"), F.asc("token"))
+        .limit(CMS_EVAL_TOP)
+    )
+    probes = truth.select(
+        "token", "true_ct", F.explode(cms_bucket_entries(F.col("token"))).alias("h")
+    ).select("token", "true_ct", "h.r", "h.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "inner")
+        .groupBy("token", "true_ct")
+        .agg(F.min("cnt").alias("est_ct"))
+        .orderBy(F.desc("true_ct"), F.asc("token"))
+    )
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch frequency estimation, evaluated against exact
     truth for the corpus's top tokens. The sketch is CMS_DEPTH x
@@ -275,49 +316,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join probes CMS_EVAL_TOP tokens x DEPTH buckets — broadcast-tiny.
     Every arithmetic step is exact integers, so the DuckDB oracle
     replays the sketch bit-for-bit."""
-    from ..functions import md5_bigint, tokenize
+    from ..functions import tokenize
     from ..io import load_table_spread
 
     docs = load_table_spread(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize("text")).alias("token"))
     rows = toks.select(
-        "token",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    (md5_bigint(F.col("token"), salt=f"cms{r}:") % CMS_WIDTH).alias("bucket"),
-                )
-                for r in range(CMS_DEPTH)
-            ])
-        ).alias("h"),
+        "token", F.explode(cms_bucket_entries(F.col("token"))).alias("h")
     ).select("token", "h.r", "h.bucket")
     sketch = rows.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
-
-    truth = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("true_ct"))
-        .orderBy(F.desc("true_ct"), F.asc("token"))
-        .limit(CMS_EVAL_TOP)
-    )
-    probes = truth.select(
-        "token", "true_ct",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    (md5_bigint(F.col("token"), salt=f"cms{r}:") % CMS_WIDTH).alias("bucket"),
-                )
-                for r in range(CMS_DEPTH)
-            ])
-        ).alias("h"),
-    ).select("token", "true_ct", "h.r", "h.bucket")
-    return (
-        probes.join(F.broadcast(sketch), ["r", "bucket"], "inner")
-        .groupBy("token", "true_ct")
-        .agg(F.min("cnt").alias("est_ct"))
-        .orderBy(F.desc("true_ct"), F.asc("token"))
-    )
+    return cms_eval_probes(spark, sf_dir, sketch)
 
 
 QUERIES = {

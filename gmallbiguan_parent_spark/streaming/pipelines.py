@@ -540,6 +540,80 @@ def stream_rate_limit_ledger(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     )
 
 
+def stream_cms_sketch(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Streaming Count-Min maintenance — the sketch's additive
+    mergeability exercised for real instead of merely claimed by the
+    batch op's docstring: each micro-batch folds its tokens into its
+    OWN DEPTH×WIDTH partial counter table (one keyed aggregate,
+    map-side combine — at most DEPTH*WIDTH rows leave any task) and
+    writes it idempotently under batch_id=<id>; the live sketch at any
+    moment is the SUM over ledger partials (a compaction pass would
+    fold them in production). No state store, no complete-mode
+    re-emission, driver memory holds nothing — counters this cheap to
+    maintain are WHY heavy-hitter monitoring runs at ingest. A bounded
+    replay's summed ledger equals the batch sketch exactly (counting is
+    additive over any partition of the corpus), so the evaluation
+    report reuses cms_heavy_hitters' oracle verbatim."""
+    from ..functions import tokenize
+    from ..operators.sketches import cms_bucket_entries
+
+    docs = _table_stream(spark, sf_dir, "documents")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode(tokenize("text")).alias("token"))
+            .select(F.explode(cms_bucket_entries(F.col("token"))).alias("h"))
+            .groupBy(F.col("h.r").alias("r"), F.col("h.bucket").alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/data/batch_id={batch_id}")
+        )
+
+    (
+        docs.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_psi_fold(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Streaming drift monitoring — the current-window side of the PSI
+    report maintained at ingest: each micro-batch buckets its
+    current-window orders against the FROZEN reference decile cuts (a
+    1-row broadcast; production computes them once when the reference
+    window is frozen — here each fold re-derives them from the static
+    reference read, same value every time) and appends its per-bucket
+    partial counts idempotently under batch_id=<id>. Bucket counting is
+    additive, so the summed ledger equals the batch current-window
+    histogram exactly and the final report reuses psi_drift's oracle
+    verbatim. No state store; at most PSI_BUCKETS rows per batch."""
+    from ..operators.quality import PSI_SPLIT_DATE, _psi_bucket_counts, _psi_cuts
+
+    orders = _table_stream(spark, sf_dir, "orders")
+    cur = orders.filter(F.col("o_orderdate") >= PSI_SPLIT_DATE)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ref = s.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderdate") < PSI_SPLIT_DATE
+        )
+        (
+            _psi_bucket_counts(batch_df, _psi_cuts(ref))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/data/batch_id={batch_id}")
+        )
+
+    (
+        cur.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_chk")
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_dedup_gate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Ingest-time EXACT-dedup admission — the ledger pattern again
     (the only honest shape: a fingerprint seen-set is unbounded state,

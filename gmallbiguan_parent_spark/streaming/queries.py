@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from ..functions import dec
 from .pipelines import (
     WINDOW, _events_stream, _table_stream, run_stream_to_df,
-    stream_dedup_gate, stream_jump_detect, stream_rate_limit,
-    stream_rate_limit_ledger, stream_transition_matrix,
+    stream_cms_sketch, stream_dedup_gate, stream_jump_detect,
+    stream_rate_limit, stream_rate_limit_ledger, stream_transition_matrix,
 )
 
 # static-side (band table, shingle sets, per-ref band-key arrays)
@@ -361,6 +361,40 @@ def stream_dedup_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("admitted"), F.col("doc_id"))).alias("keeper_doc_id"),
         F.count("*").alias("dup_ct"),
     )
+
+
+def stream_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the streaming CMS: sum the per-batch partial
+    counters into the live sketch and run the SAME evaluation probe as
+    the batch op — counting is additive over any partition of the
+    corpus, so the report (and oracle) is cms_heavy_hitters' verbatim."""
+    from ..operators.sketches import cms_eval_probes
+
+    partials = run_stream_to_df(spark, sf_dir, stream_cms_sketch)
+    sketch = partials.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return cms_eval_probes(spark, sf_dir, sketch)
+
+
+def stream_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay of the streaming drift monitor: the summed
+    current-window bucket ledger joins the (frozen) reference histogram
+    through the SAME detail math as the batch op — additivity makes the
+    replayed report equal psi_drift byte-for-byte, oracle verbatim."""
+    from ..io import load_table
+    from ..operators.quality import (
+        PSI_SPLIT_DATE, _psi_bucket_counts, _psi_cuts, _psi_detail,
+    )
+    from .pipelines import stream_psi_fold
+
+    partials = run_stream_to_df(spark, sf_dir, stream_psi_fold)
+    cur = partials.groupBy("bucket").agg(F.sum("ct").alias("cur_ct"))
+    ref_rows = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < PSI_SPLIT_DATE
+    )
+    ref = _psi_bucket_counts(ref_rows, _psi_cuts(ref_rows)).select(
+        "bucket", F.col("ct").alias("ref_ct")
+    )
+    return _psi_detail(ref, cur)
 
 
 def stream_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1028,8 @@ QUERIES = {
     "stream_rate_limit": stream_rate_limit_q,
     "stream_rate_limit_ledger": stream_rate_limit_ledger_q,
     "stream_dedup_gate": stream_dedup_gate_q,
+    "stream_cms_heavy_hitters": stream_cms_heavy_hitters_q,
+    "stream_psi_drift": stream_psi_drift_q,
     "stream_transition_matrix": stream_transition_matrix_q,
     "stream_gmv_incremental": stream_gmv_incremental_q,
     "stream_uv_dedup": stream_uv_dedup_q,
@@ -1020,6 +1056,7 @@ from ..operators.dedup import ORACLES as _DEDUP_ORACLES
 from ..operators.timeseries import ORACLES as _TS_ORACLES
 
 from ..operators.similarity import ORACLES as _SIM_ORACLES
+from ..operators.sketches import ORACLES as _SKETCH_ORACLES
 
 ORACLES = {
     # online ANN serving must answer EXACTLY like the batch IVF probe
@@ -1053,6 +1090,12 @@ ORACLES = {
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_rate_limit_ledger": _QUALITY_ORACLES["rate_limited_events"],
     "stream_dedup_gate": _DEDUP_ORACLES["dedup_exact"],
+    # the summed counter ledger IS the batch sketch (additivity), so
+    # the evaluation report reuses the batch oracle verbatim
+    "stream_cms_heavy_hitters": _SKETCH_ORACLES["cms_heavy_hitters"],
+    # the summed current-window bucket ledger equals the batch
+    # histogram (additivity) — drift report oracle verbatim
+    "stream_psi_drift": _QUALITY_ORACLES["psi_drift"],
     "stream_transition_matrix": _ANALYTICS_ORACLES["event_transition_matrix"],
     # the streaming CUSUM alert folds the batch twin's exact decimal
     # arithmetic over the ledger-reaggregated series — oracle verbatim

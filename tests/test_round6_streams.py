@@ -196,3 +196,54 @@ def test_stream_semantic_decontaminate_equals_batch(spark):
         for r in semantic_decontaminate(spark, SF_DIR).collect()
     }
     assert got == want and got
+
+
+def test_stream_cms_cross_batch_additivity(spark, tmp_path):
+    """Counters maintained across two micro-batches must sum to the
+    single-scan sketch: re-running the fold after new files arrive
+    adds ONLY the new tokens' counts, and the merged ledger equals a
+    batch recount of everything seen."""
+    import os
+
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_cms_sketch
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    docs_dir = f"{src}/documents.parquet"
+    _write_docs(spark, docs_dir, [(1, "spark spark flink"), (2, "flink duck")])
+    stream_cms_sketch(spark, src, out)
+    _write_docs(spark, docs_dir, [(3, "spark duck duck")])
+    stream_cms_sketch(spark, src, out)
+
+    merged = {
+        (r.r, r.bucket): r.total
+        for r in spark.read.parquet(f"{out}/data")
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    from gmallbiguan_parent_spark.functions import tokenize
+    from gmallbiguan_parent_spark.operators.sketches import cms_bucket_entries
+
+    expect = {
+        (r.r, r.bucket): r.total
+        for r in spark.read.parquet(docs_dir)
+        .select(F.explode(tokenize("text")).alias("token"))
+        .select(F.explode(cms_bucket_entries(F.col("token"))).alias("h"))
+        .groupBy(F.col("h.r").alias("r"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").alias("total"))
+        .collect()
+    }
+    assert merged == expect
+
+
+def test_stream_psi_drift_equals_batch(spark):
+    """The replayed drift report must equal the batch PSI table
+    byte-for-byte (bucket counting is additive over micro-batches)."""
+    from gmallbiguan_parent_spark.operators.quality import psi_drift
+    from gmallbiguan_parent_spark.streaming.queries import stream_psi_drift_q
+
+    got = sorted(map(tuple, stream_psi_drift_q(spark, SF_DIR).collect()))
+    want = sorted(map(tuple, psi_drift(spark, SF_DIR).collect()))
+    assert got == want
