@@ -147,6 +147,7 @@ EXTENDED = [
     "ann_range_search",
     "stream_cms_heavy_hitters",
     "stream_psi_drift",
+    "neardup_keep_best",
 ]
 
 

@@ -687,6 +687,32 @@ def neardup_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority canonical selection — the policy real curation
+    pipelines use instead of neardup_dedup_rewrite's min-id rule: within
+    each near-dup cluster keep the LONGEST document (n_chars desc,
+    doc_id asc tiebreak; swap in any quality score the same way), since
+    near-dup groups usually contain one full article and N truncated or
+    boilerplate-wrapped copies of it. One row per cluster: the keeper,
+    member count, and chars the rewrite would drop.
+
+    Plan: cluster ids derive from the checkpointed LSH pair set (shared
+    with the other three cluster consumers); the member join touches
+    only clustered docs (AQE broadcasts the id side at low dup rates,
+    degrades to a key-partitioned join at web-corpus rates — the
+    neardup_dedup_rewrite argument); then ONE cluster-keyed aggregate
+    where max_by carries the (n_chars, -doc_id) argmax map-side, so no
+    per-cluster sort and no window over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = neardup_clusters(spark, sf_dir).join(docs, "doc_id")
+    pri = F.struct(F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b"))
+    return members.groupBy("cluster_id").agg(
+        F.count("*").alias("member_ct"),
+        F.max_by("doc_id", pri).alias("keeper_doc_id"),
+        (F.sum("n_chars") - F.max_by("n_chars", pri)).alias("chars_dropped"),
+    )
+
+
 DEDUP_CURVE_THRESHOLDS = ("0.50", "0.60", "0.70", "0.80", "0.90")
 
 
@@ -1410,6 +1436,7 @@ QUERIES = {
     "decontaminate_corpus": decontaminate_corpus,
     "neardup_clusters": neardup_clusters,
     "neardup_dedup_rewrite": neardup_dedup_rewrite,
+    "neardup_keep_best": neardup_keep_best,
     "leakage_safe_split": leakage_safe_split,
     "dedup_threshold_curve": dedup_threshold_curve,
     "neardup_edit_distance": neardup_edit_distance,
@@ -1761,6 +1788,42 @@ ORACLES = {
     )
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
+    """,
+    # same component CTEs as neardup_clusters; canonical = the longest
+    # member (n_chars desc, doc_id asc) per component
+    "neardup_keep_best": _DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks")
+    + _DUCK_MINHASH_PAIRS + """
+    , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM good
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM good
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), reach(src, dst) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ), m AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    ), g AS (
+        SELECT cluster_id, COUNT(*) AS member_ct, SUM(n_chars) AS char_sum
+        FROM m GROUP BY cluster_id
+    ), k AS (
+        SELECT cluster_id, doc_id, n_chars FROM (
+            SELECT cluster_id, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM m
+        ) WHERE rn = 1
+    )
+    SELECT CAST(g.cluster_id AS BIGINT) AS cluster_id,
+           CAST(g.member_ct AS BIGINT) AS member_ct,
+           CAST(k.doc_id AS BIGINT) AS keeper_doc_id,
+           CAST(g.char_sum - k.n_chars AS BIGINT) AS chars_dropped
+    FROM g JOIN k ON g.cluster_id = k.cluster_id
     """,
     # same component CTEs as neardup_clusters; the rewrite drops every
     # clustered doc except its component min and rolls up survivors

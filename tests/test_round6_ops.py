@@ -530,3 +530,24 @@ def test_range_search_screen_prunes(spark):
     total_pairs = (n - N_QUERIES) * N_QUERIES
     cand = _range_search_candidates(spark, SF_DIR).count()
     assert cand < total_pairs * 0.25, (cand, total_pairs)
+
+
+def test_neardup_keep_best_picks_longest_member(spark):
+    """The keeper must be each cluster's (n_chars desc, doc_id asc)
+    argmax, and chars_dropped the sum of the losers' sizes."""
+    from gmallbiguan_parent_spark.operators.dedup import (
+        neardup_clusters, neardup_keep_best,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    sizes = {r.doc_id: r.n_chars for r in load_table(spark, SF_DIR, "documents").collect()}
+    members: dict[int, list[int]] = {}
+    for r in neardup_clusters(spark, SF_DIR).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    got = {r.cluster_id: r for r in neardup_keep_best(spark, SF_DIR).collect()}
+    assert set(got) == set(members)
+    for cid, docs in members.items():
+        best = min(docs, key=lambda d: (-sizes[d], d))
+        assert got[cid].keeper_doc_id == best, cid
+        assert got[cid].member_ct == len(docs), cid
+        assert got[cid].chars_dropped == sum(sizes[d] for d in docs) - sizes[best], cid
