@@ -148,6 +148,7 @@ EXTENDED = [
     "stream_cms_heavy_hitters",
     "stream_psi_drift",
     "neardup_keep_best",
+    "curation_funnel",
 ]
 
 

@@ -68,6 +68,90 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation ATTRITION REPORT — per-stage survivor counts for
+    the full training-data funnel, the first table every dataset card
+    shows (how much did each screen cost?):
+
+      1 pool          the training pool (doc_id % 17 != 0; the held-out
+                      1/17 is the benchmark suite, never trainable)
+      2 rules         Gopher rule gate (the gopher_quality_flags keep)
+      3 exact_dedup   min-doc_id keeper per normalized fingerprint
+                      among rule survivors
+      4 neardup       drop docs that near-duplicate ANY earlier-id
+                      corpus doc (the confirmed LSH pair set's doc_b
+                      side — the greedy pair policy production MinHash
+                      dedup applies; corpus-level, so a doc dropped by
+                      rules can still eliminate its later twin)
+      5 decontaminate drop ngram_decontaminate's 'drop' decisions
+                      ('review' survives for human triage)
+
+    Plan: ONE corpus scan computes flags + fingerprint (codegen
+    projection), one fingerprint-keyed window finds keepers, the two
+    drop sets come from the SAME corpus-level artifacts their owning
+    operators checkpoint (the LSH pair set, the benchmark gram
+    collisions) and left-join as id lists, then a single-row aggregate
+    unpivots to the 5-stage table — the funnel adds no new shuffle
+    shape at any corpus size."""
+    from .dedup import _lsh_pairs_ck, ngram_decontaminate
+    from .text import _gopher_flags
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") % 17 != 0)
+    flagged = _gopher_flags(pool).select("doc_id", "keep")
+    base = pool.select(
+        "doc_id", "n_chars", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
+    j = base.join(flagged, "doc_id").withColumn(
+        "keeper",
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).over(Window.partitionBy("fp")),
+    )
+    ndrop = (
+        _lsh_pairs_ck(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nd", F.lit(True))
+    )
+    cdrop = (
+        ngram_decontaminate(spark, sf_dir)
+        .filter(F.col("decision") == "drop")
+        .select("doc_id")
+        .withColumn("cd", F.lit(True))
+    )
+    s2 = F.col("keep")
+    s3 = s2 & (F.col("doc_id") == F.col("keeper"))
+    s4 = s3 & F.col("nd").isNull()
+    s5 = s4 & F.col("cd").isNull()
+    st = (
+        j.join(ndrop, "doc_id", "left")
+        .join(cdrop, "doc_id", "left")
+        .select(
+            "n_chars", s2.alias("s2"), s3.alias("s3"), s4.alias("s4"), s5.alias("s5")
+        )
+    )
+
+    def cnt(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0))
+
+    def chs(c):
+        return F.sum(F.when(F.col(c), F.col("n_chars")).otherwise(0))
+
+    agg = st.agg(
+        F.count("*").alias("c1"), F.sum("n_chars").alias("h1"),
+        cnt("s2").alias("c2"), chs("s2").alias("h2"),
+        cnt("s3").alias("c3"), chs("s3").alias("h3"),
+        cnt("s4").alias("c4"), chs("s4").alias("h4"),
+        cnt("s5").alias("c5"), chs("s5").alias("h5"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 1, 'pool', c1, h1, 2, 'rules', c2, h2,"
+            " 3, 'exact_dedup', c3, h3, 4, 'neardup', c4, h4,"
+            " 5, 'decontaminate', c5, h5) AS (stage_no, stage, doc_ct, char_sum)"
+        )
+    ).orderBy("stage_no")
+
+
 PACK_BUDGET = 2048     # tokens per packed context bin
 N_SHARDS = 8           # independent packing streams; 1000s at cluster scale
 
@@ -252,6 +336,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "curate_corpus": curate_corpus,
+    "curation_funnel": curation_funnel,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
     "dataset_card": dataset_card,
@@ -270,7 +355,84 @@ _CARD_TOT = """
     FROM documents
 """
 
+from .dedup import (  # noqa: E402  (oracle composition, no cycle)
+    _DUCK_MINHASH_PAIRS, _DUCK_SHINGLES, CONTAM_DROP_FRAC, SPAN_TOKENS,
+)
+from .text import (  # noqa: E402
+    _STOP_LIST, GOPHER_MAX_WORDS, GOPHER_MIN_WORDS,
+)
+
+# The funnel oracle composes the EXACT fragments its stage owners use:
+# the shingle/minhash `good` pair chain (near-dup drops), the window
+# collision score (decontamination drops), and the Gopher flag math —
+# all over the shared `toks` token array the shingle fragment defines.
+_FUNNEL_ORACLE = _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + f"""
+    , wins AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= {SPAN_TOKENS} THEN
+                   [array_to_string(toks[i:i+{SPAN_TOKENS} - 1], ' ')
+                    for i in range(1, len(toks) - {SPAN_TOKENS} + 2)]
+               ELSE [] END) AS gram
+        FROM toks
+    ), wbench AS (
+        SELECT DISTINCT gram FROM wins WHERE doc_id % 17 = 0
+    ), cdrop AS (
+        SELECT doc_id FROM (
+            SELECT w.doc_id,
+                   CAST(ROUND(CAST(COUNT(b.gram) AS DECIMAL(18,6)) / COUNT(*), 4)
+                        AS DECIMAL(9,4)) AS frac
+            FROM wins w LEFT JOIN wbench b ON w.gram = b.gram
+            WHERE w.doc_id % 17 <> 0
+            GROUP BY w.doc_id
+        ) WHERE frac >= CAST('{CONTAM_DROP_FRAC}' AS DECIMAL(9,4))
+    ), ndrop AS (
+        SELECT DISTINCT doc_b AS doc_id FROM good
+    ), gf AS (
+        SELECT d.doc_id, d.n_chars,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+               ((len(t.toks) >= {GOPHER_MIN_WORDS} AND len(t.toks) <= {GOPHER_MAX_WORDS})
+                AND (CAST(ROUND(CAST(COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) AS DECIMAL(18,6))
+                     / GREATEST(len(t.toks), 1), 4) AS DECIMAL(9,4)) >= 3)
+                AND (CAST(ROUND(CAST(COALESCE(list_sum(list_transform(t.toks, x -> length(x))), 0) AS DECIMAL(18,6))
+                     / GREATEST(len(t.toks), 1), 4) AS DECIMAL(9,4)) <= 10)
+                AND (CAST(ROUND(CAST(len(list_filter(t.toks, x -> regexp_matches(x, '[a-z]'))) AS DECIMAL(18,6))
+                     / GREATEST(len(t.toks), 1), 4) AS DECIMAL(9,4)) >= CAST('0.8' AS DECIMAL(9,4)))
+                AND (CAST(ROUND(CAST(len(regexp_extract_all(d.text, '#|\\.\\.\\.')) AS DECIMAL(18,6))
+                     / GREATEST(len(t.toks), 1), 4) AS DECIMAL(9,4)) <= CAST('0.1' AS DECIMAL(9,4)))
+                AND (len(list_intersect(list_distinct(t.toks), {_STOP_LIST})) >= 2)) AS keep
+        FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+        WHERE d.doc_id % 17 <> 0
+    ), fl AS (
+        SELECT gf.*,
+               gf.keep AND gf.doc_id = MIN(CASE WHEN gf.keep THEN gf.doc_id END)
+                   OVER (PARTITION BY gf.fp) AS s3
+        FROM gf
+    ), stg AS (
+        SELECT f.n_chars, f.keep AS s2, f.s3,
+               f.s3 AND n.doc_id IS NULL AS s4,
+               f.s3 AND n.doc_id IS NULL AND c.doc_id IS NULL AS s5
+        FROM fl f
+        LEFT JOIN ndrop n ON f.doc_id = n.doc_id
+        LEFT JOIN cdrop c ON f.doc_id = c.doc_id
+    ), agg AS (
+        SELECT COUNT(*) AS c1, SUM(n_chars) AS h1,
+               SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS c2, SUM(CASE WHEN s2 THEN n_chars ELSE 0 END) AS h2,
+               SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS c3, SUM(CASE WHEN s3 THEN n_chars ELSE 0 END) AS h3,
+               SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS c4, SUM(CASE WHEN s4 THEN n_chars ELSE 0 END) AS h4,
+               SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS c5, SUM(CASE WHEN s5 THEN n_chars ELSE 0 END) AS h5
+        FROM stg
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_no, 'pool' AS stage,
+           CAST(c1 AS BIGINT) AS doc_ct, CAST(h1 AS BIGINT) AS char_sum FROM agg
+    UNION ALL SELECT 2, 'rules', CAST(c2 AS BIGINT), CAST(h2 AS BIGINT) FROM agg
+    UNION ALL SELECT 3, 'exact_dedup', CAST(c3 AS BIGINT), CAST(h3 AS BIGINT) FROM agg
+    UNION ALL SELECT 4, 'neardup', CAST(c4 AS BIGINT), CAST(h4 AS BIGINT) FROM agg
+    UNION ALL SELECT 5, 'decontaminate', CAST(c5 AS BIGINT), CAST(h5 AS BIGINT) FROM agg
+    ORDER BY stage_no
+"""
+
 ORACLES = {
+    "curation_funnel": _FUNNEL_ORACLE,
     "dsir_importance_weights": f"""
     WITH toks AS (
         SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_tgt,

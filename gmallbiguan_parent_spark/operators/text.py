@@ -397,7 +397,12 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact decimal literals, so the boundary decision is
     engine-identical. ONE codegen projection over the scan: no
     shuffle, no state, no Python."""
-    docs = load_table_spread(spark, sf_dir, "documents")
+    return _gopher_flags(load_table_spread(spark, sf_dir, "documents"))
+
+
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """The Gopher rule projection over any documents DataFrame — shared
+    by gopher_quality_flags and the curation_funnel capstone."""
     toks = tokenize("text")
     word_ct = F.size(toks)
 

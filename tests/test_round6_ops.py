@@ -551,3 +551,33 @@ def test_neardup_keep_best_picks_longest_member(spark):
         assert got[cid].keeper_doc_id == best, cid
         assert got[cid].member_ct == len(docs), cid
         assert got[cid].chars_dropped == sum(sizes[d] for d in docs) - sizes[best], cid
+
+
+def test_curation_funnel_cross_checks_stage_owners(spark):
+    """Each funnel stage must agree with the standalone operator that
+    owns its semantics: monotone attrition, rules == gopher keep count
+    on the pool, decontaminate drop == ngram_decontaminate's 'drop'
+    rows that survived the earlier stages."""
+    from gmallbiguan_parent_spark.operators.curation import curation_funnel
+    from gmallbiguan_parent_spark.operators.dedup import ngram_decontaminate
+    from gmallbiguan_parent_spark.operators.text import gopher_quality_flags
+    from gmallbiguan_parent_spark.io import load_table
+
+    rows = {r.stage: r for r in curation_funnel(spark, SF_DIR).collect()}
+    assert [rows[s].stage_no for s in ("pool", "rules", "exact_dedup", "neardup", "decontaminate")] == [1, 2, 3, 4, 5]
+    cts = [rows[s].doc_ct for s in ("pool", "rules", "exact_dedup", "neardup", "decontaminate")]
+    assert cts == sorted(cts, reverse=True), cts
+    chars = [rows[s].char_sum for s in ("pool", "rules", "exact_dedup", "neardup", "decontaminate")]
+    assert chars == sorted(chars, reverse=True), chars
+
+    pool_ids = {
+        r.doc_id for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 17 != 0).select("doc_id").collect()
+    }
+    assert rows["pool"].doc_ct == len(pool_ids)
+    gop = {r.doc_id for r in gopher_quality_flags(spark, SF_DIR).filter("keep").collect()}
+    assert rows["rules"].doc_ct == len(gop & pool_ids)
+    # decontamination attrition == drop decisions among stage-4 survivors
+    drops = {r.doc_id for r in ngram_decontaminate(spark, SF_DIR).filter("decision = 'drop'").collect()}
+    attrition = rows["neardup"].doc_ct - rows["decontaminate"].doc_ct
+    assert attrition <= len(drops)
