@@ -247,3 +247,50 @@ def test_stream_psi_drift_equals_batch(spark):
     got = sorted(map(tuple, stream_psi_drift_q(spark, SF_DIR).collect()))
     want = sorted(map(tuple, psi_drift(spark, SF_DIR).collect()))
     assert got == want
+
+
+def test_stream_psi_fold_restart_adds_only_new_batches(spark, tmp_path):
+    """Resuming the drift fold with the same checkpoint processes ONLY
+    newly-arrived files; the summed ledger equals a batch recount of
+    the full current window."""
+    import datetime
+    import os
+
+    from gmallbiguan_parent_spark.operators.quality import (
+        PSI_SPLIT_DATE, _psi_bucket_counts, _psi_cuts,
+    )
+    from gmallbiguan_parent_spark.streaming.pipelines import stream_psi_fold
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    orders_dir = f"{src}/orders.parquet"
+
+    def d(s):
+        return datetime.date.fromisoformat(s)
+
+    schema = "o_orderkey long, o_orderdate date, o_totalprice double"
+    ref = [(i, d("1995-06-01"), 100.0 * (i + 1)) for i in range(10)]
+    cur1 = [(100 + i, d("1996-06-01"), 150.0 * (i + 1)) for i in range(5)]
+    spark.createDataFrame(ref + cur1, schema).coalesce(1).write.mode("append").parquet(orders_dir)
+    stream_psi_fold(spark, src, out)
+    n1 = spark.read.parquet(f"{out}/data").agg(F.sum("ct")).collect()[0][0]
+    assert n1 == 5  # only the current window is folded
+
+    cur2 = [(200 + i, d("1997-01-01"), 90.0 * (i + 1)) for i in range(3)]
+    spark.createDataFrame(cur2, schema).coalesce(1).write.mode("append").parquet(orders_dir)
+    stream_psi_fold(spark, src, out)
+    merged = {
+        r.bucket: r.total
+        for r in spark.read.parquet(f"{out}/data")
+        .groupBy("bucket").agg(F.sum("ct").alias("total")).collect()
+    }
+    assert sum(merged.values()) == 8
+    all_orders = spark.read.parquet(orders_dir)
+    ref_df = all_orders.filter(F.col("o_orderdate") < PSI_SPLIT_DATE)
+    cur_df = all_orders.filter(F.col("o_orderdate") >= PSI_SPLIT_DATE)
+    expect = {
+        r.bucket: r.ct
+        for r in _psi_bucket_counts(cur_df, _psi_cuts(ref_df)).collect()
+    }
+    assert merged == expect

@@ -123,6 +123,16 @@ PROBE_QUERIES = [
     "stream_ann_topk",
     "ann_mmr_topk",
     "tokenizer_fertility",
+    # round-6 continuation: bloom admission QA, stochastic quality
+    # sampling, lossless radius search, mergeable-sketch stream twins,
+    # quality-canonical rewrite, funnel capstone
+    "bloom_dedup_report",
+    "quality_rejection_sample",
+    "ann_range_search",
+    "stream_cms_heavy_hitters",
+    "stream_psi_drift",
+    "neardup_keep_best",
+    "curation_funnel",
 ]
 
 
