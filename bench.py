@@ -149,6 +149,7 @@ EXTENDED = [
     "stream_psi_drift",
     "neardup_keep_best",
     "curation_funnel",
+    "length_batch_pad_stats",
 ]
 
 

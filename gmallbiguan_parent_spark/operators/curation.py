@@ -152,6 +152,63 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage_no")
 
 
+BATCH_DOCS = 32        # documents per training micro-batch
+
+
+def length_batch_pad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-grouped batching — the
+    training-efficiency question every fine-tuning pipeline asks: if
+    documents batch BATCH_DOCS at a time and each batch pads to its
+    longest member, how many pad tokens does ARRIVAL-ORDER batching
+    burn vs LENGTH-SORTED batching (the bucketing trick)? Reports both
+    policies' batch count, pad tokens, real tokens, and pad ratio —
+    the measured justification for sorting before batching.
+
+    Scale: the only wide ops are TWO row_number windows PARTITIONED BY
+    the md5 shard (pack_sequences' sharding — thousands of independent
+    partitions at cluster scale, never a global sort) and two
+    shard+batch aggregates that combine map-side; the final rollup is
+    2 rows."""
+    from .text import BPE_RE
+
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+    base = docs.select(
+        "doc_id",
+        (sample_bucket(F.col("doc_id")) % N_SHARDS).alias("shard"),
+        toks.alias("token_ct"),
+    )
+
+    def policy(name: str, order_cols) -> DataFrame:
+        w = Window.partitionBy("shard").orderBy(*order_cols)
+        batch = F.floor((F.row_number().over(w) - 1) / BATCH_DOCS)
+        g = (
+            base.withColumn("batch", batch)
+            .groupBy("shard", "batch")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("token_ct").alias("mx"),
+                F.sum("token_ct").alias("s"),
+            )
+        )
+        return g.agg(
+            F.count("*").alias("batch_ct"),
+            F.sum(F.col("n") * F.col("mx") - F.col("s")).alias("pad_tokens"),
+            F.sum("s").alias("token_sum"),
+        ).select(F.lit(name).alias("policy"), "batch_ct", "pad_tokens", "token_sum")
+
+    both = policy("arrival", [F.col("doc_id")]).unionAll(
+        policy("length_sorted", [F.col("token_ct"), F.col("doc_id")])
+    )
+    ratio = (
+        F.col("pad_tokens").cast("decimal(18,6)")
+        / (F.col("pad_tokens") + F.col("token_sum"))
+    ).cast("decimal(9,6)")
+    return both.select(
+        "policy", "batch_ct", "pad_tokens", "token_sum", ratio.alias("pad_ratio")
+    ).orderBy("policy")
+
+
 PACK_BUDGET = 2048     # tokens per packed context bin
 N_SHARDS = 8           # independent packing streams; 1000s at cluster scale
 
@@ -337,6 +394,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "curate_corpus": curate_corpus,
     "curation_funnel": curation_funnel,
+    "length_batch_pad_stats": length_batch_pad_stats,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
     "dataset_card": dataset_card,
@@ -433,6 +491,40 @@ _FUNNEL_ORACLE = _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + f"""
 
 ORACLES = {
     "curation_funnel": _FUNNEL_ORACLE,
+    "length_batch_pad_stats": f"""
+    WITH t AS (
+        SELECT doc_id, ({_BUCKET} % 8) AS shard,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS token_ct
+        FROM documents
+    ), ra AS (
+        SELECT shard, token_ct,
+               ((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) - 1) // {BATCH_DOCS}) AS batch
+        FROM t
+    ), ga AS (
+        SELECT shard, batch, COUNT(*) AS n, MAX(token_ct) AS mx, SUM(token_ct) AS s
+        FROM ra GROUP BY shard, batch
+    ), pa AS (
+        SELECT 'arrival' AS policy, COUNT(*) AS batch_ct,
+               SUM(n * mx - s) AS pad_tokens, SUM(s) AS token_sum
+        FROM ga
+    ), rb AS (
+        SELECT shard, token_ct,
+               ((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY token_ct, doc_id) - 1) // {BATCH_DOCS}) AS batch
+        FROM t
+    ), gb AS (
+        SELECT shard, batch, COUNT(*) AS n, MAX(token_ct) AS mx, SUM(token_ct) AS s
+        FROM rb GROUP BY shard, batch
+    ), pb AS (
+        SELECT 'length_sorted' AS policy, COUNT(*) AS batch_ct,
+               SUM(n * mx - s) AS pad_tokens, SUM(s) AS token_sum
+        FROM gb
+    ), u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+    SELECT policy, CAST(batch_ct AS BIGINT) AS batch_ct,
+           CAST(pad_tokens AS BIGINT) AS pad_tokens,
+           CAST(token_sum AS BIGINT) AS token_sum,
+           CAST(CAST(pad_tokens AS DECIMAL(18,6)) / (pad_tokens + token_sum) AS DECIMAL(9,6)) AS pad_ratio
+    FROM u ORDER BY policy
+    """,
     "dsir_importance_weights": f"""
     WITH toks AS (
         SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_tgt,

@@ -581,3 +581,43 @@ def test_curation_funnel_cross_checks_stage_owners(spark):
     drops = {r.doc_id for r in ngram_decontaminate(spark, SF_DIR).filter("decision = 'drop'").collect()}
     attrition = rows["neardup"].doc_ct - rows["decontaminate"].doc_ct
     assert attrition <= len(drops)
+
+
+def test_length_batch_pad_stats_replay(spark):
+    """Pure-Python replay of both batching policies; the length-sorted
+    policy must also never pad MORE than arrival order in aggregate on
+    this corpus (the measured justification the op exists to show)."""
+    import hashlib
+    import re as _re
+
+    from gmallbiguan_parent_spark.operators.curation import (
+        BATCH_DOCS, N_SHARDS, length_batch_pad_stats,
+    )
+    from gmallbiguan_parent_spark.operators.text import BPE_RE
+    from gmallbiguan_parent_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    rows = []
+    for r in docs:
+        shard = (
+            int(hashlib.md5(f"sample:{r.doc_id}".encode()).hexdigest()[:15], 16) % 10000
+        ) % N_SHARDS
+        rows.append((r.doc_id, shard, len(_re.findall(BPE_RE, r.text.lower()))))
+
+    def replay(order_key):
+        pad = tok = batches = 0
+        for s in range(N_SHARDS):
+            member = sorted([x for x in rows if x[1] == s], key=order_key)
+            for i in range(0, len(member), BATCH_DOCS):
+                chunk = [m[2] for m in member[i:i + BATCH_DOCS]]
+                pad += len(chunk) * max(chunk) - sum(chunk)
+                tok += sum(chunk)
+                batches += 1
+        return batches, pad, tok
+
+    got = {r.policy: r for r in length_batch_pad_stats(spark, SF_DIR).collect()}
+    for policy, key in (("arrival", lambda m: m[0]), ("length_sorted", lambda m: (m[2], m[0]))):
+        b, p, t = replay(key)
+        g = got[policy]
+        assert (g.batch_ct, g.pad_tokens, g.token_sum) == (b, p, t), policy
+    assert got["length_sorted"].pad_tokens <= got["arrival"].pad_tokens

@@ -133,6 +133,7 @@ PROBE_QUERIES = [
     "stream_psi_drift",
     "neardup_keep_best",
     "curation_funnel",
+    "length_batch_pad_stats",
 ]
 
 
