@@ -150,6 +150,7 @@ EXTENDED = [
     "neardup_keep_best",
     "curation_funnel",
     "length_batch_pad_stats",
+    "dedup_method_agreement",
 ]
 
 

@@ -713,6 +713,86 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen-complementarity QA — the question a curation owner asks
+    before stacking dedup passes: how much do the four screens' drop
+    sets actually overlap? Per method pair: each set's size, the
+    intersection, and the flag-set Jaccard. Drop-set definitions (the
+    doc each screen would remove): exact = non-keeper per normalized
+    fingerprint; minhash/simhash = the doc_b (larger-id) side of each
+    confirmed pair; containment = the CONTAINED doc (doc_a — the
+    smaller set is the redundant one). Low agreement between e.g.
+    containment and minhash is the evidence that sub-document
+    duplication needs its own pass.
+
+    Plan: each drop set is a doc_id list derived from its owner's
+    checkpointed artifacts (the LSH pair checkpoint is shared); the
+    union is a (doc_id, method) table whose self-join keys on doc_id —
+    at most 4 rows per key — and two tiny aggregates finish. Nothing
+    here adds a corpus-sized shuffle beyond what the screens
+    themselves already shuffle once per session."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    fp = F.md5(_norm_text(F.col("text")))
+    ex = (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn("k", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") != F.col("k"))
+        .select("doc_id", F.lit("exact").alias("method"))
+    )
+    mh = (
+        _lsh_pairs_ck(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("minhash").alias("method"))
+    )
+    sh = (
+        simhash_neardup_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("simhash").alias("method"))
+    )
+    ct = (
+        containment_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit("containment").alias("method"))
+    )
+    flags = ex.unionAll(mh).unionAll(sh).unionAll(ct)
+    tot = flags.groupBy("method").agg(F.count("*").alias("ct"))
+    a, b = flags.alias("a"), flags.alias("b")
+    both = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.method") < F.col("b.method")))
+        .groupBy(F.col("a.method").alias("ma"), F.col("b.method").alias("mb"))
+        .agg(F.count("*").alias("bc"))
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    j = (
+        ta.join(tb, F.col("ta.method") < F.col("tb.method"))
+        .join(
+            both,
+            (F.col("ma") == F.col("ta.method")) & (F.col("mb") == F.col("tb.method")),
+            "left",
+        )
+        .select(
+            F.col("ta.method").alias("method_a"),
+            F.col("tb.method").alias("method_b"),
+            F.col("ta.ct").alias("a_ct"),
+            F.col("tb.ct").alias("b_ct"),
+            F.coalesce("bc", F.lit(0)).alias("both_ct"),
+        )
+    )
+    agree = (
+        F.col("both_ct").cast("decimal(18,6)")
+        / (F.col("a_ct") + F.col("b_ct") - F.col("both_ct"))
+    ).cast("decimal(9,6)")
+    return j.select(
+        "method_a", "method_b", "a_ct", "b_ct", "both_ct", agree.alias("agree_jaccard")
+    ).orderBy("method_a", "method_b")
+
+
 DEDUP_CURVE_THRESHOLDS = ("0.50", "0.60", "0.70", "0.80", "0.90")
 
 
@@ -1439,6 +1519,7 @@ QUERIES = {
     "neardup_keep_best": neardup_keep_best,
     "leakage_safe_split": leakage_safe_split,
     "dedup_threshold_curve": dedup_threshold_curve,
+    "dedup_method_agreement": dedup_method_agreement,
     "neardup_edit_distance": neardup_edit_distance,
 }
 
@@ -1993,3 +2074,43 @@ ORACLES["dedup_threshold_curve"] = _DUCK_SHINGLES + _DUCK_MINHASH_PAIRS + f"""
     FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
 """
 
+
+# Agreement matrix: each method's drop set embedded as its owner's FULL
+# oracle (the leakage_safe_split subquery pattern), so the comparison
+# can never drift from the screens it compares.
+ORACLES["dedup_method_agreement"] = f"""
+    WITH ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   ) AS k
+            FROM documents
+        ) WHERE doc_id <> k
+    ), flags AS (
+        SELECT doc_id, 'exact' AS method FROM ex
+        UNION ALL
+        SELECT DISTINCT doc_b AS doc_id, 'minhash' AS method
+        FROM ({ORACLES["minhash_lsh_pairs"]})
+        UNION ALL
+        SELECT DISTINCT doc_b AS doc_id, 'simhash' AS method
+        FROM ({ORACLES["simhash_neardup_pairs"]})
+        UNION ALL
+        SELECT DISTINCT doc_a AS doc_id, 'containment' AS method
+        FROM ({ORACLES["containment_pairs"]})
+    ), tot AS (
+        SELECT method, COUNT(*) AS ct FROM flags GROUP BY method
+    ), bt AS (
+        SELECT a.method AS ma, b.method AS mb, COUNT(*) AS bc
+        FROM flags a JOIN flags b ON a.doc_id = b.doc_id AND a.method < b.method
+        GROUP BY 1, 2
+    )
+    SELECT ta.method AS method_a, tb.method AS method_b,
+           CAST(ta.ct AS BIGINT) AS a_ct, CAST(tb.ct AS BIGINT) AS b_ct,
+           CAST(COALESCE(bc, 0) AS BIGINT) AS both_ct,
+           CAST(CAST(COALESCE(bc, 0) AS DECIMAL(18,6))
+                / (ta.ct + tb.ct - COALESCE(bc, 0)) AS DECIMAL(9,6)) AS agree_jaccard
+    FROM tot ta JOIN tot tb ON ta.method < tb.method
+    LEFT JOIN bt ON bt.ma = ta.method AND bt.mb = tb.method
+    ORDER BY method_a, method_b
+"""

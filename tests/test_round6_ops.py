@@ -621,3 +621,42 @@ def test_length_batch_pad_stats_replay(spark):
         g = got[policy]
         assert (g.batch_ct, g.pad_tokens, g.token_sum) == (b, p, t), policy
     assert got["length_sorted"].pad_tokens <= got["arrival"].pad_tokens
+
+
+def test_dedup_method_agreement_consistency(spark):
+    """The matrix must be internally consistent and match the drop sets
+    recomputed from the standalone screens."""
+    from gmallbiguan_parent_spark.operators.dedup import (
+        containment_pairs, dedup_method_agreement,
+        minhash_lsh_pairs, simhash_neardup_pairs,
+    )
+
+    sets = {
+        "exact": set(),
+        "minhash": {r.doc_b for r in minhash_lsh_pairs(spark, SF_DIR).collect()},
+        "simhash": {r.doc_b for r in simhash_neardup_pairs(spark, SF_DIR).collect()},
+        "containment": {r.doc_a for r in containment_pairs(spark, SF_DIR).collect()},
+    }
+    # exact non-keepers: every doc sharing a fingerprint except the min
+    from gmallbiguan_parent_spark.operators.dedup import _norm_text
+    from gmallbiguan_parent_spark.io import load_table
+    import pyspark.sql.functions as FN
+
+    fps = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", FN.md5(_norm_text(FN.col("text"))).alias("fp")
+    ).collect()
+    by_fp: dict[str, list[int]] = {}
+    for r in fps:
+        by_fp.setdefault(r.fp, []).append(r.doc_id)
+    for ids in by_fp.values():
+        sets["exact"].update(set(ids) - {min(ids)})
+
+    got = {(r.method_a, r.method_b): r for r in dedup_method_agreement(spark, SF_DIR).collect()}
+    names = sorted(k for k, v in sets.items() if v)
+    import itertools
+
+    expect_keys = {(a, b) for a, b in itertools.combinations(names, 2)}
+    assert set(got) == expect_keys
+    for (a, b), r in got.items():
+        assert r.a_ct == len(sets[a]) and r.b_ct == len(sets[b]), (a, b)
+        assert r.both_ct == len(sets[a] & sets[b]), (a, b)

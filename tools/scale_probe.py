@@ -134,6 +134,7 @@ PROBE_QUERIES = [
     "neardup_keep_best",
     "curation_funnel",
     "length_batch_pad_stats",
+    "dedup_method_agreement",
 ]
 
 
