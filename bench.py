@@ -151,6 +151,7 @@ EXTENDED = [
     "curation_funnel",
     "length_batch_pad_stats",
     "dedup_method_agreement",
+    "user_sequence_similarity",
 ]
 
 

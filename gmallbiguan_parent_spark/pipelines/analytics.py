@@ -1009,9 +1009,85 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQSIM_QUERY_MOD = 97   # query users: user_id % 97 == 0
+SEQSIM_TOP_K = 5
+SEQSIM_GRAM = 3
+
+
+def user_sequence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k behavior-sequence similarity (the trajectory
+    top-k search shape — REPOSE, ICDE 2021 — on event logs): each query
+    user's chronological event-type sequence is compared to every other
+    user's by Jaccard over SEQSIM_GRAM-gram sets, keeping the TOP_K most
+    similar users — the 'users who behave like this one' primitive
+    behind audience lookalikes and anomaly triage.
+
+    Plan: per-user sequences come from ONE user-keyed window (total
+    order by (ts, event_id)); gram sets collapse to one distinct array
+    per user; candidates come from a POSTING join on shared grams
+    (exact for Jaccard > 0 — a pair with no shared gram can't score),
+    so no user-x-user crossJoin ever materializes. With this corpus's
+    tiny event-type alphabet the posting lists are dense (documented —
+    real alphabets of pages/SKUs make the same join selective); the
+    per-pair intersection count is the join's group size, set sizes
+    join back per user, and a per-query window keeps TOP_K. All counts
+    exact integers; jaccard is the exact-decimal division pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("seq", F.collect_list("event_type").over(w))
+        .groupBy("user_id")
+        .agg(F.max("seq").alias("seq"))
+    )
+    k = SEQSIM_GRAM
+    n = F.greatest(F.size("seq") - (k - 1), F.lit(0))
+    grams = F.array_distinct(
+        F.when(
+            F.size("seq") >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(">", F.slice("seq", i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(">", F.col("seq"))))
+    )
+    sets = seq.select("user_id", grams.alias("grams"), F.size(grams).alias("n_grams"))
+    post = sets.select("user_id", "n_grams", F.explode("grams").alias("gram"))
+    q = post.filter(F.col("user_id") % SEQSIM_QUERY_MOD == 0).select(
+        F.col("user_id").alias("q_user"), F.col("n_grams").alias("q_n"), "gram"
+    )
+    c = post.select(
+        F.col("user_id").alias("c_user"), F.col("n_grams").alias("c_n"), "gram"
+    )
+    inter = (
+        q.join(c, "gram")
+        .filter(F.col("q_user") != F.col("c_user"))
+        .groupBy("q_user", "q_n", "c_user", "c_n")
+        .agg(F.count("*").alias("inter_ct"))
+    )
+    jac = (
+        F.col("inter_ct").cast("decimal(18,6)")
+        / (F.col("q_n") + F.col("c_n") - F.col("inter_ct"))
+    ).cast("decimal(9,6)")
+    ranked = inter.select(
+        "q_user", "c_user", "inter_ct", jac.alias("jaccard")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_user").orderBy(
+                F.desc("jaccard"), F.asc("c_user")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= SEQSIM_TOP_K).select(
+        "q_user", F.col("rank").cast("int").alias("rank"), "c_user", "inter_ct", "jaccard"
+    )
+
+
 QUERIES = {
     "rfm_segments": rfm_segments,
     "event_transition_matrix": event_transition_matrix,
+    "user_sequence_similarity": user_sequence_similarity,
     "gmv_ewma": gmv_ewma,
     "gmv_holt": gmv_holt,
     "gmv_cusum": gmv_cusum,
@@ -1151,6 +1227,38 @@ ORACLES = {
            CAST(trend AS DOUBLE) AS trend,
            CAST(level + trend AS DOUBLE) AS forecast_next
     FROM h ORDER BY dt
+    """,
+    "user_sequence_similarity": f"""
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT user_id,
+               CASE WHEN len(s) >= {SEQSIM_GRAM} THEN
+                   list_distinct([array_to_string(s[i:i+{SEQSIM_GRAM} - 1], '>')
+                                  for i in range(1, len(s) - {SEQSIM_GRAM} + 2)])
+               ELSE [array_to_string(s, '>')] END AS grams
+        FROM seq
+    ), post AS (
+        SELECT user_id, len(grams) AS n, unnest(grams) AS gram FROM g
+    ), inter AS (
+        SELECT q.user_id AS q_user, q.n AS q_n, c.user_id AS c_user, c.n AS c_n,
+               COUNT(*) AS inter_ct
+        FROM post q JOIN post c ON q.gram = c.gram AND q.user_id <> c.user_id
+        WHERE q.user_id % {SEQSIM_QUERY_MOD} = 0
+        GROUP BY 1, 2, 3, 4
+    ), ranked AS (
+        SELECT q_user, c_user, CAST(inter_ct AS BIGINT) AS inter_ct,
+               CAST(CAST(inter_ct AS DECIMAL(18,6)) / (q_n + c_n - inter_ct) AS DECIMAL(9,6)) AS jaccard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_user
+                   ORDER BY CAST(CAST(inter_ct AS DECIMAL(18,6)) / (q_n + c_n - inter_ct) AS DECIMAL(9,6)) DESC,
+                            c_user ASC
+               ) AS rank
+        FROM inter
+    )
+    SELECT q_user, CAST(rank AS INTEGER) AS rank, c_user, inter_ct, jaccard
+    FROM ranked WHERE rank <= {SEQSIM_TOP_K}
     """,
     "event_transition_matrix": """
     WITH seq AS (

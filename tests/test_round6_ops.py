@@ -660,3 +660,51 @@ def test_dedup_method_agreement_consistency(spark):
     for (a, b), r in got.items():
         assert r.a_ct == len(sets[a]) and r.b_ct == len(sets[b]), (a, b)
         assert r.both_ct == len(sets[a] & sets[b]), (a, b)
+
+
+def test_user_sequence_similarity_replay(spark):
+    """Pure-Python replay: per-user chronological trigram sets, exact
+    Jaccard, same (desc jaccard, asc user) top-k."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from gmallbiguan_parent_spark.pipelines.analytics import (
+        SEQSIM_GRAM, SEQSIM_QUERY_MOD, SEQSIM_TOP_K, user_sequence_similarity,
+    )
+    from gmallbiguan_parent_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    seqs: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+
+    def grams(s):
+        k = SEQSIM_GRAM
+        if len(s) >= k:
+            return {">".join(s[i:i + k]) for i in range(len(s) - k + 1)}
+        return {">".join(s)}
+
+    gs = {u: grams(s) for u, s in seqs.items()}
+    expect = {}
+    for qu in (u for u in gs if u % SEQSIM_QUERY_MOD == 0):
+        scored = []
+        for cu, cg in gs.items():
+            if cu == qu:
+                continue
+            inter = len(gs[qu] & cg)
+            if inter == 0:
+                continue
+            jac = (Decimal(inter).quantize(Decimal("1e-6")) /
+                   Decimal(len(gs[qu]) + len(cg) - inter)).quantize(
+                       Decimal("1e-6"), ROUND_HALF_UP)
+            scored.append((-jac, cu, inter, jac))
+        scored.sort()
+        expect[qu] = [(cu, i, j) for _, cu, i, j in scored[:SEQSIM_TOP_K]]
+
+    got: dict[int, list] = {}
+    for r in user_sequence_similarity(spark, SF_DIR).orderBy("q_user", "rank").collect():
+        got.setdefault(r.q_user, []).append((r.c_user, r.inter_ct, r.jaccard))
+    assert set(got) == {u for u, v in expect.items() if v}
+    for qu, rows in got.items():
+        assert rows == expect[qu], qu

@@ -135,6 +135,7 @@ PROBE_QUERIES = [
     "curation_funnel",
     "length_batch_pad_stats",
     "dedup_method_agreement",
+    "user_sequence_similarity",
 ]
 
 
