@@ -130,7 +130,7 @@ EXTENDED = [
     "decontamination_gram_report",
     "window_funnel",
     "stream_window_funnel",
-    "stream_rate_limit_ledger",
+    "stream_rate_limit",
     "stream_dedup_gate",
     # round-6 continuation: semantic decontamination (batch + stream),
     # corpus diversity, online ANN serving, diversified retrieval

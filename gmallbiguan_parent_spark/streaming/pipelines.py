@@ -87,6 +87,43 @@ def _events_stream(spark: SparkSession, sf_dir: str, glob: str = "events.parquet
     return stream
 
 
+def _ledger_prior(
+    spark: SparkSession, ledger: str, batch_id: int
+) -> DataFrame | None:
+    """Committed prior-batch partitions of a batch_id-partitioned ledger
+    directory, EXCLUDING the current batch's own partition. Two retry
+    guarantees fall out of this:
+
+    - foreachBatch is at-least-once: a crash after the ledger write but
+      before the checkpoint commit replays the batch, and a naive read
+      of the whole ledger would count the batch's own prior write as
+      'seen' state (the rate limiter double-counts; the dedup gate
+      rejects every row of the retried batch and loses the keeper).
+      Filtering to batch_id < current makes the retry recompute the
+      IDENTICAL decisions, so the partition overwrite is a true no-op.
+    - 'no ledger yet' is detected EXPLICITLY by listing the directory —
+      returns None for the first batch. A corrupt parquet file or a
+      transient IO error in an existing partition must FAIL the batch
+      (the checkpoint retries it), not be silently treated as empty
+      history; bare except-Exception here durably wrote wrong decisions.
+
+    Partitions with id < current are always complete: availableNow
+    batches commit sequentially, so a later batch only runs after every
+    earlier batch's writes (and checkpoint) committed."""
+    if not os.path.isdir(ledger):
+        return None
+    prior = [
+        d
+        for d in os.listdir(ledger)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+    ]
+    if not prior:
+        return None
+    return spark.read.option("basePath", ledger).parquet(
+        *(os.path.join(ledger, d) for d in prior)
+    )
+
+
 def stream_visitor_stats(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """ST1+ST5: watermarked tumbling-window visitor stats — the
     streaming twin of dws.visitor_stats_window. Append-mode parquet
@@ -352,7 +389,7 @@ def _rate_state_fn(key, pdf_iter, state: GroupState):
     })
 
 
-def stream_rate_limit(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def stream_rate_limit_keyed(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Streaming twin of quality.rate_limited_events: keyed admission
     counter per (user, hour) with event-time state expiry — the
     count-based stateful pattern (vs stream_jump_detect's pending-
@@ -478,6 +515,45 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def _rate_limit_admit_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch of the ledger rate limiter — module-level so the
+    retry-idempotence test can replay a committed batch directly and
+    assert identical decisions (foreachBatch is at-least-once; see
+    _ledger_prior). All JVM: rank within batch, join committed prior
+    admissions, decide, overwrite own batch_id partitions."""
+    from pyspark.sql import Window
+
+    from ..operators.quality import RATE_CAP
+
+    ledger = f"{out_dir}/_ledger"
+    s = batch_df.sparkSession
+    rows = batch_df.select(
+        "event_id", "ts", "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    w = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
+    ranked = rows.withColumn("rn", F.row_number().over(w))
+    prior = _ledger_prior(s, ledger, batch_id)  # retry-idempotent: own partition excluded
+    if prior is not None:
+        seen = prior.groupBy("user_id", "hr").agg(F.sum("add_ct").alias("seen"))
+        ranked = ranked.join(seen, ["user_id", "hr"], "left").fillna(0, "seen")
+    else:  # first batch: no committed prior partitions
+        ranked = ranked.withColumn("seen", F.lit(0).cast("long"))
+    decided = ranked.withColumn(
+        "kept", F.col("seen") + F.col("rn") <= RATE_CAP
+    ).localCheckpoint()
+    (
+        decided.select("event_id", "ts", "user_id", "hr", "kept")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/data/batch_id={batch_id}")
+    )
+    (
+        decided.groupBy("user_id", "hr")
+        .agg(F.count("*").alias("add_ct"))
+        .write.mode("overwrite")
+        .parquet(f"{ledger}/batch_id={batch_id}")
+    )
+
+
 def stream_rate_limit_ledger(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """The rate limiter in its SCALE form: foreachBatch + an admission
     LEDGER instead of per-key Python state. Each micro-batch (JVM-side,
@@ -493,43 +569,10 @@ def stream_rate_limit_ledger(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     Python invocation cost (~16k near-singleton keys/s, ~250 s at the
     10x replay); here the per-batch cost is two key-partitioned
     shuffles regardless of key cardinality."""
-    from pyspark.sql import Window
-
-    from ..operators.quality import RATE_CAP
-
     ev = _events_stream(spark, sf_dir)
-    ledger = f"{out_dir}/_ledger"
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        rows = batch_df.select(
-            "event_id", "ts", "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-        )
-        w = Window.partitionBy("user_id", "hr").orderBy("ts", "event_id")
-        ranked = rows.withColumn("rn", F.row_number().over(w))
-        try:
-            seen = (
-                s.read.parquet(ledger)
-                .groupBy("user_id", "hr")
-                .agg(F.sum("add_ct").alias("seen"))
-            )
-            ranked = ranked.join(seen, ["user_id", "hr"], "left").fillna(0, "seen")
-        except Exception:  # first batch: no ledger yet
-            ranked = ranked.withColumn("seen", F.lit(0).cast("long"))
-        decided = ranked.withColumn(
-            "kept", F.col("seen") + F.col("rn") <= RATE_CAP
-        ).localCheckpoint()
-        (
-            decided.select("event_id", "ts", "user_id", "hr", "kept")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/data/batch_id={batch_id}")
-        )
-        (
-            decided.groupBy("user_id", "hr")
-            .agg(F.count("*").alias("add_ct"))
-            .write.mode("overwrite")
-            .parquet(f"{ledger}/batch_id={batch_id}")
-        )
+        _rate_limit_admit_batch(batch_df, batch_id, out_dir)
 
     (
         ev.writeStream.foreachBatch(_admit)
@@ -614,6 +657,49 @@ def stream_psi_fold(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
 
 
+def _dedup_gate_admit_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """One micro-batch of the ledger dedup gate — module-level so the
+    retry-idempotence test can replay a committed batch directly and
+    assert identical decisions (foreachBatch is at-least-once; see
+    _ledger_prior — without the own-partition exclusion a retry would
+    see its own fingerprints as already-ingested and reject every row,
+    losing the keeper)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _norm_text
+
+    ledger = f"{out_dir}/_ledger"
+    s = batch_df.sparkSession
+    fp = batch_df.select(
+        "doc_id", "lang", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    first_in_batch = F.row_number().over(w) == 1
+    ranked = fp.withColumn("batch_first", first_in_batch)
+    prior = _ledger_prior(s, ledger, batch_id)  # retry-idempotent: own partition excluded
+    if prior is not None:
+        seen = prior.select("fingerprint").distinct()
+        ranked = ranked.join(
+            seen.withColumn("seen", F.lit(True)), "fingerprint", "left"
+        ).withColumn("seen", F.coalesce("seen", F.lit(False)))
+    else:  # first batch: no committed prior partitions
+        ranked = ranked.withColumn("seen", F.lit(False))
+    decided = ranked.withColumn(
+        "admitted", F.col("batch_first") & ~F.col("seen")
+    ).localCheckpoint()
+    (
+        decided.select("doc_id", "lang", "fingerprint", "admitted")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/data/batch_id={batch_id}")
+    )
+    (
+        decided.filter("admitted")
+        .select("fingerprint")
+        .write.mode("overwrite")
+        .parquet(f"{ledger}/batch_id={batch_id}")
+    )
+
+
 def stream_dedup_gate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Ingest-time EXACT-dedup admission — the ledger pattern again
     (the only honest shape: a fingerprint seen-set is unbounded state,
@@ -626,42 +712,10 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     idempotently under batch_id partitions, and appends admitted
     fingerprints to the ledger. A bounded single-batch replay admits
     exactly dedup_exact's keepers."""
-    from pyspark.sql import Window
-
-    from ..operators.dedup import _norm_text
-
     docs = _table_stream(spark, sf_dir, "documents")
-    ledger = f"{out_dir}/_ledger"
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        fp = batch_df.select(
-            "doc_id", "lang", F.md5(_norm_text(F.col("text"))).alias("fingerprint")
-        )
-        w = Window.partitionBy("fingerprint").orderBy("doc_id")
-        first_in_batch = F.row_number().over(w) == 1
-        ranked = fp.withColumn("batch_first", first_in_batch)
-        try:
-            seen = s.read.parquet(ledger).select("fingerprint").distinct()
-            ranked = ranked.join(
-                seen.withColumn("seen", F.lit(True)), "fingerprint", "left"
-            ).withColumn("seen", F.coalesce("seen", F.lit(False)))
-        except Exception:  # first batch: no ledger yet
-            ranked = ranked.withColumn("seen", F.lit(False))
-        decided = ranked.withColumn(
-            "admitted", F.col("batch_first") & ~F.col("seen")
-        ).localCheckpoint()
-        (
-            decided.select("doc_id", "lang", "fingerprint", "admitted")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/data/batch_id={batch_id}")
-        )
-        (
-            decided.filter("admitted")
-            .select("fingerprint")
-            .write.mode("overwrite")
-            .parquet(f"{ledger}/batch_id={batch_id}")
-        )
+        _dedup_gate_admit_batch(batch_df, batch_id, out_dir)
 
     (
         docs.writeStream.foreachBatch(_admit)

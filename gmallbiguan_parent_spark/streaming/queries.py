@@ -27,7 +27,7 @@ from ..functions import dec
 from .pipelines import (
     WINDOW, _events_stream, _table_stream, run_stream_to_df,
     stream_cms_sketch, stream_dedup_gate, stream_jump_detect,
-    stream_rate_limit, stream_rate_limit_ledger, stream_transition_matrix,
+    stream_rate_limit_ledger, stream_transition_matrix,
 )
 
 # static-side (band table, shingle sets, per-ref band-key arrays)
@@ -37,6 +37,12 @@ _SIN_STATIC_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]]
 
 
 def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GATE-REPLAY form (complete mode → memory sink): re-emitting every
+    window makes the bounded replay equal the batch answer exactly for
+    hash-checking. NOT the deploy shape — windows×time grows unbounded
+    on a real stream; the production twin is the append-mode watermarked
+    parquet sink streaming/pipelines.stream_visitor_stats (windows
+    finalize once, state evicted by the watermark)."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "3 seconds")
@@ -108,7 +114,11 @@ def stream_keyword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, count per keyword): documents file-stream → tokenize →
     explode → running counts in complete mode. Complete-mode re-emit
     makes the bounded replay equal the batch answer exactly, so the
-    oracle is the batch keyword aggregation."""
+    oracle is the batch keyword aggregation. GATE-REPLAY form: the
+    running-count state is the keyword vocabulary (bounded), but the
+    re-emission is replay-only — a production deploy appends windowed
+    partials like streaming/pipelines.stream_visitor_stats or folds a
+    per-batch ledger (stream_cms_sketch recipe) instead."""
     from ..functions import tokenize
 
     docs = _table_stream(spark, sf_dir, "documents")
@@ -139,7 +149,11 @@ def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dim per batch, which also gives the per-batch cache-invalidation
     semantics of S8 for free). Left join: a dim miss keeps the fact row
     (DimAsyncFunction.java:75-78). Windowed agg per dim attribute on
-    top, complete mode so the bounded replay equals the batch answer."""
+    top, complete mode so the bounded replay equals the batch answer.
+    GATE-REPLAY form: complete-mode windows×time grow unbounded on a
+    real stream — the deploy shape is the enrich join feeding an
+    append-mode watermarked sink exactly like streaming/pipelines.
+    stream_visitor_stats (the join itself is stateless either way)."""
     from ..io import load_table
 
     ev = _events_stream(spark, sf_dir)
@@ -330,21 +344,17 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour admission stats from the streaming limiter's per-event
-    decisions — identical output (and oracle) to the batch
-    rate_limited_events."""
-    from ..operators.quality import admission_rollup
-
-    df = run_stream_to_df(spark, sf_dir, stream_rate_limit)
-    return admission_rollup(df)
-
-
-def stream_rate_limit_ledger_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour admission stats from the LEDGER-form limiter (the scale
-    path: foreachBatch + JVM joins, no per-key Python state) — same
-    output and oracle as the batch rate_limited_events and the
-    keyed-state twin, so all three admission implementations are
-    pinned to one answer."""
+    """Per-hour admission stats from the streaming rate limiter —
+    CANONICALLY the ledger form (stream_rate_limit_ledger: foreachBatch
+    + all-JVM per-batch row_number/ledger join, no per-key Python
+    state). The applyInPandasWithState form (pipelines.
+    stream_rate_limit_keyed) demonstrates the ST6 keyed-state+TTL
+    semantics and is pinned to this same answer in
+    tests/test_streaming_patterns.py, but it pays per-KEY Python
+    invocation on near-singleton (user, hour) groups (~16k keys/s,
+    ~250 s at the 10x replay vs ~3 s for the ledger) — a deploy shape
+    at scale it is not, so it is demo/test-only, not registered.
+    Output (and oracle) identical to batch rate_limited_events."""
     from ..operators.quality import admission_rollup
 
     df = run_stream_to_df(spark, sf_dir, stream_rate_limit_ledger)
@@ -625,7 +635,10 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded gram stream it parallelizes)
     n_part = spark.sparkContext.defaultParallelism
 
-    def _score(batch_df: DataFrame, _batch_id: int) -> None:
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent sink: each micro-batch owns its batch_id partition
+        # (overwrite), so an at-least-once retry replaces its own prior
+        # write instead of appending duplicate decision rows
         (
             batch_df.repartition(n_part, "doc_id")
             .select(
@@ -646,8 +659,8 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .when(F.col("hit_ct") > 0, "review")
                 .otherwise("keep"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     (
@@ -657,7 +670,7 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,7 +736,11 @@ def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized view; rollups re-aggregate view rows, never raw).
     Decimal sums make stream-merge order irrelevant, so the result
     equals batch hypertable_rollup to the bit — that query's
-    direct-aggregation SQL is the oracle."""
+    direct-aggregation SQL is the oracle. GATE-REPLAY form: the
+    complete-mode hour table grows with calendar time — the deploy
+    shape is the append-mode checkpointed hour sink
+    streaming/pipelines.stream_hypertable_hour_sink (gate-checked as
+    stream_hypertable_hour_append)."""
     ev = _events_stream(spark, sf_dir)
     hour_stream = (
         ev.withWatermark("ts", "3 seconds")
@@ -792,7 +809,10 @@ def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _table_stream(spark, sf_dir, "orders")
     ledger = tempfile.mkdtemp(prefix="led_gcs_")
 
-    def _partials(batch_df: DataFrame, _batch_id: int) -> None:
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent ledger: overwrite this batch's own batch_id
+        # partition so an at-least-once retry cannot append duplicate
+        # partials (which would inflate the GMV series and the verdicts)
         (
             batch_df.filter(
                 (F.col("o_orderdate") >= GMV_WIN_START)
@@ -800,8 +820,8 @@ def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
             .agg(F.sum(_dec("o_totalprice")).alias("partial"))
-            .write.mode("append")
-            .parquet(ledger)
+            .write.mode("overwrite")
+            .parquet(f"{ledger}/batch_id={batch_id}")
         )
 
     (
@@ -868,7 +888,9 @@ def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="out_annq_")
 
-    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent sink: overwrite this batch's own batch_id partition
+        # so an at-least-once retry cannot append duplicate answers
         queries = batch_df.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("q_emb"),
@@ -892,8 +914,8 @@ def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "probe_cell", "rank", "corpus_id", "cosine")
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     (
@@ -903,7 +925,7 @@ def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 # static benchmark SRP signatures for the in-stream semantic screen,
@@ -953,7 +975,9 @@ def stream_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out_dir = tempfile.mkdtemp(prefix="out_semdcq_")
 
-    def _screen(batch_df: DataFrame, _batch_id: int) -> None:
+    def _screen(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent sink: overwrite this batch's own batch_id partition
+        # so an at-least-once retry cannot append duplicate verdicts
         vecs = batch_df.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
@@ -1002,8 +1026,8 @@ def stream_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFra
                 .otherwise(F.lit("review"))
                 .alias("decision"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     (
@@ -1013,7 +1037,7 @@ def stream_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch_id")
 
 
 QUERIES = {
@@ -1026,7 +1050,6 @@ QUERIES = {
     "stream_quality_gate": stream_quality_gate_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
     "stream_rate_limit": stream_rate_limit_q,
-    "stream_rate_limit_ledger": stream_rate_limit_ledger_q,
     "stream_dedup_gate": stream_dedup_gate_q,
     "stream_cms_heavy_hitters": stream_cms_heavy_hitters_q,
     "stream_psi_drift": stream_psi_drift_q,
@@ -1088,7 +1111,6 @@ ORACLES = {
     """,
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
-    "stream_rate_limit_ledger": _QUALITY_ORACLES["rate_limited_events"],
     "stream_dedup_gate": _DEDUP_ORACLES["dedup_exact"],
     # the summed counter ledger IS the batch sketch (additivity), so
     # the evaluation report reuses the batch oracle verbatim

@@ -223,13 +223,13 @@ def test_stream_rate_limit_matches_batch_per_event(spark):
     from gmallbiguan_parent_spark.io import load_table
     from gmallbiguan_parent_spark.operators.quality import RATE_CAP
     from gmallbiguan_parent_spark.streaming.pipelines import (
-        run_stream_to_df, stream_rate_limit,
+        run_stream_to_df, stream_rate_limit_keyed,
     )
     from tests.conftest import SF_DIR
 
     got = {
         (r.user_id, r.event_id): r.kept
-        for r in run_stream_to_df(spark, SF_DIR, stream_rate_limit).collect()
+        for r in run_stream_to_df(spark, SF_DIR, stream_rate_limit_keyed).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
     w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy("ts", "event_id")
@@ -270,3 +270,83 @@ def test_stream_transition_pairs_match_batch_lag(spark):
         .collect()
     )
     assert got == want
+
+
+def _read_sorted(spark, path, cols):
+    return sorted(tuple(r) for r in spark.read.parquet(path).select(*cols).collect())
+
+
+def test_rate_limit_ledger_retry_replays_identical_decisions(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the ledger write but
+    before the checkpoint commit replays the batch. The admit pass must
+    recompute IDENTICAL decisions on retry — before the own-partition
+    exclusion in _ledger_prior, the retried batch counted its own prior
+    ledger write as 'seen' and double-counted the batch (over-rejecting
+    rows that were admitted the first time)."""
+    import datetime
+
+    from gmallbiguan_parent_spark.operators.quality import RATE_CAP
+    from gmallbiguan_parent_spark.streaming.pipelines import _rate_limit_admit_batch
+
+    out = str(tmp_path / "rl")
+    hr = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, hr + datetime.timedelta(seconds=i), 7) for i in ids],
+            "event_id int, ts timestamp, user_id int",
+        )
+
+    # batch 0 admits RATE_CAP - 2 events; batch 1 spills past the cap
+    _rate_limit_admit_batch(batch(range(RATE_CAP - 2)), 0, out)
+    _rate_limit_admit_batch(batch(range(100, 100 + RATE_CAP)), 1, out)
+    first = _read_sorted(spark, f"{out}/data/batch_id=1", ["event_id", "kept"])
+    kept_ct = sum(1 for _, k in first if k)
+    assert kept_ct == 2, f"batch 1 should admit exactly 2 (cap spill), got {kept_ct}"
+    # retry of batch 1: ledger already holds batch_id=1 from the first attempt
+    _rate_limit_admit_batch(batch(range(100, 100 + RATE_CAP)), 1, out)
+    retry = _read_sorted(spark, f"{out}/data/batch_id=1", ["event_id", "kept"])
+    assert retry == first, "retried batch must recompute identical admissions"
+
+
+def test_dedup_gate_retry_replays_identical_decisions(spark, tmp_path):
+    """Retry of the dedup gate's micro-batch: without the own-partition
+    exclusion, the retried batch's fingerprints appear already-ingested
+    (its own prior ledger write), every row is rejected, and the
+    overwrite durably LOSES the fingerprint's keeper."""
+    from gmallbiguan_parent_spark.streaming.pipelines import _dedup_gate_admit_batch
+
+    out = str(tmp_path / "dg")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    _dedup_gate_admit_batch(batch([(1, "en", "alpha"), (2, "en", "beta")]), 0, out)
+    # batch 1: new fingerprint 'gamma' + cross-batch duplicate of 'alpha'
+    _dedup_gate_admit_batch(batch([(3, "en", "gamma"), (4, "en", "alpha")]), 1, out)
+    first = _read_sorted(spark, f"{out}/data/batch_id=1", ["doc_id", "admitted"])
+    assert first == [(3, True), (4, False)]
+    _dedup_gate_admit_batch(batch([(3, "en", "gamma"), (4, "en", "alpha")]), 1, out)
+    retry = _read_sorted(spark, f"{out}/data/batch_id=1", ["doc_id", "admitted"])
+    assert retry == first, "retried batch must re-admit its own keeper"
+
+
+def test_ledger_prior_fails_on_corrupt_partition(spark, tmp_path):
+    """A corrupt committed ledger partition must FAIL the batch (the
+    checkpoint retries it later) — the old bare except-Exception treated
+    ANY read failure as 'no ledger yet' and durably wrote decisions
+    computed against empty history."""
+    import pytest
+
+    from gmallbiguan_parent_spark.streaming.pipelines import _ledger_prior
+
+    ledger = tmp_path / "led"
+    bad = ledger / "batch_id=0"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        df = _ledger_prior(spark, str(ledger), 1)
+        assert df is not None
+        df.collect()
+    # and a genuinely-missing ledger is still an explicit first batch
+    assert _ledger_prior(spark, str(tmp_path / "nope"), 1) is None
