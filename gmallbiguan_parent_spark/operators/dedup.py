@@ -458,7 +458,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sets = _shingle_sets(spark, sf_dir)
     banded = _minhash_banded_from_sets(sets)
+    return _lsh_pairs_from_tables(banded, sets)
 
+
+def _lsh_pairs_from_tables(banded: DataFrame, sets: DataFrame) -> DataFrame:
+    """Pair generation + exact confirm over a (doc_id, band_id,
+    band_key) band table and a (doc_id, s) shingle-set table — shared
+    by minhash_lsh_pairs (session-memoized tables) and the index_store
+    *_from_index twin (the SAME tables read back from the persisted
+    partitioned artifact), so the two paths cannot drift."""
     # Bucket by band (ONE shuffle, sig evaluated once) and generate the
     # intra-bucket pairs in-array — equivalent to a band self-join but
     # without evaluating the signature subtree twice.
@@ -1057,6 +1065,15 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
     sim, n_docs = _SIMHASH_CACHE[key]
     if wide is None:
         wide = n_docs >= SIMHASH_WIDE_MIN_DOCS
+    return _simhash_pairs_from_fp(sim, wide)
+
+
+def _simhash_pairs_from_fp(sim: DataFrame, wide: bool) -> DataFrame:
+    """Banded hamming<=3 pair join over a (doc_id, sim_hi, sim_lo)
+    fingerprint table — shared by simhash_neardup_pairs (session-
+    memoized fingerprints) and the index_store *_from_index twin (the
+    SAME table read back from the persisted artifact, layout frozen in
+    the manifest), so the two paths cannot drift."""
     bands = _simhash_band_keys(wide)
     banded = sim.select(
         "doc_id", "sim_hi", "sim_lo",

@@ -1,0 +1,489 @@
+"""Persisted dedup/ANN index artifacts with incremental maintenance.
+
+The dedup/ANN families build five derived tables — shingle sets,
+MinHash-LSH bands, SimHash fingerprints, IVF cell assignments, SRP
+signatures. Within one session those live as memoized localCheckpoints
+(_SHINGLE_SET_CACHE, _SIMHASH_CACHE, _CELLS_CACHE, …), but a fresh
+session rebuilds them from the raw corpus — at 100 TB a rebuild-per-job
+is not a plan. This module persists them as WRITTEN partitioned parquet
+tables (the layout a warehouse maintains next to the corpus) plus a
+JSON manifest freezing the corpus-derived parameters:
+
+    <root>/MANIFEST.json    watermarks, n_docs/n_vecs at build,
+                            simhash layout, SRP width, the trained IVF
+                            quantizer (k x dim doubles — bounded)
+    <root>/shingle_sets/    (doc_id, s array<string>)
+    <root>/minhash_bands/   partitionBy(band_id): (doc_id, band_key)
+    <root>/simhash_fp/      (doc_id, sim_hi, sim_lo)
+    <root>/ivf_cells/       partitionBy(cell): (corpus_id, c_emb, c_norm)
+    <root>/srp_sigs/        partitionBy(table_id): (vec_id, sig, v)
+
+refresh_index() is the incremental path: it indexes ONLY rows past the
+manifest watermark (the append-only-corpus shape) with the FROZEN
+parameters — the quantizer is never retrained, the simhash layout and
+SRP width never flip mid-index (production re-indexes when a layout
+threshold is crossed; flipping silently would make old and new rows
+un-joinable). tests/test_index_store.py proves refresh(delta) ==
+rebuild(full) artifact-for-artifact under the same frozen parameters.
+
+The *_from_index queries re-run the existing operators' pair/probe
+logic (shared helpers — _lsh_pairs_from_tables, _simhash_pairs_from_fp,
+_ivf_probe_topk, _srp_pairs_from_sigs) over the tables READ BACK from
+the store, and hash-match the original operators' DuckDB oracles
+verbatim: the persisted artifact provably carries the same information
+as the in-session build. Default root is a per-session temp dir (the
+driver owns no writable warehouse path); set SPARK_GRAFT_INDEX_DIR to
+persist across sessions — then a fresh session's query cost drops to
+read-only.
+
+Reference parity: the reference keeps no derived index tables (its
+dedup surface is per-key Flink state, RT/app/dwm2/UV2.java:61-112);
+this is the warehouse-scale generalization the LLM-pipeline operators
+named in their docstrings (e.g. similarity.py _cached_cells,
+dedup.py _shingle_sets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table_spread
+from .dedup import (
+    N_BANDS,
+    SIMHASH_WIDE_MIN_DOCS,
+    _lsh_pairs_from_tables,
+    _minhash_banded_from_sets,
+    _shingles,
+    _simhash_pairs_from_fp,
+    simhash_fingerprint,
+)
+from .similarity import (
+    N_QUERIES,
+    SRP_TABLES,
+    _ivf_cached_centroids,
+    _ivf_probe_topk,
+    _srp_pairs_from_sigs,
+    _srp_signature,
+    _assign_cells,
+    srp_bits_for,
+)
+
+MANIFEST = "MANIFEST.json"
+
+
+def _write(df: DataFrame, path: str, partition_by: list[str] | None = None,
+           mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def _doc_artifacts(spark: SparkSession, docs: DataFrame, root: str, mode: str) -> None:
+    """Per-document artifacts (each row independent of the rest of the
+    corpus, so append-mode refresh rows are byte-identical to a full
+    rebuild's): shingle sets, LSH bands, simhash fingerprints."""
+    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
+    _write(sets, f"{root}/shingle_sets", mode=mode)
+    # bands derive from the WRITTEN sets (read-only lineage — the
+    # signature build never re-shingles what the store already holds)
+    new_sets = spark.read.parquet(f"{root}/shingle_sets").join(
+        docs.select("doc_id"), "doc_id"
+    )
+    _write(
+        _minhash_banded_from_sets(new_sets),
+        f"{root}/minhash_bands",
+        partition_by=["band_id"],
+        mode=mode,
+    )
+
+
+def _simhash_artifact(spark: SparkSession, sf_dir: str, docs: DataFrame,
+                      root: str, mode: str) -> None:
+    fp = simhash_fingerprint(spark, sf_dir).join(docs.select("doc_id"), "doc_id")
+    _write(fp, f"{root}/simhash_fp", mode=mode)
+
+
+def _vec_artifacts(vecs: DataFrame, root: str, mode: str, centroids,
+                   srp_bits: int) -> None:
+    """Per-vector artifacts under FROZEN parameters: IVF cell
+    assignment against the stored quantizer, SRP signatures at the
+    stored width."""
+    corpus = vecs.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
+    _write(
+        _assign_cells(corpus, centroids),
+        f"{root}/ivf_cells",
+        partition_by=["cell"],
+        mode=mode,
+    )
+    v = vecs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sigs = v.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _srp_signature(F.col("v"), t, srp_bits).alias("sig"),
+            )
+            for t in range(SRP_TABLES)
+        ])).alias("b"),
+    ).select("vec_id", "v", "b.table_id", "b.sig")
+    _write(sigs, f"{root}/srp_sigs", partition_by=["table_id"], mode=mode)
+
+
+def build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    doc_pred=None,
+    vec_pred=None,
+    centroids=None,
+    simhash_wide: bool | None = None,
+    srp_bits: int | None = None,
+) -> dict:
+    """Full index build: write all five artifact tables + manifest.
+
+    doc_pred/vec_pred restrict the indexed rows (the tests' split
+    corpora; None = everything). centroids/simhash_wide/srp_bits
+    override the corpus-derived parameters — the refresh-equality test
+    rebuilds the FULL corpus under the subset build's frozen
+    parameters, which is exactly what refresh(delta) must equal.
+
+    Scale: every artifact is one pass over its corpus (the same plans
+    the in-session operators run), written through the partitioning
+    each consumer probes by — band_id for the LSH join, cell for the
+    pruned IVF read, table_id for the SRP bucket join. At 100 TB this
+    job runs once; every dedup/ANN query thereafter reads, never
+    derives."""
+    docs = load_table_spread(spark, sf_dir, "documents")
+    if doc_pred is not None:
+        docs = docs.filter(doc_pred)
+    vecs = load_table_spread(spark, sf_dir, "embeddings")
+    if vec_pred is not None:
+        vecs = vecs.filter(vec_pred)
+
+    # corpus-derived frozen parameters (the SAME derivations the
+    # in-session operators and the DuckDB oracles use)
+    n_docs = docs.count()
+    n_vecs = vecs.count()
+    if simhash_wide is None:
+        simhash_wide = n_docs >= SIMHASH_WIDE_MIN_DOCS
+    if srp_bits is None:
+        srp_bits = srp_bits_for(n_vecs)
+    if centroids is None:
+        from .similarity import _ivf_centroids
+
+        corpus = vecs.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").cast("array<double>").alias("c_emb"),
+        ).filter(F.col("corpus_id") >= N_QUERIES)
+        if vec_pred is None:
+            # full corpus: share the session-memoized trained quantizer
+            centroids = _ivf_cached_centroids(spark, sf_dir, corpus)
+        else:
+            # subset build (tests): train directly — the session cache is
+            # keyed on (app, corpus) and must never hold subset-trained
+            # centroids that would corrupt same-session ann_ivf_topk
+            centroids = _ivf_centroids(spark, corpus)
+
+    _doc_artifacts(spark, docs, root, "overwrite")
+    _simhash_artifact(spark, sf_dir, docs, root, "overwrite")
+    _vec_artifacts(vecs, root, "overwrite", centroids, srp_bits)
+
+    manifest = {
+        "sf_dir": sf_dir,
+        "doc_watermark": docs.agg(F.max("doc_id")).first()[0],
+        "vec_watermark": vecs.agg(F.max("vec_id")).first()[0],
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "simhash_wide": simhash_wide,
+        "srp_bits": srp_bits,
+        # k x dim doubles — bounded driver state; json round-trips
+        # float64 exactly (shortest-repr), so a fresh session loads the
+        # trained quantizer bit-identical instead of retraining
+        "centroids": [[c, list(map(float, v))] for c, v in centroids],
+    }
+    tmp = f"{root}/{MANIFEST}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, f"{root}/{MANIFEST}")  # commit point
+    return manifest
+
+
+def read_manifest(root: str) -> dict:
+    with open(f"{root}/{MANIFEST}") as f:
+        m = json.load(f)
+    m["centroids"] = [(int(c), [float(x) for x in v]) for c, v in m["centroids"]]
+    return m
+
+
+def refresh_index(spark: SparkSession, sf_dir: str, root: str) -> dict:
+    """Incremental maintenance: index ONLY rows past the manifest
+    watermark (append-only corpus — the daily-ingest shape) under the
+    FROZEN parameters, append to the artifact tables, advance the
+    watermark. Cost is one pass over the DELTA, never the corpus; the
+    quantizer is never retrained (new vectors are assigned to the
+    existing cells, exactly FAISS's add-after-train contract).
+    Idempotent-ish by the watermark: a re-run after a committed
+    manifest sees an empty delta and no-ops."""
+    m = read_manifest(root)
+    new_docs = load_table_spread(spark, sf_dir, "documents").filter(
+        F.col("doc_id") > m["doc_watermark"]
+    )
+    new_vecs = load_table_spread(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") > m["vec_watermark"]
+    )
+    n_new_docs = new_docs.count()
+    n_new_vecs = new_vecs.count()
+    if n_new_docs:
+        _doc_artifacts(spark, new_docs, root, "append")
+        _simhash_artifact(spark, sf_dir, new_docs, root, "append")
+    if n_new_vecs:
+        _vec_artifacts(new_vecs, root, "append", m["centroids"], m["srp_bits"])
+    m["doc_watermark"] = max(
+        m["doc_watermark"],
+        new_docs.agg(F.max("doc_id")).first()[0] or m["doc_watermark"],
+    )
+    m["vec_watermark"] = max(
+        m["vec_watermark"],
+        new_vecs.agg(F.max("vec_id")).first()[0] or m["vec_watermark"],
+    )
+    m["n_docs"] += n_new_docs
+    m["n_vecs"] += n_new_vecs
+    out = dict(m)
+    m["centroids"] = [[c, list(map(float, v))] for c, v in m["centroids"]]
+    tmp = f"{root}/{MANIFEST}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, f"{root}/{MANIFEST}")
+    return out
+
+
+# session memo of built store roots, keyed on (applicationId, sf_dir,
+# variant); SPARK_GRAFT_INDEX_DIR makes roots stable across sessions
+_ROOT_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def ensure_index(
+    spark: SparkSession, sf_dir: str, variant: str = "full", **build_kwargs
+) -> str:
+    """Root of a built index store for (corpus, variant); builds on
+    first use (session memo). With SPARK_GRAFT_INDEX_DIR set the root
+    is a stable path and an existing manifest short-circuits the build
+    entirely — the fresh-session read-only path."""
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
+    if key in _ROOT_CACHE:
+        return _ROOT_CACHE[key]
+    for k in [k for k in _ROOT_CACHE if k[0] != key[0]]:
+        del _ROOT_CACHE[k]
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if base:
+        root = os.path.join(
+            base, sf_dir.strip("/").replace("/", "_"), variant
+        )
+        os.makedirs(root, exist_ok=True)
+    else:
+        root = tempfile.mkdtemp(prefix=f"idx_{variant}_")
+    if not os.path.exists(f"{root}/{MANIFEST}"):
+        build_index(spark, sf_dir, root, **build_kwargs)
+    _ROOT_CACHE[key] = root
+    return root
+
+
+def _read_bands(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(f"{root}/minhash_bands").select(
+        "doc_id", "band_id", "band_key"
+    )
+
+
+def _read_sets(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(f"{root}/shingle_sets")
+
+
+def minhash_lsh_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs over the PERSISTED band + shingle-set tables —
+    same pair logic (shared helper), same oracle, but the query reads
+    partitioned parquet instead of deriving signatures: the fresh-
+    session cost of the whole LSH family drops to the one-time build
+    (or to pure reads under SPARK_GRAFT_INDEX_DIR)."""
+    root = ensure_index(spark, sf_dir)
+    return _lsh_pairs_from_tables(_read_bands(spark, root), _read_sets(spark, root))
+
+
+def simhash_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_neardup_pairs over the persisted fingerprint table; the
+    banding layout comes FROZEN from the manifest, not re-derived — old
+    and new fingerprints always band identically."""
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    sim = spark.read.parquet(f"{root}/simhash_fp")
+    return _simhash_pairs_from_fp(sim, m["simhash_wide"])
+
+
+def ann_ivf_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk over the persisted partitionBy(cell) assignment and
+    the manifest's trained quantizer — the serving path a fresh session
+    takes: load centroids (k x dim json, no training), probe, and read
+    ONLY the probed cell's partition (partition pruning over the
+    written layout — the disk form of the localCheckpoint pruning
+    tests/test_ivf_partition_pruning.py asserts)."""
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    cells = spark.read.parquet(f"{root}/ivf_cells").select(
+        "corpus_id", "c_emb", "c_norm", "cell"
+    )
+    queries = (
+        load_table_spread(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .filter(F.col("query_id") < N_QUERIES)
+    )
+    return _ivf_probe_topk(cells, queries, m["centroids"])
+
+
+def embedding_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_pairs over the persisted partitionBy(table_id)
+    SRP signature table, width frozen in the manifest."""
+    root = ensure_index(spark, sf_dir)
+    sigs = spark.read.parquet(f"{root}/srp_sigs").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    return _srp_pairs_from_sigs(sigs)
+
+
+def incremental_neardup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest screen AGAINST THE STORE: the reference corpus
+    (even doc_ids) lives as a built index variant; the incoming batch
+    (odd doc_ids) is shingled/banded fresh and joined against the
+    STORED band table, confirmed against the STORED shingle sets — the
+    batch never touches reference text, which is the property that
+    makes a 100 TB reference corpus affordable to screen against daily.
+    Same output and oracle as incremental_neardup (which derives both
+    sides in-session)."""
+    from .dedup import JACCARD_THRESHOLD
+
+    root = ensure_index(
+        spark, sf_dir, variant="ref_even", doc_pred=F.col("doc_id") % 2 == 0
+    )
+    ref_bands = _read_bands(spark, root).select(
+        F.col("doc_id").alias("ref_id"), "band_id", "band_key"
+    )
+    ref_sets = _read_sets(spark, root).select(
+        F.col("doc_id").alias("ref_id"), F.col("s").alias("sh_r")
+    )
+    batch_docs = load_table_spread(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    batch_sets = batch_docs.select(
+        "doc_id", _shingles(F.col("text")).alias("s")
+    ).localCheckpoint()
+    batch_bands = _minhash_banded_from_sets(batch_sets).select(
+        F.col("doc_id").alias("batch_id"), "band_id", "band_key"
+    )
+    cand = (
+        batch_bands.join(ref_bands, ["band_id", "band_key"])
+        .select("batch_id", "ref_id")
+        .dropDuplicates(["batch_id", "ref_id"])
+    )
+    pairs = cand.join(
+        batch_sets.select(F.col("doc_id").alias("batch_id"), F.col("s").alias("sh_b")),
+        "batch_id",
+    ).join(ref_sets, "ref_id")
+    inter = F.size(F.array_intersect("sh_b", "sh_r"))
+    union = F.size(F.array_union("sh_b", "sh_r"))
+    jac = (inter.cast("decimal(18,6)") / union).cast("decimal(9,6)")
+    good = pairs.select("batch_id", "ref_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    wit = good.groupBy("batch_id").agg(
+        F.min_by(F.struct("ref_id", "jaccard"), "ref_id").alias("m")
+    ).select(
+        "batch_id",
+        F.col("m.ref_id").alias("dup_of"),
+        F.col("m.jaccard").alias("jaccard"),
+    )
+    return (
+        batch_docs.select(F.col("doc_id").alias("batch_id"))
+        .join(wit, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.col("dup_of").isNull().alias("novel"),
+            "dup_of",
+            "jaccard",
+        )
+    )
+
+
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artifact-integrity report: row count per persisted table. Each
+    count has a closed form over the base tables (one set row and one
+    fingerprint per doc, N_BANDS band rows per doc, SRP_TABLES
+    signature rows per vector, one cell row per corpus vector), so the
+    DuckDB oracle derives the expected counts from the raw corpus and
+    the gate hash-checks that the store is COMPLETE — no partition
+    dropped, no doc skipped."""
+    root = ensure_index(spark, sf_dir)
+    parts = [
+        ("shingle_sets", f"{root}/shingle_sets"),
+        ("minhash_bands", f"{root}/minhash_bands"),
+        ("simhash_fp", f"{root}/simhash_fp"),
+        ("ivf_cells", f"{root}/ivf_cells"),
+        ("srp_sigs", f"{root}/srp_sigs"),
+    ]
+    dfs = [
+        spark.read.parquet(path)
+        .agg(F.count("*").alias("row_ct"))
+        .select(F.lit(name).alias("artifact"), "row_ct")
+        for name, path in parts
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+QUERIES = {
+    "minhash_lsh_pairs_from_index": minhash_lsh_pairs_from_index,
+    "simhash_neardup_pairs_from_index": simhash_neardup_pairs_from_index,
+    "ann_ivf_topk_from_index": ann_ivf_topk_from_index,
+    "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
+    "incremental_neardup_from_index": incremental_neardup_from_index,
+    "index_stats": index_stats,
+}
+
+from .dedup import ORACLES as _DEDUP_ORACLES
+from .similarity import ORACLES as _SIM_ORACLES
+
+ORACLES = {
+    # the from_index twins must answer EXACTLY like the in-session
+    # operators — their oracles apply verbatim, which is the proof that
+    # the persisted artifact carries the same information
+    "minhash_lsh_pairs_from_index": _DEDUP_ORACLES["minhash_lsh_pairs"],
+    "simhash_neardup_pairs_from_index": _DEDUP_ORACLES["simhash_neardup_pairs"],
+    "ann_ivf_topk_from_index": _SIM_ORACLES["ann_ivf_topk"],
+    "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
+    "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
+    # closed-form artifact counts over the base tables (see docstring):
+    # N_BANDS bands/doc, SRP_TABLES sigs/vec, queries excluded from
+    # ivf_cells
+    "index_stats": f"""
+    SELECT 'shingle_sets' AS artifact, CAST(COUNT(*) AS BIGINT) AS row_ct FROM documents
+    UNION ALL
+    SELECT 'minhash_bands', CAST({N_BANDS} * COUNT(*) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'simhash_fp', CAST(COUNT(*) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'ivf_cells', CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id >= {N_QUERIES}
+    UNION ALL
+    SELECT 'srp_sigs', CAST({SRP_TABLES} * COUNT(*) AS BIGINT) FROM embeddings
+    """,
+}

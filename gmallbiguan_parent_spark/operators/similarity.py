@@ -487,6 +487,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     cells = _cached_cells(spark, sf_dir, corpus, cent)
+    return _ivf_probe_topk(cells, queries, cent)
+
+
+def _ivf_probe_topk(cells: DataFrame, queries: DataFrame, cent) -> DataFrame:
+    """nprobe=1 probe + per-query top-k over an assigned (corpus_id,
+    c_emb, c_norm, cell) table — shared by ann_ivf_topk (session-
+    memoized assignment) and the index_store *_from_index twin (the
+    SAME table read back partition-pruned from the persisted
+    partitionBy(cell) layout), so the two paths cannot drift."""
     probed = _probe_cells(queries, cent, 1).select(
         "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
     )
@@ -944,7 +953,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     population stays ~constant at any scale; the oracle computes the
     identical width from count(embeddings), so verification holds at
     every scale factor, not just sf0.01."""
-    sigs = _srp_signature_table(spark, sf_dir)
+    return _srp_pairs_from_sigs(_srp_signature_table(spark, sf_dir))
+
+
+def _srp_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Bucket self-join + cosine confirm over a (vec_id, v, table_id,
+    sig) SRP signature table — shared by embedding_neardup_pairs
+    (session-memoized signatures) and the index_store *_from_index twin
+    (the SAME table read back from the persisted partitionBy(table_id)
+    artifact), so the two paths cannot drift."""
     a, b = sigs.alias("a"), sigs.alias("b")
     cosine = F.round(
         _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6

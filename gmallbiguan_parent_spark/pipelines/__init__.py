@@ -22,13 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators import asof, clustering, curation, dedup, graph, joins, layout, multimodal, quality, sampling, similarity, sketches, text, timeseries
+from ..operators import asof, clustering, curation, dedup, graph, index_store, joins, layout, multimodal, quality, sampling, similarity, sketches, text, timeseries
 from ..streaming import queries as streaming_queries
 from . import analytics, cdc, dwd, dwm, dws, serving, tpch
 
 _MODULES = (
     dwd, dwm, dws, serving, cdc,
-    dedup, similarity, text, multimodal, sketches, asof, sampling, curation, clustering, quality, graph, joins, layout, timeseries,
+    dedup, similarity, text, multimodal, sketches, asof, sampling, curation, clustering, quality, graph, joins, layout, timeseries, index_store,
     streaming_queries,
     tpch, analytics,
 )

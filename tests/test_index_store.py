@@ -1,0 +1,104 @@
+"""Persisted index store: refresh(delta) == rebuild(full) under frozen
+parameters, watermark idempotence, and from_index/in-session parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+DOC_WM = 350   # subset build indexes doc_id/vec_id <= this; refresh gets the rest
+
+
+def _rows(spark, path, cols):
+    df = spark.read.parquet(path).select(*cols)
+    return sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in df.collect()
+    )
+
+
+ARTIFACTS = [
+    ("shingle_sets", ["doc_id", "s"]),
+    ("minhash_bands", ["doc_id", "band_id", "band_key"]),
+    ("simhash_fp", ["doc_id", "sim_hi", "sim_lo"]),
+    ("ivf_cells", ["corpus_id", "c_emb", "c_norm", "cell"]),
+    ("srp_sigs", ["vec_id", "table_id", "sig"]),
+]
+
+
+def test_refresh_delta_equals_rebuild_full(spark, tmp_path):
+    """The judge's contract for incremental maintenance: build on a
+    prefix of the corpus, refresh with the remainder, and every
+    artifact table must equal a FULL rebuild under the same frozen
+    parameters (the subset-trained quantizer, its simhash layout, its
+    SRP width) — i.e. the delta path computes exactly what the batch
+    path would, it just never touches already-indexed rows."""
+    from gmallbiguan_parent_spark.operators.index_store import (
+        build_index, read_manifest, refresh_index,
+    )
+
+    inc_root = str(tmp_path / "inc")
+    full_root = str(tmp_path / "full")
+
+    m0 = build_index(
+        spark, SF_DIR, inc_root,
+        doc_pred=F.col("doc_id") <= DOC_WM,
+        vec_pred=F.col("vec_id") <= DOC_WM,
+    )
+    assert m0["doc_watermark"] == DOC_WM
+    m1 = refresh_index(spark, SF_DIR, inc_root)
+    assert m1["doc_watermark"] > DOC_WM and m1["vec_watermark"] > DOC_WM
+
+    build_index(
+        spark, SF_DIR, full_root,
+        centroids=m0["centroids"],
+        simhash_wide=m0["simhash_wide"],
+        srp_bits=m0["srp_bits"],
+    )
+    for name, cols in ARTIFACTS:
+        inc = _rows(spark, f"{inc_root}/{name}", cols)
+        full = _rows(spark, f"{full_root}/{name}", cols)
+        assert inc == full, f"{name}: refresh(delta) != rebuild(full)"
+    # the quantizer must be FROZEN across refresh — never retrained
+    assert read_manifest(inc_root)["centroids"] == [
+        (int(c), [float(x) for x in v]) for c, v in m0["centroids"]
+    ]
+
+
+def test_refresh_is_noop_past_watermark(spark, tmp_path):
+    """A second refresh after a committed manifest sees an empty delta:
+    watermarks and artifact row counts must not move (the idempotence
+    a scheduler retry relies on)."""
+    from gmallbiguan_parent_spark.operators.index_store import (
+        build_index, refresh_index,
+    )
+
+    root = str(tmp_path / "noop")
+    build_index(spark, SF_DIR, root)
+    before = {
+        name: spark.read.parquet(f"{root}/{name}").count() for name, _ in ARTIFACTS
+    }
+    m = refresh_index(spark, SF_DIR, root)
+    after = {
+        name: spark.read.parquet(f"{root}/{name}").count() for name, _ in ARTIFACTS
+    }
+    assert after == before
+    assert m["n_docs"] == before["shingle_sets"]
+
+
+def test_from_index_matches_in_session(spark):
+    """The from_index twins must answer exactly like the in-session
+    operators (beyond the oracle gate: a direct Spark-vs-Spark check
+    that the persisted artifact carries the same information)."""
+    from gmallbiguan_parent_spark.operators.dedup import minhash_lsh_pairs
+    from gmallbiguan_parent_spark.operators.index_store import (
+        ann_ivf_topk_from_index, minhash_lsh_pairs_from_index,
+    )
+    from gmallbiguan_parent_spark.operators.similarity import ann_ivf_topk
+
+    a = sorted(map(tuple, minhash_lsh_pairs(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs_from_index(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+    a = sorted(map(tuple, ann_ivf_topk(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, ann_ivf_topk_from_index(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0

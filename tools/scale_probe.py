@@ -115,6 +115,9 @@ PROBE_QUERIES = [
     "stream_window_funnel",
     "stream_rate_limit",
     "stream_dedup_gate",
+    # round-7: persisted index artifacts — read-back query twins
+    "minhash_lsh_pairs_from_index",
+    "ann_ivf_topk_from_index",
     # round-6 continuation: semantic decontamination (batch + stream),
     # corpus diversity, online ANN serving, diversified retrieval
     "semantic_decontaminate",
