@@ -65,11 +65,12 @@ from .dedup import (
 from .similarity import (
     N_QUERIES,
     SRP_TABLES,
+    _assign_cells,
     _ivf_cached_centroids,
     _ivf_probe_topk,
+    _pq_codes_expr,
     _srp_pairs_from_sigs,
     _srp_signature,
-    _assign_cells,
     srp_bits_for,
 )
 
@@ -110,17 +111,25 @@ def _simhash_artifact(spark: SparkSession, sf_dir: str, docs: DataFrame,
 
 
 def _vec_artifacts(vecs: DataFrame, root: str, mode: str, centroids,
-                   srp_bits: int) -> None:
+                   srp_bits: int, pq_books) -> None:
     """Per-vector artifacts under FROZEN parameters: IVF cell
-    assignment against the stored quantizer, SRP signatures at the
-    stored width."""
+    assignment against the stored quantizer, PQ code words against the
+    stored codebooks, SRP signatures at the stored width."""
     corpus = vecs.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").cast("array<double>").alias("c_emb"),
     ).filter(F.col("corpus_id") >= N_QUERIES)
+    assigned = _assign_cells(corpus, centroids).localCheckpoint()
+    _write(assigned, f"{root}/ivf_cells", partition_by=["cell"], mode=mode)
+    # PQ code words: PQ_M small ints per vector — the compressed form a
+    # real index persists (reconstruction happens at read time via the
+    # manifest codebooks); co-partitioned with the cells so an IVF-PQ
+    # probe prunes both tables to one partition
     _write(
-        _assign_cells(corpus, centroids),
-        f"{root}/ivf_cells",
+        assigned.select(
+            "corpus_id", _pq_codes_expr(pq_books).alias("codes"), "cell"
+        ),
+        f"{root}/pq_codes",
         partition_by=["cell"],
         mode=mode,
     )
@@ -147,6 +156,7 @@ def build_index(
     centroids=None,
     simhash_wide: bool | None = None,
     srp_bits: int | None = None,
+    pq_books=None,
 ) -> dict:
     """Full index build: write all five artifact tables + manifest.
 
@@ -177,13 +187,13 @@ def build_index(
         simhash_wide = n_docs >= SIMHASH_WIDE_MIN_DOCS
     if srp_bits is None:
         srp_bits = srp_bits_for(n_vecs)
+    corpus = vecs.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    ).filter(F.col("corpus_id") >= N_QUERIES)
     if centroids is None:
         from .similarity import _ivf_centroids
 
-        corpus = vecs.select(
-            F.col("vec_id").alias("corpus_id"),
-            F.col("embedding").cast("array<double>").alias("c_emb"),
-        ).filter(F.col("corpus_id") >= N_QUERIES)
         if vec_pred is None:
             # full corpus: share the session-memoized trained quantizer
             centroids = _ivf_cached_centroids(spark, sf_dir, corpus)
@@ -192,10 +202,27 @@ def build_index(
             # keyed on (app, corpus) and must never hold subset-trained
             # centroids that would corrupt same-session ann_ivf_topk
             centroids = _ivf_centroids(spark, corpus)
+    if pq_books is None:
+        from .similarity import (
+            _pq_cached_codebooks, _pq_codebooks_spec, pq_train_mod,
+        )
+
+        if vec_pred is None:
+            pq_books = _pq_cached_codebooks(spark, sf_dir, corpus)
+        else:  # same cache-pollution rationale as the centroids above
+            mod = pq_train_mod(n_vecs_corpus := corpus.count())
+            rows = (
+                corpus.filter(F.col("corpus_id") % mod == 0)
+                .select("corpus_id", "c_emb")
+                .collect()
+            )
+            pq_books = _pq_codebooks_spec(
+                sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
+            )
 
     _doc_artifacts(spark, docs, root, "overwrite")
     _simhash_artifact(spark, sf_dir, docs, root, "overwrite")
-    _vec_artifacts(vecs, root, "overwrite", centroids, srp_bits)
+    _vec_artifacts(vecs, root, "overwrite", centroids, srp_bits, pq_books)
 
     manifest = {
         "sf_dir": sf_dir,
@@ -207,8 +234,11 @@ def build_index(
         "srp_bits": srp_bits,
         # k x dim doubles — bounded driver state; json round-trips
         # float64 exactly (shortest-repr), so a fresh session loads the
-        # trained quantizer bit-identical instead of retraining
+        # trained quantizer/codebooks bit-identical instead of retraining
         "centroids": [[c, list(map(float, v))] for c, v in centroids],
+        "pq_books": [
+            [[c, list(map(float, v))] for c, v in book] for book in pq_books
+        ],
     }
     tmp = f"{root}/{MANIFEST}.tmp"
     with open(tmp, "w") as f:
@@ -221,6 +251,9 @@ def read_manifest(root: str) -> dict:
     with open(f"{root}/{MANIFEST}") as f:
         m = json.load(f)
     m["centroids"] = [(int(c), [float(x) for x in v]) for c, v in m["centroids"]]
+    m["pq_books"] = [
+        [(int(c), [float(x) for x in v]) for c, v in book] for book in m["pq_books"]
+    ]
     return m
 
 
@@ -246,7 +279,9 @@ def refresh_index(spark: SparkSession, sf_dir: str, root: str) -> dict:
         _doc_artifacts(spark, new_docs, root, "append")
         _simhash_artifact(spark, sf_dir, new_docs, root, "append")
     if n_new_vecs:
-        _vec_artifacts(new_vecs, root, "append", m["centroids"], m["srp_bits"])
+        _vec_artifacts(
+            new_vecs, root, "append", m["centroids"], m["srp_bits"], m["pq_books"]
+        )
     m["doc_watermark"] = max(
         m["doc_watermark"],
         new_docs.agg(F.max("doc_id")).first()[0] or m["doc_watermark"],
@@ -259,6 +294,9 @@ def refresh_index(spark: SparkSession, sf_dir: str, root: str) -> dict:
     m["n_vecs"] += n_new_vecs
     out = dict(m)
     m["centroids"] = [[c, list(map(float, v))] for c, v in m["centroids"]]
+    m["pq_books"] = [
+        [[c, list(map(float, v))] for c, v in book] for book in m["pq_books"]
+    ]
     tmp = f"{root}/{MANIFEST}.tmp"
     with open(tmp, "w") as f:
         json.dump(m, f)
@@ -350,6 +388,70 @@ def ann_ivf_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(cells, queries, m["centroids"])
 
 
+def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_topk over the persisted index: cells AND 4-bit PQ code
+    words read from their co-partitioned partitionBy(cell) tables,
+    codebooks/quantizer loaded from the manifest. The probe prunes both
+    reads to one cell; reconstruction is a literal-map lookup of the
+    STORED codes (no distance computation at read time — the write-time
+    encode paid it once); the ADC shortlist joins back to the full-
+    precision cells rows for the exact rerank. Oracle: ann_ivfpq_topk's
+    verbatim."""
+    from pyspark.sql import Window
+
+    from .similarity import (
+        PQ_SHORTLIST, TOP_K, _dot, _norm, _pq_recon_from_codes, _probe_cells,
+    )
+
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    cells = spark.read.parquet(f"{root}/ivf_cells").select(
+        "corpus_id", "c_emb", "c_norm", "cell"
+    )
+    codes = spark.read.parquet(f"{root}/pq_codes").select(
+        "corpus_id", "codes", "cell"
+    )
+    queries = (
+        load_table_spread(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .filter(F.col("query_id") < N_QUERIES)
+    )
+    probed = _probe_cells(queries, m["centroids"], 1).select(
+        "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
+    )
+    probed_codes = codes.join(
+        F.broadcast(probed), codes.cell == probed.probe_cell, "inner"
+    )
+    recon = _pq_recon_from_codes(m["pq_books"], F.col("codes"))
+    adc = F.round(
+        _dot(F.col("q_emb"), F.col("r_emb")) / (F.col("q_norm") * _norm(F.col("r_emb"))), 6
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("corpus_id"))
+    shortlist = (
+        probed_codes.withColumn("r_emb", recon)
+        .select(
+            "query_id", "probe_cell", "corpus_id", "q_emb", "q_norm",
+            adc.alias("adc_cosine"),
+        )
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= PQ_SHORTLIST)
+    )
+    exact = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        shortlist.join(cells.select("corpus_id", "c_emb", "c_norm"), "corpus_id")
+        .select("query_id", "probe_cell", "corpus_id", "adc_cosine", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "probe_cell", "rank", "corpus_id", "cosine", "adc_cosine")
+    )
+
+
 def embedding_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_neardup_pairs over the persisted partitionBy(table_id)
     SRP signature table, width frozen in the manifest."""
@@ -437,6 +539,7 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("minhash_bands", f"{root}/minhash_bands"),
         ("simhash_fp", f"{root}/simhash_fp"),
         ("ivf_cells", f"{root}/ivf_cells"),
+        ("pq_codes", f"{root}/pq_codes"),
         ("srp_sigs", f"{root}/srp_sigs"),
     ]
     dfs = [
@@ -455,6 +558,7 @@ QUERIES = {
     "minhash_lsh_pairs_from_index": minhash_lsh_pairs_from_index,
     "simhash_neardup_pairs_from_index": simhash_neardup_pairs_from_index,
     "ann_ivf_topk_from_index": ann_ivf_topk_from_index,
+    "ann_ivfpq_topk_from_index": ann_ivfpq_topk_from_index,
     "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
     "index_stats": index_stats,
@@ -470,6 +574,7 @@ ORACLES = {
     "minhash_lsh_pairs_from_index": _DEDUP_ORACLES["minhash_lsh_pairs"],
     "simhash_neardup_pairs_from_index": _DEDUP_ORACLES["simhash_neardup_pairs"],
     "ann_ivf_topk_from_index": _SIM_ORACLES["ann_ivf_topk"],
+    "ann_ivfpq_topk_from_index": _SIM_ORACLES["ann_ivfpq_topk"],
     "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
     # closed-form artifact counts over the base tables (see docstring):
@@ -483,6 +588,8 @@ ORACLES = {
     SELECT 'simhash_fp', CAST(COUNT(*) AS BIGINT) FROM documents
     UNION ALL
     SELECT 'ivf_cells', CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id >= {N_QUERIES}
+    UNION ALL
+    SELECT 'pq_codes', CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id >= {N_QUERIES}
     UNION ALL
     SELECT 'srp_sigs', CAST({SRP_TABLES} * COUNT(*) AS BIGINT) FROM embeddings
     """,

@@ -830,7 +830,11 @@ NEARDUP_COSINE = 0.35
 # cost, more bits cut candidates exponentially.
 SRP_TABLES = 4
 SRP_BITS = 4               # floor; the operator widens with corpus size
-SRP_MAX_BITS = 12          # cap (4096 buckets/table); raise for >130k vectors
+SRP_MAX_BITS = 16          # cap (65536 buckets/table, ~2M vectors at the
+                           # 32/bucket target); the 100x probe engages
+                           # width 13 at 200k vectors — under the old cap
+                           # of 12 the bucket population (and the pair
+                           # join) would have started growing again
 SRP_TARGET_BUCKET = 32     # aim for ~this many vectors per bucket
 SRP_DIM = 64
 
@@ -1278,6 +1282,39 @@ def _l2_6(a, b):
         F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v),
         6,
     )
+
+
+def _pq_codes_expr(books: list[list[tuple[int, list[float]]]]):
+    """The PQ CODE WORD for `c_emb` — array of PQ_M nearest-codebook-
+    entry ids (round-6 squared-L2, smallest code on ties; the same
+    assignment _pq_recon_expr makes inline). This is what a real index
+    persists: PQ_M small ints per vector instead of the full-precision
+    floats — the index_store writes this column and reconstructs at
+    read time via _pq_recon_from_codes."""
+    parts = []
+    for m, cent in enumerate(books):
+        subv = F.slice("c_emb", m * PQ_SUB + 1, PQ_SUB)
+        scored = F.array(*[
+            F.struct(_l2_6(subv, F.array(*[F.lit(x) for x in cv])).alias("d"),
+                     F.lit(c).alias("code"))
+            for c, cv in cent
+        ])
+        parts.append(F.sort_array(scored).getItem(0).getField("code"))
+    return F.array(*parts)
+
+
+def _pq_recon_from_codes(books: list[list[tuple[int, list[float]]]], codes_col):
+    """Codebook reconstruction from a STORED codes column (the read
+    side of the persisted PQ artifact): per subspace, a literal-map
+    lookup of the code — no distance computation at read time."""
+    recon_parts = []
+    for m, cent in enumerate(books):
+        lookup = F.create_map(*[
+            e for c, cv in cent
+            for e in (F.lit(c), F.array(*[F.lit(x) for x in cv]))
+        ])
+        recon_parts.append(F.element_at(lookup, F.element_at(codes_col, m + 1)))
+    return F.concat(*recon_parts)
 
 
 def _pq_recon_expr(books: list[list[tuple[int, list[float]]]]):

@@ -22,6 +22,7 @@ ARTIFACTS = [
     ("minhash_bands", ["doc_id", "band_id", "band_key"]),
     ("simhash_fp", ["doc_id", "sim_hi", "sim_lo"]),
     ("ivf_cells", ["corpus_id", "c_emb", "c_norm", "cell"]),
+    ("pq_codes", ["corpus_id", "codes", "cell"]),
     ("srp_sigs", ["vec_id", "table_id", "sig"]),
 ]
 
@@ -54,6 +55,7 @@ def test_refresh_delta_equals_rebuild_full(spark, tmp_path):
         centroids=m0["centroids"],
         simhash_wide=m0["simhash_wide"],
         srp_bits=m0["srp_bits"],
+        pq_books=m0["pq_books"],
     )
     for name, cols in ARTIFACTS:
         inc = _rows(spark, f"{inc_root}/{name}", cols)

@@ -1,15 +1,27 @@
-"""Skew probe: build an events table where ONE user owns ~30% of all
-rows (the hot-key case that breaks naive hash joins at scale), then
-measure:
+"""Skew probe: build an events table where ONE user owns ~45% of all
+rows (the hot-key case that breaks naive hash/sort-merge joins at
+scale), then measure the payment-activity pair join four ways:
 
-1. the payment⋈activity interval join PLAIN vs through salted_join;
-2. whether AQE's skew-join optimization kicks in on the plain run.
+1. PLAIN, AQE at default thresholds — the hot key's pay x act pair
+   enumeration (~700M row comparisons) lands in ONE sort-merge task;
+   the default 256 MB skewedPartitionThresholdInBytes never fires at
+   probe scale, so this is the unmitigated baseline.
+2. PLAIN, AQE with the skew thresholds scaled DOWN in proportion to the
+   probe (threshold 1 MB / advisory 256 KB): OptimizeSkewedJoin splits
+   the hot partition into many sub-ranges and replicates the matching
+   other side — the mitigation a 100 TB job gets for FREE at default
+   thresholds, reproduced at MB scale.
+3. salted_join(n=16) — the explicit mitigation for when one KEY exceeds
+   what even a split task should hold: scatter one side by salt,
+   replicate the other.
+4. Result equivalence asserted across all variants.
 
-Writes SKEW.md. The join is made deliberately heavy: the hot key's
-purchase×activity pair explosion concentrates in one task without
-mitigation.
+Writes SKEW.md with wall times. Hot-key sizing: user 1 has 12
+purchases + 26 view/clicks per copy; HOT_COPIES=1500 makes the single
+key enumerate 12*1500 x 26*1500 = ~700M pairs — minutes in one task,
+so the mitigation effect is far outside noise.
 
-Usage: python tools/skew_probe.py
+Usage: python tools/skew_probe.py      (~5-10 min)
 """
 
 from __future__ import annotations
@@ -22,7 +34,24 @@ sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/skew_events"
-HOT_COPIES = 150  # hot user dominates: enough for a single-task pair explosion
+HOT_COPIES = 1500  # hot user: ~18k purchases x ~39k activities = ~700M pairs
+
+SKEW_CONFS = {
+    # production defaults (what variant 1 runs under)
+    "default": {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    },
+    # thresholds scaled to probe size: the hot partition is ~3 MB of
+    # packed rows, so 1 MB/256 KB puts the probe in the same REGIME a
+    # multi-GB hot partition is in against the 256 MB default
+    "tuned": {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    },
+}
 
 
 def build(spark) -> None:
@@ -32,19 +61,20 @@ def build(spark) -> None:
 
     shutil.rmtree(DST, ignore_errors=True)
     ev = load_table(spark, SRC, "events")
-    hot = ev.filter(F.col("user_id") == 1)
-    copies = [ev]
-    for i in range(HOT_COPIES):
-        copies.append(
-            hot.withColumn("event_id", F.col("event_id") + F.lit((i + 1) * 50_000_000))
-        )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+    # replicate the hot user's rows via explode (HOT_COPIES-branch
+    # unions don't analyze at this count)
+    hot = (
+        ev.filter(F.col("user_id") == 1)
+        .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(HOT_COPIES))))
+        .withColumn("event_id", F.col("event_id") + F.col("i") * F.lit(50_000_000))
+        .drop("i")
+    )
+    ev.unionByName(hot).repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/events.parquet"
+    )
 
 
-def pair_join_plain(spark, sf_dir: str):
+def _sides(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from gmallbiguan_parent_spark.io import load_table
@@ -58,6 +88,13 @@ def pair_join_plain(spark, sf_dir: str):
         F.col("event_id").alias("act_id"), F.col("user_id").alias("act_user"),
         F.col("ts").alias("act_ts"),
     )
+    return pay, act
+
+
+def pair_join_plain(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    pay, act = _sides(spark, sf_dir)
     return pay.join(
         act,
         (F.col("pay_user") == F.col("act_user"))
@@ -72,18 +109,9 @@ def pair_join_salted(spark, sf_dir: str):
     handles 1/n of the pairs."""
     from pyspark.sql import functions as F
 
-    from gmallbiguan_parent_spark.io import load_table
     from gmallbiguan_parent_spark.operators.joins import salted_join
 
-    ev = load_table(spark, sf_dir, "events")
-    pay = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("pay_id"), F.col("user_id").alias("pay_user"),
-        F.col("ts").alias("pay_ts"),
-    )
-    act = ev.filter(F.col("event_type").isin("view", "click")).select(
-        F.col("event_id").alias("act_id"), F.col("user_id").alias("act_user"),
-        F.col("ts").alias("act_ts"),
-    )
+    pay, act = _sides(spark, sf_dir)
     joined = salted_join(pay, act, "pay_user", "act_user", n_salt=16)
     return (
         joined.filter(
@@ -95,52 +123,69 @@ def pair_join_salted(spark, sf_dir: str):
     )
 
 
+def _timed(spark, confs: dict[str, str], fn):
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    t0 = time.time()
+    df = fn()
+    n = df.count()
+    t = round(time.time() - t0, 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return df, n, t, ("skew=true" in plan)
+
+
 def main() -> None:
     from gmallbiguan_parent_spark.session import get_spark
 
     spark = get_spark("skew_probe")
     spark.range(1000).count()
+    t0 = time.time()
     build(spark)
+    print(f"# build: {round(time.time() - t0, 1)}s", file=sys.stderr)
 
-    t0 = time.time()
-    plain = pair_join_plain(spark, DST)
-    n_plain = plain.count()
-    t_plain = round(time.time() - t0, 2)
-    plan = plain._jdf.queryExecution().executedPlan().toString()
-    aqe_skew = "skew=true" in plan
+    plain_df, n_plain, t_plain, skew_plain = _timed(
+        spark, SKEW_CONFS["default"], lambda: pair_join_plain(spark, DST)
+    )
+    tuned_df, n_tuned, t_tuned, skew_tuned = _timed(
+        spark, SKEW_CONFS["tuned"], lambda: pair_join_plain(spark, DST)
+    )
+    salt_df, n_salt, t_salt, _ = _timed(
+        spark, SKEW_CONFS["default"], lambda: pair_join_salted(spark, DST)
+    )
+    # restore defaults for anything else in the session
+    for k, v in SKEW_CONFS["default"].items():
+        spark.conf.set(k, v)
 
-    t0 = time.time()
-    salted = pair_join_salted(spark, DST)
-    n_salted = salted.count()
-    t_salted = round(time.time() - t0, 2)
-
-    # result equivalence
-    a = {(r.pay_user, r["count"]) for r in plain.collect()}
-    b = {(r.pay_user, r["count"]) for r in salted.collect()}
-    assert a == b, "salted join result diverged"
+    a = {(r.pay_user, r["count"]) for r in plain_df.collect()}
+    b = {(r.pay_user, r["count"]) for r in tuned_df.collect()}
+    c = {(r.pay_user, r["count"]) for r in salt_df.collect()}
+    assert a == b == c, "mitigated join result diverged"
 
     lines = [
         "# SKEW — hot-key probe",
         "",
-        f"events with one user's rows replicated {HOT_COPIES}x (hot key ~20% of the",
-        "table). The purchase-activity interval join concentrates that key's pair",
-        "enumeration in one task without mitigation.",
+        f"events with one user's rows replicated {HOT_COPIES}x: the hot key is",
+        "~45% of the table and its pay x act sort-merge enumeration is ~700M",
+        "row comparisons — ONE task without mitigation. AQE thresholds for the",
+        "'tuned' row are scaled to probe size (1 MB skew threshold vs the 256 MB",
+        "default) to reproduce at MB scale the regime a multi-GB hot partition",
+        "hits at the production default.",
         "",
-        "| variant | wall s | rows | notes |",
+        "| variant | wall s | rows | AQE skew-split engaged |",
         "|---|---|---|---|",
-        f"| plain join (AQE on) | {t_plain} | {n_plain} | AQE skew-split engaged: {aqe_skew} |",
-        f"| salted_join(n=16) | {t_salted} | {n_salted} | identical result set (asserted) |",
+        f"| plain join (AQE defaults) | {t_plain} | {n_plain} | {skew_plain} |",
+        f"| plain join (AQE thresholds scaled to probe) | {t_tuned} | {n_tuned} | {skew_tuned} |",
+        f"| salted_join(n=16) | {t_salt} | {n_salt} | n/a (pre-scattered) |",
         "",
-        "Honest read: at probe scale (hot key ~10k rows → ~8M enumerated pairs)",
-        "the skew cost is below measurement noise, so the probe demonstrates the",
-        "MECHANICS and result-equivalence of the mitigation, not a speedup. The",
-        "levers at 100 TB, in order: AQE skew-join splitting first (free), then",
-        "explicit salting when a single key exceeds what one split task can hold",
+        "All three variants produce the identical result set (asserted).",
+        "Levers at 100 TB, in order: AQE skew-join splitting first (free at",
+        "default thresholds once partitions are actually large), then explicit",
+        "salting when a single KEY exceeds what one split task should hold",
         "(salted_join spreads each hot key over n_salt tasks by construction).",
     ]
     with open("/root/repo/SKEW.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("\n".join(lines[7:10]))
+    print("\n".join(lines[9:14]))
 
 
 if __name__ == "__main__":
