@@ -226,15 +226,17 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.size("s_a") + F.size("s_b") - F.col("inter_ct")).cast("double"),
         6,
     )
-    # Verify-join shape, chosen for scale: the candidate ID pairs (two
-    # longs/row) broadcast into the first join; the second join is a
-    # SHUFFLE_HASH on doc_b — candidates ride one shuffle WITH their
-    # s_a arrays, the corpus table one shuffle, and nothing
-    # corpus-sized or candidate×array-sized is ever broadcast (the
-    # planner's own choice built on the shingle-set tables: every doc's
-    # arrays shipped to every task, 4.5 s of the query's 5.7 s; a
-    # broadcast of the array-enriched candidates would die at 10x).
-    enriched = sa.join(F.broadcast(cand), "doc_a")
+    # Verify-join shape, chosen for scale: SHUFFLE_HASH at BOTH joins —
+    # candidate ID pairs shuffle on doc_a into the s_a join, then the
+    # array-enriched candidates shuffle on doc_b against the corpus
+    # table, so nothing corpus- or candidate-sized is ever broadcast.
+    # (Two earlier shapes died by broadcast: the planner's own choice
+    # shipped every doc's arrays to every task, and round 6's
+    # F.broadcast(cand) of "just the ID pairs" computed a 6.5 GiB
+    # broadcast at the 100x probe's 1M docs — candidate COUNT scales
+    # with the corpus, so no candidate-derived table is broadcastable
+    # at scale, however slim its rows.)
+    enriched = sa.hint("SHUFFLE_HASH").join(cand.hint("SHUFFLE_HASH"), "doc_a")
     return (
         sb.hint("SHUFFLE_HASH").join(enriched.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("inter_ct", inter)
@@ -319,9 +321,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain = F.round(
         F.col("inter_ct").cast("double") / F.size("s_a").cast("double"), 6
     )
-    # same verify-join shape as prefix_jaccard_pairs: broadcast only
-    # the candidate ID pairs, SHUFFLE_HASH the array-carrying join
-    enriched = sa.join(F.broadcast(cand), "doc_a")
+    # same verify-join shape as prefix_jaccard_pairs: SHUFFLE_HASH at
+    # both joins — candidate count scales with the corpus (6.5 GiB
+    # "ID-pair" broadcast at the 100x probe), so candidates shuffle,
+    # never broadcast
+    enriched = sa.hint("SHUFFLE_HASH").join(cand.hint("SHUFFLE_HASH"), "doc_a")
     return (
         sb.hint("SHUFFLE_HASH").join(enriched.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("inter_ct", F.size(F.array_intersect("s_a", "s_b")))

@@ -335,6 +335,81 @@ def ensure_index(
     return root
 
 
+def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
+    """Small-files maintenance: every refresh APPENDS part-files to the
+    artifact partitions, so a long-lived index accumulates one file per
+    refresh per partition — the classic small-files tax on every probe
+    read. Compaction rewrites each artifact to consolidated files with
+    IDENTICAL content and partitioning (read -> write to a staging dir
+    -> atomic directory swap; the swap is the commit point, so a crash
+    leaves either the old or the new layout, never a mix). Returns the
+    per-artifact file counts after compaction. At warehouse scale this
+    is the OPTIMIZE/rewrite-data-files job table formats schedule."""
+    import shutil
+
+    parts = {
+        "shingle_sets": [],
+        "minhash_bands": ["band_id"],
+        "simhash_fp": [],
+        "ivf_cells": ["cell"],
+        "pq_codes": ["cell"],
+        "srp_sigs": ["table_id"],
+    }
+    out: dict[str, int] = {}
+    for name, pcols in parts.items():
+        src = f"{root}/{name}"
+        if not os.path.isdir(src):
+            continue
+        stage = f"{root}/_compact_{name}"
+        shutil.rmtree(stage, ignore_errors=True)
+        df = spark.read.parquet(src)
+        # one file per partition value (or per shuffle partition for
+        # unpartitioned artifacts) — localCheckpoint breaks the read's
+        # lineage on the directory we are about to replace
+        df = df.localCheckpoint()
+        w = df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)).write
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.mode("overwrite").parquet(stage)
+        old = f"{root}/_old_{name}"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(src, old)
+        os.replace(stage, src)  # commit point
+        shutil.rmtree(old, ignore_errors=True)
+        out[name] = sum(
+            1 for _, _, files in os.walk(src) for f in files if f.endswith(".parquet")
+        )
+    return out
+
+
+def compact_ledger(spark: SparkSession, ledger: str, upto: int) -> None:
+    """Fold a batch_id-partitioned admission ledger's partitions with
+    id <= upto into the single partition batch_id=<upto> (additive
+    rows, so the fold is a plain union — re-summed identically on
+    read). Contract: `upto` must be strictly below any batch that
+    could still RETRY (quiesced stream, or < the last checkpoint-
+    committed id) — _ledger_prior excludes a batch's own partition,
+    so folding history INTO a retryable batch's partition would hide
+    that history from its retry. Expired keys (aged-out hours,
+    tombstoned fingerprints) are the rows a production compaction
+    drops here."""
+    import shutil
+
+    done = [
+        d for d in os.listdir(ledger)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto
+    ]
+    if len(done) <= 1:
+        return
+    folded = spark.read.parquet(*(os.path.join(ledger, d) for d in done))
+    stage = f"{ledger}/_compact"
+    shutil.rmtree(stage, ignore_errors=True)
+    folded.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(stage)
+    for d in done:
+        shutil.rmtree(os.path.join(ledger, d))
+    os.replace(stage, os.path.join(ledger, f"batch_id={upto}"))  # commit point
+
+
 def _read_bands(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(f"{root}/minhash_bands").select(
         "doc_id", "band_id", "band_key"

@@ -104,3 +104,68 @@ def test_from_index_matches_in_session(spark):
     a = sorted(map(tuple, ann_ivf_topk(spark, SF_DIR).collect()))
     b = sorted(map(tuple, ann_ivf_topk_from_index(spark, SF_DIR).collect()))
     assert a == b and len(a) > 0
+
+
+def test_compact_index_preserves_content(spark, tmp_path):
+    """Compaction must be a pure layout rewrite: identical rows, same
+    partitioning, fewer files (build + refresh leaves >=2 files per
+    touched partition; compaction folds them)."""
+    from gmallbiguan_parent_spark.operators.index_store import (
+        build_index, compact_index, refresh_index,
+    )
+
+    root = str(tmp_path / "cx")
+    build_index(
+        spark, SF_DIR, root,
+        doc_pred=F.col("doc_id") <= DOC_WM,
+        vec_pred=F.col("vec_id") <= DOC_WM,
+    )
+    refresh_index(spark, SF_DIR, root)
+    before = {
+        name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS
+    }
+    files = compact_index(spark, root)
+    after = {
+        name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS
+    }
+    assert after == before
+    assert set(files) >= {name for name, _ in ARTIFACTS}
+
+
+def test_compact_ledger_preserves_decisions(spark, tmp_path):
+    """Folding committed ledger partitions must not change any later
+    batch's admissions: run the same three batches with and without a
+    compaction after batch 1 and require identical decisions."""
+    import datetime
+
+    from gmallbiguan_parent_spark.operators.index_store import compact_ledger
+    from gmallbiguan_parent_spark.operators.quality import RATE_CAP
+    from gmallbiguan_parent_spark.streaming.pipelines import _rate_limit_admit_batch
+
+    hr = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, hr + datetime.timedelta(seconds=i), 7) for i in ids],
+            "event_id int, ts timestamp, user_id int",
+        )
+
+    batches = [range(2), range(100, 102), range(200, 200 + RATE_CAP)]
+    outs = {}
+    for variant in ("plain", "compacted"):
+        out = str(tmp_path / variant)
+        _rate_limit_admit_batch(batch(batches[0]), 0, out)
+        _rate_limit_admit_batch(batch(batches[1]), 1, out)
+        if variant == "compacted":
+            compact_ledger(spark, f"{out}/_ledger", upto=1)
+            import os
+
+            assert os.listdir(f"{out}/_ledger") == ["batch_id=1"]
+        _rate_limit_admit_batch(batch(batches[2]), 2, out)
+        outs[variant] = _read_sorted(
+            spark, f"{out}/data/batch_id=2", ["event_id", "kept"]
+        )
+    assert outs["plain"] == outs["compacted"]
+    # the third batch crosses the cap: 2+2 prior admissions + RATE_CAP
+    # arrivals -> exactly RATE_CAP-4 admitted
+    assert sum(1 for _, k in outs["plain"] if k) == RATE_CAP - 4

@@ -17,13 +17,13 @@ identical-text copies): each copy is transformed by a STRUCTURE-
 PRESERVING bijection so the probe measures COMPUTE scaling, not an
 identical-copy output explosion —
 
-- documents: a per-copy character bijection (three alphabet-rotation
-  translates, 1000 distinct maps). Tokens map bijectively, so shingle
-  sets map bijectively and every within-copy Jaccard/hamming
-  relationship is preserved EXACTLY; across copies the token spaces are
-  (almost) disjoint, so cross-copy near-dup pairs vanish and the true
-  pair set grows linearly (copies x per-copy pairs) — the realistic
-  100 TB shape, where the corpus is not 99% verbatim clones.
+- documents: a per-copy token bijection (append a copy-unique alnum
+  suffix to every token). Tokens map bijectively, so shingle sets map
+  bijectively and every within-copy Jaccard/hamming relationship is
+  preserved EXACTLY; across copies the token spaces are fully
+  disjoint, so cross-copy near-dup pairs vanish and the true pair set
+  grows linearly (copies x per-copy pairs) — the realistic 100 TB
+  shape, where the corpus is not 99% verbatim clones.
 - embeddings: a per-copy diagonal +-1 sign-flip — an ORTHOGONAL
   transform, so within-copy inner products (and cosines) are preserved
   exactly while cross-copy cosines decorrelate toward N(0, 1/sqrt(dim)).
@@ -62,27 +62,25 @@ PROBE_QUERIES = [
 ]
 
 
-def _translate3(col, i: int):
-    """Per-copy character bijection: rotate three disjoint ranges that
-    together COVER the whole lowercase alphabet (a-i by i%9, j-q by
-    (i//9)%8, r-z by (i//72)%9 — 648 distinct bijections, copy 0 the
-    identity), plus the digits. Full coverage matters: an earlier
-    version left u-z unrotated and rotated digits the vocabulary never
-    uses, so copies differing only in the digit rotation were VERBATIM
-    clones and the 'linear output' premise collapsed into a cross-copy
-    duplicate explosion. Maps alnum -> alnum, so token boundaries
-    ([^a-z0-9] splits) are untouched and every within-copy text
-    statistic the dedup family computes transforms bijectively."""
+def _tag_tokens(col, i: int):
+    """Per-copy TOKEN bijection: append an alnum copy-suffix to every
+    token (lowercased first, so the suffix glues inside the [a-z0-9]+
+    token). token -> token + 'q<i>z' is injective per copy and the
+    suffix differs per copy, so cross-copy token sets are fully
+    DISJOINT — zero cross-copy shingle/posting sharing — while every
+    within-copy relationship (shingle sets, Jaccard, containment,
+    token counts, positions) maps bijectively. Copy 0 is untagged (the
+    1x run compares against the same untransformed corpus). Two
+    earlier character-rotation designs failed subtly: ranges the
+    vocabulary never used (verbatim clones), then range-AVOIDING
+    tokens still shared across copies — shared posting lists inflated
+    the candidate joins quadratically. Token tagging has no such
+    leakage by construction."""
     from pyspark.sql import functions as F
 
-    def rot(s: str, k: int) -> str:
-        return s[k:] + s[:k]
-
-    a, b, c = i % 9, (i // 9) % 8, (i // 72) % 9
-    out = F.translate(col, "abcdefghi", rot("abcdefghi", a))
-    out = F.translate(out, "jklmnopq", rot("jklmnopq", b))
-    out = F.translate(out, "rstuvwxyz", rot("rstuvwxyz", c))
-    return F.translate(out, "0123456789", rot("0123456789", i % 10))
+    if i == 0:
+        return F.lower(col)
+    return F.regexp_replace(F.lower(col), "([a-z0-9]+)", f"$1q{i}z")
 
 
 def _sign_pattern(i: int, dim: int) -> list[float]:
@@ -107,7 +105,7 @@ def build(spark) -> None:
         docs.select(
             (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
-            _translate3(F.col("text"), i).alias("text"),
+            _tag_tokens(F.col("text"), i).alias("text"),
         )
         for i in range(DOC_COPIES)
     ]
