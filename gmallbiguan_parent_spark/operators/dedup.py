@@ -226,19 +226,22 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.size("s_a") + F.size("s_b") - F.col("inter_ct")).cast("double"),
         6,
     )
-    # Verify-join shape, chosen for scale: SHUFFLE_HASH at BOTH joins —
-    # candidate ID pairs shuffle on doc_a into the s_a join, then the
-    # array-enriched candidates shuffle on doc_b against the corpus
-    # table, so nothing corpus- or candidate-sized is ever broadcast.
-    # (Two earlier shapes died by broadcast: the planner's own choice
-    # shipped every doc's arrays to every task, and round 6's
+    # Verify-join shape, chosen for scale: sort-merge (MERGE hint) at
+    # BOTH joins — candidates shuffle+sort on doc_a into the s_a join,
+    # then the array-enriched candidates against the corpus table on
+    # doc_b. SMJ is the only shape here that survives arbitrary scale:
+    # three earlier shapes each died at a probe — the planner's own
+    # choice broadcast every doc's arrays to every task; round 6's
     # F.broadcast(cand) of "just the ID pairs" computed a 6.5 GiB
-    # broadcast at the 100x probe's 1M docs — candidate COUNT scales
-    # with the corpus, so no candidate-derived table is broadcastable
-    # at scale, however slim its rows.)
-    enriched = sa.hint("SHUFFLE_HASH").join(cand.hint("SHUFFLE_HASH"), "doc_a")
+    # broadcast at the 100x probe's 1M docs (candidate COUNT scales
+    # with the corpus — no candidate-derived table is broadcastable,
+    # however slim its rows); and SHUFFLE_HASH failed the same probe
+    # with "can't acquire memory to build hash relation" (per-partition
+    # build side = corpus/shuffle-partitions WITH arrays, x32
+    # concurrent tasks — hash builds don't spill; sorts do).
+    enriched = sa.hint("MERGE").join(cand.hint("MERGE"), "doc_a")
     return (
-        sb.hint("SHUFFLE_HASH").join(enriched.hint("SHUFFLE_HASH"), "doc_b")
+        sb.hint("MERGE").join(enriched.hint("MERGE"), "doc_b")
         .withColumn("inter_ct", inter)
         .select("doc_a", "doc_b", "inter_ct", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
@@ -321,13 +324,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contain = F.round(
         F.col("inter_ct").cast("double") / F.size("s_a").cast("double"), 6
     )
-    # same verify-join shape as prefix_jaccard_pairs: SHUFFLE_HASH at
-    # both joins — candidate count scales with the corpus (6.5 GiB
-    # "ID-pair" broadcast at the 100x probe), so candidates shuffle,
-    # never broadcast
-    enriched = sa.hint("SHUFFLE_HASH").join(cand.hint("SHUFFLE_HASH"), "doc_a")
+    # same verify-join shape as prefix_jaccard_pairs: sort-merge at
+    # both joins — candidates are corpus-scaled (a 6.5 GiB "ID-pair"
+    # broadcast and an unspillable SHUFFLE_HASH build both died at the
+    # 100x probe), and only SMJ spills
+    enriched = sa.hint("MERGE").join(cand.hint("MERGE"), "doc_a")
     return (
-        sb.hint("SHUFFLE_HASH").join(enriched.hint("SHUFFLE_HASH"), "doc_b")
+        sb.hint("MERGE").join(enriched.hint("MERGE"), "doc_b")
         .withColumn("inter_ct", F.size(F.array_intersect("s_a", "s_b")))
         .select("doc_a", "doc_b", "inter_ct", contain.alias("containment"))
         .filter(F.col("containment") >= t)

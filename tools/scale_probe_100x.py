@@ -37,6 +37,7 @@ Writes SCALE_100X.md.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -173,7 +174,10 @@ def main() -> None:
     spark = get_spark("scale_probe_100x")
     spark.range(1000).count()
     t0 = time.time()
-    build(spark)
+    if "--reuse" in sys.argv and os.path.isdir(f"{DST}/events.parquet"):
+        print("# reusing existing replicated dataset", file=sys.stderr)
+    else:
+        build(spark)
     build_s = round(time.time() - t0, 1)
     print(f"# build: {build_s}s", file=sys.stderr)
 
