@@ -199,11 +199,14 @@ def main() -> None:
         f"(simhash wide layout engaged: {wide_engaged}), embeddings "
         f"x{VEC_COPIES} -> {n_vecs_big:,} vecs (SRP width {bits_small} -> "
         f"{bits_big} bits), events x{EV_COPIES} -> 10M rows. Copies are",
-        "structure-preserving bijections (character-rotation for text, "
-        "sign-flip orthogonal for vectors) — each copy keeps the original's",
-        "internal near-dup structure exactly, copies don't cross-match, so",
-        "the true pair set grows LINEARLY and factors below measure compute,",
-        "not an identical-copy output explosion (see the tool docstring).",
+        "structure-preserving bijections (copy-unique token suffix for text,",
+        "sign-flip orthogonal diagonal for vectors) — each copy keeps the",
+        "original's internal near-dup structure exactly, copies cannot share",
+        "tokens, so the exact-measure pair set grows LINEARLY and factors",
+        "below measure compute, not an identical-copy output explosion",
+        "(see the tool docstring; SCALE_100X.md carries the per-row analysis",
+        "including the simhash hash-realization variance and the SRP",
+        "width/recall tradeoff — re-derive those notes after a re-run).",
         "",
         "| query | 1x s | 1x rows | big s | big rows | data x | time factor |",
         "|---|---|---|---|---|---|---|",

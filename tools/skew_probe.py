@@ -7,10 +7,11 @@ scale), then measure the payment-activity pair join four ways:
    the default 256 MB skewedPartitionThresholdInBytes never fires at
    probe scale, so this is the unmitigated baseline.
 2. PLAIN, AQE with the skew thresholds scaled DOWN in proportion to the
-   probe (threshold 1 MB / advisory 256 KB): OptimizeSkewedJoin splits
-   the hot partition into many sub-ranges and replicates the matching
-   other side — the mitigation a 100 TB job gets for FREE at default
-   thresholds, reproduced at MB scale.
+   probe and forceOptimizeSkewedJoin on: OptimizeSkewedJoin splits the
+   hot partition into sub-ranges and replicates the matching other
+   side — the mitigation a 100 TB job gets at default thresholds once
+   partitions are genuinely large (see SKEW_CONFS comments for the two
+   engagement subtleties this probe surfaced).
 3. salted_join(n=16) — the explicit mitigation for when one KEY exceeds
    what even a split task should hold: scatter one side by salt,
    replicate the other.
@@ -36,20 +37,43 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/skew_events"
 HOT_COPIES = 1500  # hot user: ~18k purchases x ~39k activities = ~700M pairs
 
+# Broadcast is disabled in EVERY variant: at probe scale the filtered
+# pay side fits a broadcast, and a broadcast-hash join has no key skew
+# at all (the streamed side partitions arbitrarily) — which is exactly
+# why the earlier probe measured nothing. At 100 TB neither fact side
+# broadcasts, so the shuffle-join regime below is the one that matters.
+_NO_BCAST = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
 SKEW_CONFS = {
     # production defaults (what variant 1 runs under)
     "default": {
+        **_NO_BCAST,
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256MB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
     },
-    # thresholds scaled to probe size: the hot partition is ~3 MB of
-    # packed rows, so 1 MB/256 KB puts the probe in the same REGIME a
-    # multi-GB hot partition is in against the 256 MB default
+    # thresholds scaled to probe size. TWO subtleties this probe
+    # surfaced, both relevant at 100 TB:
+    # - skew thresholds compare COMPRESSED map-output bytes, and a
+    #   hot key's rows are maximally compressible (a run of identical
+    #   keys), so a partition holding ~700M-comparison fan-out
+    #   compresses to under 256 KB here — byte thresholds UNDERSTATE
+    #   row-skew whenever hot keys compress better than the median.
+    # - the downstream groupBy(pay_user) REUSES the join's hash
+    #   partitioning, and OptimizeSkewedJoin refuses any split that
+    #   introduces an extra shuffle unless forced — a skewed join
+    #   feeding a same-key aggregate gets NO free AQE mitigation at
+    #   any threshold without forceOptimizeSkewedJoin.
     "tuned": {
+        **_NO_BCAST,
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     },
 }
 
@@ -66,12 +90,16 @@ def build(spark) -> None:
     hot = (
         ev.filter(F.col("user_id") == 1)
         .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(HOT_COPIES))))
-        .withColumn("event_id", F.col("event_id") + F.col("i") * F.lit(50_000_000))
+        .withColumn(
+            "event_id",
+            F.col("event_id").cast("long")
+            + F.col("i").cast("long") * F.lit(50_000_000).cast("long"),
+        )
         .drop("i")
     )
-    ev.unionByName(hot).repartition(32).write.mode("overwrite").parquet(
-        f"{DST}/events.parquet"
-    )
+    ev.withColumn("event_id", F.col("event_id").cast("long")).unionByName(
+        hot
+    ).repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
 
 def _sides(spark, sf_dir: str):
@@ -128,10 +156,13 @@ def _timed(spark, confs: dict[str, str], fn):
         spark.conf.set(k, v)
     t0 = time.time()
     df = fn()
-    n = df.count()
+    # collect() (not count()) so the EXECUTED plan we inspect for the
+    # skew=true annotation is this DataFrame's own queryExecution —
+    # count() plans a separate aggregate and leaves df's plan unrun
+    rows = df.collect()
     t = round(time.time() - t0, 2)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return df, n, t, ("skew=true" in plan)
+    return rows, len(rows), t, ("skew=true" in plan)
 
 
 def main() -> None:
@@ -143,22 +174,25 @@ def main() -> None:
     build(spark)
     print(f"# build: {round(time.time() - t0, 1)}s", file=sys.stderr)
 
-    plain_df, n_plain, t_plain, skew_plain = _timed(
+    plain_rows, n_plain, t_plain, skew_plain = _timed(
         spark, SKEW_CONFS["default"], lambda: pair_join_plain(spark, DST)
     )
-    tuned_df, n_tuned, t_tuned, skew_tuned = _timed(
+    tuned_rows, n_tuned, t_tuned, skew_tuned = _timed(
         spark, SKEW_CONFS["tuned"], lambda: pair_join_plain(spark, DST)
     )
-    salt_df, n_salt, t_salt, _ = _timed(
+    salt_rows, n_salt, t_salt, _ = _timed(
         spark, SKEW_CONFS["default"], lambda: pair_join_salted(spark, DST)
     )
-    # restore defaults for anything else in the session
+    # restore session defaults (broadcast back on for later users)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     for k, v in SKEW_CONFS["default"].items():
-        spark.conf.set(k, v)
+        if k not in _NO_BCAST:
+            spark.conf.set(k, v)
 
-    a = {(r.pay_user, r["count"]) for r in plain_df.collect()}
-    b = {(r.pay_user, r["count"]) for r in tuned_df.collect()}
-    c = {(r.pay_user, r["count"]) for r in salt_df.collect()}
+    a = {(r.pay_user, r["count"]) for r in plain_rows}
+    b = {(r.pay_user, r["count"]) for r in tuned_rows}
+    c = {(r.pay_user, r["count"]) for r in salt_rows}
     assert a == b == c, "mitigated join result diverged"
 
     lines = [
@@ -166,10 +200,16 @@ def main() -> None:
         "",
         f"events with one user's rows replicated {HOT_COPIES}x: the hot key is",
         "~45% of the table and its pay x act sort-merge enumeration is ~700M",
-        "row comparisons — ONE task without mitigation. AQE thresholds for the",
-        "'tuned' row are scaled to probe size (1 MB skew threshold vs the 256 MB",
-        "default) to reproduce at MB scale the regime a multi-GB hot partition",
-        "hits at the production default.",
+        "row comparisons — ONE task without mitigation. Broadcast is disabled",
+        "in every variant (a broadcast-hash join has no key skew, which is",
+        "what masked the earlier probe; at 100 TB neither fact side",
+        "broadcasts). The 'tuned' row scales AQE's thresholds to probe size",
+        "AND sets forceOptimizeSkewedJoin — two findings worth recording:",
+        "skew thresholds compare COMPRESSED map-output bytes and a hot key's",
+        "identical-key run compresses far better than the median (byte",
+        "thresholds understate row-skew), and a skewed join feeding a",
+        "same-key aggregate is never split without the force flag (the",
+        "split would add a shuffle the reused partitioning avoided).",
         "",
         "| variant | wall s | rows | AQE skew-split engaged |",
         "|---|---|---|---|",
