@@ -162,9 +162,7 @@ def test_compact_ledger_preserves_decisions(spark, tmp_path):
 
             assert os.listdir(f"{out}/_ledger") == ["batch_id=1"]
         _rate_limit_admit_batch(batch(batches[2]), 2, out)
-        outs[variant] = _read_sorted(
-            spark, f"{out}/data/batch_id=2", ["event_id", "kept"]
-        )
+        outs[variant] = _rows(spark, f"{out}/data/batch_id=2", ["event_id", "kept"])
     assert outs["plain"] == outs["compacted"]
     # the third batch crosses the cap: 2+2 prior admissions + RATE_CAP
     # arrivals -> exactly RATE_CAP-4 admitted
