@@ -167,3 +167,25 @@ def test_compact_ledger_preserves_decisions(spark, tmp_path):
     # the third batch crosses the cap: 2+2 prior admissions + RATE_CAP
     # arrivals -> exactly RATE_CAP-4 admitted
     assert sum(1 for _, k in outs["plain"] if k) == RATE_CAP - 4
+
+
+def test_store_ivf_read_is_partition_pruned(spark):
+    """The written index store's ivf_cells/pq_codes layouts must prune
+    to one directory per probed cell — the disk form of the
+    localCheckpoint pruning test_ivf_partition_pruning asserts, and the
+    property that makes the persisted index's probe cost constant as
+    the corpus grows."""
+    from gmallbiguan_parent_spark.operators.index_store import ensure_index
+
+    root = ensure_index(spark, SF_DIR)
+    for artifact in ("ivf_cells", "pq_codes"):
+        table = spark.read.parquet(f"{root}/{artifact}")
+        cell = table.select("cell").first()[0]
+        probe = table.filter(F.col("cell") == cell)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and f"(cell" in plan, artifact
+        files = {
+            r.f
+            for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        assert files and all(f"cell={cell}/" in f for f in files), artifact
