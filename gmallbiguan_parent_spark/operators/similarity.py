@@ -987,6 +987,60 @@ def _srp_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     )
 
 
+def embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_pairs with HAMMING-1 MULTIPROBE (the
+    multi-probe LSH of Lv et al., VLDB'07) — the recall lever the 100x
+    probe showed the width-adaptive design needs: srp_bits_for keeps
+    bucket population constant as the corpus grows, but per-table
+    agreement probability is p^bits, so recall at a fixed table count
+    FALLS as the width rises (measured in SCALE_100X.md: within-copy
+    recovery 863 -> ~44/copy at 6 -> 13 bits). Instead of paying more
+    tables (another full signature set each), each vector also probes
+    its bits hamming-1 neighbor signatures per table: a true pair
+    whose signatures disagree on exactly ONE hyperplane is recovered,
+    at (bits+1)x candidate-lookup cost and zero extra signature
+    storage — the same exchange IVF makes with nprobe.
+
+    Plan: the memoized signature table explodes into (bits+1) probe
+    keys on ONE side only (hamming<=1 is symmetric, so probing the
+    a-side finds every qualifying pair); the bucket join, cosine
+    confirm, and dedup are embedding_neardup_pairs' verbatim. Output is
+    a SUPERSET of the single-probe operator at the same threshold.
+    """
+    from ..io import load_table_spread
+
+    bits = srp_bits_for(load_table_spread(spark, sf_dir, "embeddings").count())
+    sigs = _srp_signature_table(spark, sf_dir)
+    probes = sigs.select(
+        F.col("vec_id"), F.col("v"), F.col("table_id"),
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(bits)],
+            )
+        ).alias("probe_sig"),
+    )
+    a, b = probes.alias("a"), sigs.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.probe_sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 MMR_LAMBDA = "0.7"   # relevance weight — EXACT decimal strings, never
 MMR_OM = "0.3"       # floats: lambda*rel with rel at 6 dp lands on
                      # 7th-digit halves systematically, where Spark's
@@ -1841,6 +1895,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_principal_component": embedding_principal_component,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_multiprobe": embedding_neardup_multiprobe,
     "knn_graph": knn_graph,
     "semantic_decontaminate": semantic_decontaminate,
     "ann_mmr_topk": ann_mmr_topk,
@@ -2530,6 +2585,25 @@ ORACLES = {
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
     FROM sigs a JOIN sigs b
       ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
+    """,
+    # one-sided hamming-1 probe expansion (symmetric relation, so
+    # probing the a-side is complete); list_transform over range(bits)
+    # keeps the oracle width-adaptive like the signature CTE itself
+    "embedding_neardup_multiprobe": _DUCK_SRP_SIGS + f"""
+    , probes AS (
+        SELECT vec_id, v, table_id,
+               unnest(list_prepend(sig,
+                   list_transform(range(0, (SELECT bits FROM bcfg)),
+                                  p -> xor(sig, (1 << p))))) AS probe_sig
+        FROM sigs
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM probes a JOIN sigs b
+      ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
     """,

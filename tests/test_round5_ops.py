@@ -280,3 +280,20 @@ def test_stream_ngram_decontaminate_equals_batch(spark):
         for r in ngram_decontaminate(spark, SF_DIR).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_multiprobe_is_superset_of_single_probe(spark):
+    """Hamming-1 multiprobe must recover every single-probe pair (same
+    confirm threshold) plus the pairs whose signatures disagree on
+    exactly one hyperplane in every table — the recall lever's
+    contract."""
+    from tests.conftest import SF_DIR
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        embedding_neardup_multiprobe, embedding_neardup_pairs,
+    )
+
+    single = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(spark, SF_DIR).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in embedding_neardup_multiprobe(spark, SF_DIR).collect()}
+    assert single <= multi
+    assert len(multi) > len(single), "multiprobe should add hamming-1 recoveries"

@@ -118,6 +118,7 @@ PROBE_QUERIES = [
     # round-7: persisted index artifacts — read-back query twins
     "minhash_lsh_pairs_from_index",
     "ann_ivf_topk_from_index",
+    "embedding_neardup_multiprobe",
     # round-6 continuation: semantic decontamination (batch + stream),
     # corpus diversity, online ANN serving, diversified retrieval
     "semantic_decontaminate",
