@@ -350,3 +350,4 @@ def test_ledger_prior_fails_on_corrupt_partition(spark, tmp_path):
         df.collect()
     # and a genuinely-missing ledger is still an explicit first batch
     assert _ledger_prior(spark, str(tmp_path / "nope"), 1) is None
+
