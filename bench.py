@@ -136,6 +136,7 @@ EXTENDED = [
     "minhash_lsh_pairs_from_index",
     "ann_ivf_topk_from_index",
     "embedding_neardup_multiprobe",
+    "bpe_doc_tokens_from_index",
     # round-6 continuation: semantic decontamination (batch + stream),
     # corpus diversity, online ANN serving, diversified retrieval
     "semantic_decontaminate",

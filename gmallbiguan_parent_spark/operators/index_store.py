@@ -157,6 +157,7 @@ def build_index(
     simhash_wide: bool | None = None,
     srp_bits: int | None = None,
     pq_books=None,
+    bpe_rules=None,
 ) -> dict:
     """Full index build: write all five artifact tables + manifest.
 
@@ -220,9 +221,27 @@ def build_index(
                 sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
             )
 
+    if bpe_rules is None:
+        from .text import _bpe_train, _bpe_train_on, _bpe_vocab_from_docs
+
+        if doc_pred is None:
+            # full corpus: share the session-memoized trained tokenizer
+            bpe_rules, bpe_vocab = _bpe_train(spark, sf_dir)
+        else:  # subset build: train directly, never through the memo
+            bpe_rules, bpe_vocab = _bpe_train_on(_bpe_vocab_from_docs(docs))
+    else:
+        # frozen rules (refresh-equality rebuilds): segment the corpus
+        # vocabulary through the stored chain, no retraining
+        from .text import _bpe_apply_rules, _bpe_vocab_from_docs
+
+        bpe_vocab = _bpe_apply_rules(_bpe_vocab_from_docs(docs), bpe_rules)
+
     _doc_artifacts(spark, docs, root, "overwrite")
     _simhash_artifact(spark, sf_dir, docs, root, "overwrite")
     _vec_artifacts(vecs, root, "overwrite", centroids, srp_bits, pq_books)
+    # the trained tokenizer's APPLY table: token -> merged symbol
+    # sequence (wct is training-internal and not part of the artifact)
+    _write(bpe_vocab.select("tok", "syms"), f"{root}/bpe_vocab", mode="overwrite")
 
     manifest = {
         "sf_dir": sf_dir,
@@ -239,6 +258,8 @@ def build_index(
         "pq_books": [
             [[c, list(map(float, v))] for c, v in book] for book in pq_books
         ],
+        # (step, lhs, rhs, merged, pair_ct) — the trained merge chain
+        "bpe_rules": [list(r) for r in bpe_rules],
     }
     tmp = f"{root}/{MANIFEST}.tmp"
     with open(tmp, "w") as f:
@@ -253,6 +274,9 @@ def read_manifest(root: str) -> dict:
     m["centroids"] = [(int(c), [float(x) for x in v]) for c, v in m["centroids"]]
     m["pq_books"] = [
         [(int(c), [float(x) for x in v]) for c, v in book] for book in m["pq_books"]
+    ]
+    m["bpe_rules"] = [
+        (int(s), lhs, rhs, merged, int(ct)) for s, lhs, rhs, merged, ct in m["bpe_rules"]
     ]
     return m
 
@@ -278,6 +302,21 @@ def refresh_index(spark: SparkSession, sf_dir: str, root: str) -> dict:
     if n_new_docs:
         _doc_artifacts(spark, new_docs, root, "append")
         _simhash_artifact(spark, sf_dir, new_docs, root, "append")
+        # OUT-OF-VOCABULARY segmentation: words seen only in the delta
+        # segment through the FROZEN merge chain (a shipped tokenizer
+        # never retrains on new text); words already in the stored
+        # vocab keep their stored segmentation
+        from .text import _bpe_apply_rules, _bpe_vocab_from_docs
+
+        stored_toks = spark.read.parquet(f"{root}/bpe_vocab").select("tok")
+        new_vocab = _bpe_vocab_from_docs(new_docs).join(
+            stored_toks, "tok", "left_anti"
+        )
+        _write(
+            _bpe_apply_rules(new_vocab, m["bpe_rules"]).select("tok", "syms"),
+            f"{root}/bpe_vocab",
+            mode="append",
+        )
     if n_new_vecs:
         _vec_artifacts(
             new_vecs, root, "append", m["centroids"], m["srp_bits"], m["pq_books"]
@@ -354,6 +393,7 @@ def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
         "ivf_cells": ["cell"],
         "pq_codes": ["cell"],
         "srp_sigs": ["table_id"],
+        "bpe_vocab": [],
     }
     out: dict[str, int] = {}
     for name, pcols in parts.items():
@@ -600,6 +640,41 @@ def incremental_neardup_from_index(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def bpe_doc_tokens_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_doc_tokens served from the PERSISTED tokenizer: the apply
+    table (token -> merged symbol sequence) reads from the store
+    instead of re-running the training loop's sequential 1-row
+    collects — applying a shipped tokenizer is a broadcast-join lookup,
+    exactly how production tokenization runs. Oracle: bpe_doc_tokens'
+    verbatim."""
+    from ..functions import tokenize
+    from .text import BPE_DOC_MOD
+
+    root = ensure_index(spark, sf_dir)
+    vocab = spark.read.parquet(f"{root}/bpe_vocab")
+    pieces = vocab.select(
+        "tok", F.size(F.split(F.trim(F.col("syms")), " ")).alias("n_pieces")
+    )
+    docs = load_table_spread(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("doc_id") % BPE_DOC_MOD == 0)
+        .select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    )
+    ratio = F.round(
+        F.col("piece_ct").cast("double") / F.col("word_ct").cast("double"), 6
+    )
+    return (
+        toks.join(F.broadcast(pieces), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("word_ct"),
+            F.sum("n_pieces").alias("piece_ct"),
+        )
+        .select("doc_id", "word_ct", "piece_ct", ratio.alias("pieces_per_word"))
+        .orderBy("doc_id")
+    )
+
+
 def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Artifact-integrity report: row count per persisted table. Each
     count has a closed form over the base tables (one set row and one
@@ -616,6 +691,7 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_cells", f"{root}/ivf_cells"),
         ("pq_codes", f"{root}/pq_codes"),
         ("srp_sigs", f"{root}/srp_sigs"),
+        ("bpe_vocab", f"{root}/bpe_vocab"),
     ]
     dfs = [
         spark.read.parquet(path)
@@ -636,11 +712,13 @@ QUERIES = {
     "ann_ivfpq_topk_from_index": ann_ivfpq_topk_from_index,
     "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
+    "bpe_doc_tokens_from_index": bpe_doc_tokens_from_index,
     "index_stats": index_stats,
 }
 
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .similarity import ORACLES as _SIM_ORACLES
+from .text import ORACLES as _TEXT_ORACLES
 
 ORACLES = {
     # the from_index twins must answer EXACTLY like the in-session
@@ -652,6 +730,7 @@ ORACLES = {
     "ann_ivfpq_topk_from_index": _SIM_ORACLES["ann_ivfpq_topk"],
     "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
+    "bpe_doc_tokens_from_index": _TEXT_ORACLES["bpe_doc_tokens"],
     # closed-form artifact counts over the base tables (see docstring):
     # N_BANDS bands/doc, SRP_TABLES sigs/vec, queries excluded from
     # ivf_cells
@@ -667,5 +746,10 @@ ORACLES = {
     SELECT 'pq_codes', CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id >= {N_QUERIES}
     UNION ALL
     SELECT 'srp_sigs', CAST({SRP_TABLES} * COUNT(*) AS BIGINT) FROM embeddings
+    UNION ALL
+    SELECT 'bpe_vocab', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    )
     """,
 }

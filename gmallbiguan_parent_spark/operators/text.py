@@ -918,11 +918,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 8
 
 
-def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word vocabulary with symbol strings: (tok, wct, syms) where syms
-    is the space-delimited symbol sequence ' c1 c2 ... cn ' (leading and
-    trailing space so merge patterns match at word edges)."""
-    docs = load_table_spread(spark, sf_dir, "documents")
+def _bpe_vocab_from_docs(docs: DataFrame) -> DataFrame:
+    """Word vocabulary with symbol strings over an explicit docs table —
+    the docs-parameterized base the index_store's subset builds and
+    refresh segmentation share with the full-corpus path."""
     return (
         docs.select(F.explode(tokenize("text")).alias("tok"))
         .groupBy("tok")
@@ -932,6 +931,13 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(" "), F.regexp_replace("tok", "(.)", "$1 ")).alias("syms"),
         )
     )
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word vocabulary with symbol strings: (tok, wct, syms) where syms
+    is the space-delimited symbol sequence ' c1 c2 ... cn ' (leading and
+    trailing space so merge patterns match at word edges)."""
+    return _bpe_vocab_from_docs(load_table_spread(spark, sf_dir, "documents"))
 
 
 def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
@@ -981,10 +987,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
-    """The shared training loop: returns (merge rules, final vocab DF
-    with the merged symbol sequences)."""
-    vocab = _bpe_vocab(spark, sf_dir).localCheckpoint()
+def _bpe_train_on(vocab: DataFrame):
+    """The core training loop over an explicit (tok, wct, syms) vocab:
+    returns (merge rules, final vocab DF with merged symbol
+    sequences)."""
+    vocab = vocab.localCheckpoint()
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(1, BPE_TRAIN_MERGES + 1):
         best = (
@@ -997,10 +1004,50 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             break
         lhs, rhs, ct = best[0].lhs, best[0].rhs, int(best[0].pair_ct)
         rules.append((step, lhs, rhs, lhs + rhs, ct))
-        pat, rep = F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
-        merged = F.replace(F.replace(F.col("syms"), pat, rep), pat, rep)
-        vocab = vocab.select("tok", "wct", merged.alias("syms"))
+        vocab = vocab.select(
+            "tok", "wct", _bpe_fuse(F.col("syms"), lhs, rhs).alias("syms")
+        )
     return rules, vocab
+
+
+def _bpe_fuse(col, lhs: str, rhs: str):
+    """One merge rule as an expression: two sequential non-overlapping
+    leftmost replaces of ' lhs rhs ' -> ' lhsrhs ' — shared by the
+    training fuse and the frozen-rule replay (_bpe_apply_rules), so the
+    two can never drift."""
+    pat, rep = F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+    return F.replace(F.replace(col, pat, rep), pat, rep)
+
+
+def _bpe_apply_rules(vocab: DataFrame, rules) -> DataFrame:
+    """Apply a FROZEN merge-rule chain to a (.., syms) table — the
+    read/refresh side of a trained tokenizer: new words segment through
+    the stored rules in training order, no retraining (exactly how a
+    shipped tokenizer treats out-of-vocabulary words)."""
+    col = F.col("syms")
+    for _step, lhs, rhs, _merged, _ct in rules:
+        col = _bpe_fuse(col, lhs, rhs)
+    return vocab.withColumn("syms", col)
+
+
+# Session memo: three consumers (bpe_train_merges, bpe_doc_tokens,
+# tokenizer_fertility) previously each re-ran the full training loop —
+# BPE_TRAIN_MERGES sequential 1-row collects per call.
+_BPE_TRAIN_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (merge rules, final vocab DF
+    with the merged symbol sequences), memoized per (application,
+    corpus) — the trained tokenizer is a build-once artifact like the
+    IVF quantizer (and the index_store persists it)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BPE_TRAIN_CACHE:
+        for k in [k for k in _BPE_TRAIN_CACHE if k[0] != key[0]]:
+            del _BPE_TRAIN_CACHE[k]
+        rules, vocab = _bpe_train_on(_bpe_vocab(spark, sf_dir))
+        _BPE_TRAIN_CACHE[key] = (rules, vocab.localCheckpoint())
+    return _BPE_TRAIN_CACHE[key]
 
 
 BPE_DOC_MOD = 10

@@ -24,6 +24,7 @@ ARTIFACTS = [
     ("ivf_cells", ["corpus_id", "c_emb", "c_norm", "cell"]),
     ("pq_codes", ["corpus_id", "codes", "cell"]),
     ("srp_sigs", ["vec_id", "table_id", "sig"]),
+    ("bpe_vocab", ["tok", "syms"]),
 ]
 
 
@@ -56,6 +57,7 @@ def test_refresh_delta_equals_rebuild_full(spark, tmp_path):
         simhash_wide=m0["simhash_wide"],
         srp_bits=m0["srp_bits"],
         pq_books=m0["pq_books"],
+        bpe_rules=m0["bpe_rules"],
     )
     for name, cols in ARTIFACTS:
         inc = _rows(spark, f"{inc_root}/{name}", cols)
