@@ -137,6 +137,7 @@ EXTENDED = [
     "ann_ivf_topk_from_index",
     "embedding_neardup_multiprobe",
     "bpe_doc_tokens_from_index",
+    "stream_index_build",
     # round-6 continuation: semantic decontamination (batch + stream),
     # corpus diversity, online ANN serving, diversified retrieval
     "semantic_decontaminate",

@@ -673,6 +673,72 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).drop("batch_id")
 
 
+def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INDEX INGESTION — the index_store maintained by a
+    document stream instead of a batch job: documents replay as a
+    multi-file stream (maxFilesPerTrigger=1 → one micro-batch per
+    file), and each micro-batch writes ITS OWN docs' shingle-set and
+    LSH-band artifact rows under idempotent batch_id partitions
+    (overwrite — an at-least-once retry replaces its own prior write).
+    STATELESS by construction: both artifacts are per-document, so no
+    cross-batch state exists at all, in any arrival order — the
+    property that makes index maintenance the easy half of streaming
+    ingest (the admission DECISIONS are the ledger problem;
+    stream_dedup_gate handles those).
+
+    The proof obligation: the stream-built store must carry the same
+    information as the batch build, so this query runs the banded LSH
+    near-dup pair generation (shared helper _lsh_pairs_from_tables)
+    over the STREAM-WRITTEN tables and must hash-match
+    minhash_lsh_pairs' oracle verbatim."""
+    from ..operators.dedup import _lsh_pairs_from_tables, _minhash_banded_from_sets, _shingles
+    from ..io import load_table
+
+    stage = tempfile.mkdtemp(prefix="six_src_")
+    store = tempfile.mkdtemp(prefix="six_store_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{stage}/documents")
+
+    schema = spark.read.parquet(f"{stage}/documents").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/documents")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # narrow repartition before the heavy shingling (file source
+        # hands one partition per file); localCheckpoint so the sets
+        # evaluate once for both artifact writes
+        sets = (
+            batch_df.repartition(n_part, "doc_id")
+            .select("doc_id", _shingles(F.col("text")).alias("s"))
+            .localCheckpoint()
+        )
+        sets.write.mode("overwrite").parquet(
+            f"{store}/shingle_sets/batch_id={batch_id}"
+        )
+        (
+            _minhash_banded_from_sets(sets)
+            .write.mode("overwrite")
+            .parquet(f"{store}/minhash_bands/batch_id={batch_id}")
+        )
+
+    (
+        src.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store}/_chk")
+        .start()
+        .awaitTermination()
+    )
+    sets = spark.read.parquet(f"{store}/shingle_sets").select("doc_id", "s")
+    bands = spark.read.parquet(f"{store}/minhash_bands").select(
+        "doc_id", "band_id", "band_key"
+    )
+    return _lsh_pairs_from_tables(bands, sets)
+
+
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stream model-based quality gating — the filter a crawl
     ingestion pipeline runs BEFORE anything lands: the linear quality
@@ -1048,6 +1114,7 @@ QUERIES = {
     "stream_window_funnel": stream_window_funnel_q,
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
+    "stream_index_build": stream_index_build_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
     "stream_rate_limit": stream_rate_limit_q,
     "stream_dedup_gate": stream_dedup_gate_q,
@@ -1109,6 +1176,9 @@ ORACLES = {
     SELECT decision, CAST(COUNT(*) AS BIGINT) AS n
     FROM ({_TEXT_ORACLES["quality_classifier"]}) GROUP BY decision
     """,
+    # the stream-built index store must answer the batch dedup query
+    # exactly — minhash_lsh_pairs' oracle verbatim
+    "stream_index_build": _DEDUP_ORACLES["minhash_lsh_pairs"],
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_dedup_gate": _DEDUP_ORACLES["dedup_exact"],
