@@ -191,3 +191,27 @@ def test_store_ivf_read_is_partition_pruned(spark):
             for r in probe.select(F.input_file_name().alias("f")).distinct().collect()
         }
         assert files and all(f"cell={cell}/" in f for f in files), artifact
+
+
+def test_env_root_makes_fresh_session_read_only(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_INDEX_DIR set, a 'fresh session' (the session
+    memo cleared, as a new application would start) finds the manifest
+    at the stable root and must NOT rebuild — the fresh-session cost of
+    every from_index query drops to reads (the production contract of a
+    persisted index)."""
+    import gmallbiguan_parent_spark.operators.index_store as ix
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "stable"))
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})
+    root1 = ix.ensure_index(spark, SF_DIR)
+    stamp = (tmp_path / "stable").stat()
+
+    calls = []
+    real_build = ix.build_index
+    monkeypatch.setattr(
+        ix, "build_index", lambda *a, **k: calls.append(1) or real_build(*a, **k)
+    )
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})  # simulate a new application
+    root2 = ix.ensure_index(spark, SF_DIR)
+    assert root2 == root1
+    assert calls == [], "existing manifest must short-circuit the build"
