@@ -567,6 +567,84 @@ def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_multiprobe over the persisted index: each query probes
+    its N_PROBE nearest cells of the STORED partitionBy(cell) layout
+    with the manifest's trained quantizer — two pruned directory reads
+    instead of one, the recall/cost dial turned on the disk layout.
+    Oracle: ann_ivf_multiprobe's verbatim."""
+    from pyspark.sql import Window
+
+    from .similarity import N_PROBE, TOP_K, _dot, _probe_cells
+
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    cells = spark.read.parquet(f"{root}/ivf_cells").select(
+        "corpus_id", "c_emb", "c_norm", "cell"
+    )
+    queries = (
+        load_table_spread(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+        .filter(F.col("query_id") < N_QUERIES)
+    )
+    probed = _probe_cells(queries, m["centroids"], N_PROBE).select(
+        "query_id", "q_emb", "q_norm", F.col("cell").alias("probe_cell")
+    )
+    scored = cells.join(
+        F.broadcast(probed), cells.cell == probed.probe_cell, "inner"
+    ).select(
+        "query_id", "corpus_id", "cell",
+        F.round(
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "corpus_id", F.col("cell").alias("from_cell"), "cosine")
+    )
+
+
+def index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops surface of the store: per corpus, the manifest watermark vs
+    the live corpus maximum and the row lag — the staleness metric a
+    scheduler alerts on (lag > 0 means refresh_index is due). On the
+    gate's full build the lag is provably zero, so the DuckDB oracle
+    derives both numbers from the corpus alone — a nonzero lag would
+    hash-mismatch, making this an end-to-end freshness check of the
+    build+manifest path."""
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    docs = load_table_spread(spark, sf_dir, "documents").agg(
+        F.max("doc_id").alias("mx"),
+        F.sum((F.col("doc_id") > m["doc_watermark"]).cast("long")).alias("lag"),
+    )
+    vecs = load_table_spread(spark, sf_dir, "embeddings").agg(
+        F.max("vec_id").alias("mx"),
+        F.sum((F.col("vec_id") > m["vec_watermark"]).cast("long")).alias("lag"),
+    )
+    return (
+        docs.select(
+            F.lit("documents").alias("corpus"),
+            F.lit(m["doc_watermark"]).cast("long").alias("watermark"),
+            F.col("mx").cast("long").alias("corpus_max"),
+            F.col("lag").alias("lag_rows"),
+        )
+        .unionByName(
+            vecs.select(
+                F.lit("embeddings").alias("corpus"),
+                F.lit(m["vec_watermark"]).cast("long").alias("watermark"),
+                F.col("mx").cast("long").alias("corpus_max"),
+                F.col("lag").alias("lag_rows"),
+            )
+        )
+    )
+
+
 def embedding_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_neardup_pairs over the persisted partitionBy(table_id)
     SRP signature table, width frozen in the manifest."""
@@ -710,6 +788,8 @@ QUERIES = {
     "simhash_neardup_pairs_from_index": simhash_neardup_pairs_from_index,
     "ann_ivf_topk_from_index": ann_ivf_topk_from_index,
     "ann_ivfpq_topk_from_index": ann_ivfpq_topk_from_index,
+    "ann_ivf_multiprobe_from_index": ann_ivf_multiprobe_from_index,
+    "index_freshness": index_freshness,
     "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
     "bpe_doc_tokens_from_index": bpe_doc_tokens_from_index,
@@ -728,6 +808,18 @@ ORACLES = {
     "simhash_neardup_pairs_from_index": _DEDUP_ORACLES["simhash_neardup_pairs"],
     "ann_ivf_topk_from_index": _SIM_ORACLES["ann_ivf_topk"],
     "ann_ivfpq_topk_from_index": _SIM_ORACLES["ann_ivfpq_topk"],
+    "ann_ivf_multiprobe_from_index": _SIM_ORACLES["ann_ivf_multiprobe"],
+    # lag is provably 0 on the gate's full build, so the corpus alone
+    # determines the answer; a build/manifest drift would hash-mismatch
+    "index_freshness": """
+    SELECT 'documents' AS corpus, CAST(MAX(doc_id) AS BIGINT) AS watermark,
+           CAST(MAX(doc_id) AS BIGINT) AS corpus_max, CAST(0 AS BIGINT) AS lag_rows
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings', CAST(MAX(vec_id) AS BIGINT), CAST(MAX(vec_id) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM embeddings
+    """,
     "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
     "bpe_doc_tokens_from_index": _TEXT_ORACLES["bpe_doc_tokens"],
