@@ -986,7 +986,15 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The earlier nested zip_with vote fold was zero-shuffle but
     interpreted — CodegenFallback — and dominated the scan stage; the
     packed exploded sums stay inside whole-stage codegen.)"""
-    docs = load_table_spread(spark, sf_dir, "documents")
+    return _simhash_fp_from_docs(load_table_spread(spark, sf_dir, "documents"))
+
+
+def _simhash_fp_from_docs(docs: DataFrame) -> DataFrame:
+    """simhash_fingerprint over an explicit docs table — the
+    docs-parameterized base the index_store's delta refresh uses
+    (fingerprints are per-document, so the delta fingerprints itself;
+    joining a session-memoized full-corpus table would silently miss
+    delta docs the memo predates)."""
     toks = F.array_distinct(
         F.filter(F.split(_norm_text(F.col("text")), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
     )

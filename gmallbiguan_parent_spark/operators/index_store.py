@@ -77,40 +77,41 @@ from .similarity import (
 MANIFEST = "MANIFEST.json"
 
 
-def _write(df: DataFrame, path: str, partition_by: list[str] | None = None,
-           mode: str = "overwrite") -> None:
-    w = df.write.mode(mode)
+def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Overwrite-only writer: every artifact write targets its own
+    ingest=<watermark> directory, so builds AND refreshes are
+    retry-idempotent — a crashed refresh retried by a scheduler (the
+    manifest watermark unchanged) re-selects the identical delta and
+    OVERWRITES its own ingest partition instead of appending the delta
+    a second time (the at-least-once duplication the streaming ledgers
+    guard against, applied to the batch maintenance path)."""
+    w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
 
 
-def _doc_artifacts(spark: SparkSession, docs: DataFrame, root: str, mode: str) -> None:
+def _doc_artifacts(spark: SparkSession, docs: DataFrame, root: str, ingest: int) -> None:
     """Per-document artifacts (each row independent of the rest of the
-    corpus, so append-mode refresh rows are byte-identical to a full
-    rebuild's): shingle sets, LSH bands, simhash fingerprints."""
-    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s"))
-    _write(sets, f"{root}/shingle_sets", mode=mode)
-    # bands derive from the WRITTEN sets (read-only lineage — the
-    # signature build never re-shingles what the store already holds)
-    new_sets = spark.read.parquet(f"{root}/shingle_sets").join(
-        docs.select("doc_id"), "doc_id"
-    )
+    corpus, so a refresh's delta rows are byte-identical to a full
+    rebuild's): shingle sets, LSH bands, simhash fingerprints — all
+    computed FROM THE DELTA ITSELF (one shingling pass shared by sets
+    and bands via the checkpoint; fingerprints per-row), never by
+    joining a corpus-scale table: the refresh cost is delta-sized, and
+    no session memo that predates the delta can silently drop rows."""
+    sets = docs.select("doc_id", _shingles(F.col("text")).alias("s")).localCheckpoint()
+    _write(sets, f"{root}/shingle_sets/ingest={ingest}")
     _write(
-        _minhash_banded_from_sets(new_sets),
-        f"{root}/minhash_bands",
+        _minhash_banded_from_sets(sets),
+        f"{root}/minhash_bands/ingest={ingest}",
         partition_by=["band_id"],
-        mode=mode,
     )
+    from .dedup import _simhash_fp_from_docs
+
+    _write(_simhash_fp_from_docs(docs), f"{root}/simhash_fp/ingest={ingest}")
 
 
-def _simhash_artifact(spark: SparkSession, sf_dir: str, docs: DataFrame,
-                      root: str, mode: str) -> None:
-    fp = simhash_fingerprint(spark, sf_dir).join(docs.select("doc_id"), "doc_id")
-    _write(fp, f"{root}/simhash_fp", mode=mode)
-
-
-def _vec_artifacts(vecs: DataFrame, root: str, mode: str, centroids,
+def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
                    srp_bits: int, pq_books) -> None:
     """Per-vector artifacts under FROZEN parameters: IVF cell
     assignment against the stored quantizer, PQ code words against the
@@ -120,7 +121,7 @@ def _vec_artifacts(vecs: DataFrame, root: str, mode: str, centroids,
         F.col("embedding").cast("array<double>").alias("c_emb"),
     ).filter(F.col("corpus_id") >= N_QUERIES)
     assigned = _assign_cells(corpus, centroids).localCheckpoint()
-    _write(assigned, f"{root}/ivf_cells", partition_by=["cell"], mode=mode)
+    _write(assigned, f"{root}/ivf_cells/ingest={ingest}", partition_by=["cell"])
     # PQ code words: PQ_M small ints per vector — the compressed form a
     # real index persists (reconstruction happens at read time via the
     # manifest codebooks); co-partitioned with the cells so an IVF-PQ
@@ -129,9 +130,8 @@ def _vec_artifacts(vecs: DataFrame, root: str, mode: str, centroids,
         assigned.select(
             "corpus_id", _pq_codes_expr(pq_books).alias("codes"), "cell"
         ),
-        f"{root}/pq_codes",
+        f"{root}/pq_codes/ingest={ingest}",
         partition_by=["cell"],
-        mode=mode,
     )
     v = vecs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     sigs = v.select(
@@ -144,7 +144,7 @@ def _vec_artifacts(vecs: DataFrame, root: str, mode: str, centroids,
             for t in range(SRP_TABLES)
         ])).alias("b"),
     ).select("vec_id", "v", "b.table_id", "b.sig")
-    _write(sigs, f"{root}/srp_sigs", partition_by=["table_id"], mode=mode)
+    _write(sigs, f"{root}/srp_sigs/ingest={ingest}", partition_by=["table_id"])
 
 
 def build_index(
@@ -158,21 +158,29 @@ def build_index(
     srp_bits: int | None = None,
     pq_books=None,
     bpe_rules=None,
+    families: tuple[str, ...] = ("docs", "vecs", "bpe"),
 ) -> dict:
-    """Full index build: write all five artifact tables + manifest.
+    """Full index build: write the requested artifact families +
+    manifest.
 
     doc_pred/vec_pred restrict the indexed rows (the tests' split
-    corpora; None = everything). centroids/simhash_wide/srp_bits
-    override the corpus-derived parameters — the refresh-equality test
-    rebuilds the FULL corpus under the subset build's frozen
-    parameters, which is exactly what refresh(delta) must equal.
+    corpora; None = everything). centroids/simhash_wide/srp_bits/
+    pq_books/bpe_rules override the corpus-derived parameters — the
+    refresh-equality test rebuilds the FULL corpus under the subset
+    build's frozen parameters, which is exactly what refresh(delta)
+    must equal. families limits the build to the artifact groups a
+    variant actually consumes ("docs" = shingle sets + bands + simhash,
+    "vecs" = IVF/PQ/SRP, "bpe" = the tokenizer) — the ref_even
+    screening variant builds docs only instead of paying quantizer/
+    codebook/tokenizer training it never reads.
 
     Scale: every artifact is one pass over its corpus (the same plans
     the in-session operators run), written through the partitioning
     each consumer probes by — band_id for the LSH join, cell for the
-    pruned IVF read, table_id for the SRP bucket join. At 100 TB this
-    job runs once; every dedup/ANN query thereafter reads, never
-    derives."""
+    pruned IVF read, table_id for the SRP bucket join — under an
+    ingest=<watermark> top-level partition that makes build AND
+    refresh retry-idempotent. At 100 TB this job runs once; every
+    dedup/ANN query thereafter reads, never derives."""
     docs = load_table_spread(spark, sf_dir, "documents")
     if doc_pred is not None:
         docs = docs.filter(doc_pred)
@@ -182,71 +190,86 @@ def build_index(
 
     # corpus-derived frozen parameters (the SAME derivations the
     # in-session operators and the DuckDB oracles use)
-    n_docs = docs.count()
-    n_vecs = vecs.count()
+    n_docs = docs.count() if {"docs", "bpe"} & set(families) else 0
+    n_vecs = vecs.count() if "vecs" in families else 0
+    doc_wm = (
+        docs.agg(F.max("doc_id")).first()[0] if {"docs", "bpe"} & set(families) else None
+    )
+    vec_wm = vecs.agg(F.max("vec_id")).first()[0] if "vecs" in families else None
     if simhash_wide is None:
         simhash_wide = n_docs >= SIMHASH_WIDE_MIN_DOCS
     if srp_bits is None:
         srp_bits = srp_bits_for(n_vecs)
-    corpus = vecs.select(
-        F.col("vec_id").alias("corpus_id"),
-        F.col("embedding").cast("array<double>").alias("c_emb"),
-    ).filter(F.col("corpus_id") >= N_QUERIES)
-    if centroids is None:
-        from .similarity import _ivf_centroids
 
-        if vec_pred is None:
-            # full corpus: share the session-memoized trained quantizer
-            centroids = _ivf_cached_centroids(spark, sf_dir, corpus)
-        else:
-            # subset build (tests): train directly — the session cache is
-            # keyed on (app, corpus) and must never hold subset-trained
-            # centroids that would corrupt same-session ann_ivf_topk
-            centroids = _ivf_centroids(spark, corpus)
-    if pq_books is None:
-        from .similarity import (
-            _pq_cached_codebooks, _pq_codebooks_spec, pq_train_mod,
-        )
+    if "vecs" in families:
+        corpus = vecs.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").cast("array<double>").alias("c_emb"),
+        ).filter(F.col("corpus_id") >= N_QUERIES)
+        if centroids is None:
+            from .similarity import _ivf_centroids
 
-        if vec_pred is None:
-            pq_books = _pq_cached_codebooks(spark, sf_dir, corpus)
-        else:  # same cache-pollution rationale as the centroids above
-            mod = pq_train_mod(n_vecs_corpus := corpus.count())
-            rows = (
-                corpus.filter(F.col("corpus_id") % mod == 0)
-                .select("corpus_id", "c_emb")
-                .collect()
-            )
-            pq_books = _pq_codebooks_spec(
-                sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
+            if vec_pred is None:
+                # full corpus: share the session-memoized trained quantizer
+                centroids = _ivf_cached_centroids(spark, sf_dir, corpus)
+            else:
+                # subset build (tests): train directly — the session cache
+                # is keyed on (app, corpus) and must never hold
+                # subset-trained centroids that would corrupt
+                # same-session ann_ivf_topk
+                centroids = _ivf_centroids(spark, corpus)
+        if pq_books is None:
+            from .similarity import (
+                _pq_cached_codebooks, _pq_codebooks_spec, pq_train_mod,
             )
 
-    if bpe_rules is None:
-        from .text import _bpe_train, _bpe_train_on, _bpe_vocab_from_docs
-
-        if doc_pred is None:
-            # full corpus: share the session-memoized trained tokenizer
-            bpe_rules, bpe_vocab = _bpe_train(spark, sf_dir)
-        else:  # subset build: train directly, never through the memo
-            bpe_rules, bpe_vocab = _bpe_train_on(_bpe_vocab_from_docs(docs))
+            if vec_pred is None:
+                pq_books = _pq_cached_codebooks(spark, sf_dir, corpus)
+            else:  # same cache-pollution rationale as the centroids above
+                mod = pq_train_mod(corpus.count())
+                rows = (
+                    corpus.filter(F.col("corpus_id") % mod == 0)
+                    .select("corpus_id", "c_emb")
+                    .collect()
+                )
+                pq_books = _pq_codebooks_spec(
+                    sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
+                )
+        _vec_artifacts(vecs, root, vec_wm, centroids, srp_bits, pq_books)
     else:
-        # frozen rules (refresh-equality rebuilds): segment the corpus
-        # vocabulary through the stored chain, no retraining
-        from .text import _bpe_apply_rules, _bpe_vocab_from_docs
+        centroids, pq_books = [], []
 
-        bpe_vocab = _bpe_apply_rules(_bpe_vocab_from_docs(docs), bpe_rules)
+    if "bpe" in families:
+        if bpe_rules is None:
+            from .text import _bpe_train, _bpe_train_on, _bpe_vocab_from_docs
 
-    _doc_artifacts(spark, docs, root, "overwrite")
-    _simhash_artifact(spark, sf_dir, docs, root, "overwrite")
-    _vec_artifacts(vecs, root, "overwrite", centroids, srp_bits, pq_books)
-    # the trained tokenizer's APPLY table: token -> merged symbol
-    # sequence (wct is training-internal and not part of the artifact)
-    _write(bpe_vocab.select("tok", "syms"), f"{root}/bpe_vocab", mode="overwrite")
+            if doc_pred is None:
+                # full corpus: share the session-memoized trained tokenizer
+                bpe_rules, bpe_vocab = _bpe_train(spark, sf_dir)
+            else:  # subset build: train directly, never through the memo
+                bpe_rules, bpe_vocab = _bpe_train_on(_bpe_vocab_from_docs(docs))
+        else:
+            # frozen rules (refresh-equality rebuilds): segment the corpus
+            # vocabulary through the stored chain, no retraining
+            from .text import _bpe_apply_rules, _bpe_vocab_from_docs
+
+            bpe_vocab = _bpe_apply_rules(_bpe_vocab_from_docs(docs), bpe_rules)
+        # the trained tokenizer's APPLY table: token -> merged symbol
+        # sequence (wct is training-internal and not part of the artifact)
+        _write(
+            bpe_vocab.select("tok", "syms"), f"{root}/bpe_vocab/ingest={doc_wm}"
+        )
+    else:
+        bpe_rules = []
+
+    if "docs" in families:
+        _doc_artifacts(spark, docs, root, doc_wm)
 
     manifest = {
         "sf_dir": sf_dir,
-        "doc_watermark": docs.agg(F.max("doc_id")).first()[0],
-        "vec_watermark": vecs.agg(F.max("vec_id")).first()[0],
+        "families": list(families),
+        "doc_watermark": doc_wm,
+        "vec_watermark": vec_wm,
         "n_docs": n_docs,
         "n_vecs": n_vecs,
         "simhash_wide": simhash_wide,
@@ -264,7 +287,9 @@ def build_index(
     tmp = f"{root}/{MANIFEST}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, f"{root}/{MANIFEST}")  # commit point
+    os.replace(tmp, f"{root}/{MANIFEST}")  # commit point: artifacts land
+    # first, the manifest last — a crash before this line leaves the
+    # watermark unchanged and the retry overwrites the same ingest dirs
     return manifest
 
 
@@ -284,51 +309,56 @@ def read_manifest(root: str) -> dict:
 def refresh_index(spark: SparkSession, sf_dir: str, root: str) -> dict:
     """Incremental maintenance: index ONLY rows past the manifest
     watermark (append-only corpus — the daily-ingest shape) under the
-    FROZEN parameters, append to the artifact tables, advance the
-    watermark. Cost is one pass over the DELTA, never the corpus; the
+    FROZEN parameters, write the delta's artifact rows into a new
+    ingest=<delta max id> partition of each table, advance the
+    watermark. Cost is one pass over the DELTA, never the corpus
+    (every artifact is computed from the delta rows directly); the
     quantizer is never retrained (new vectors are assigned to the
     existing cells, exactly FAISS's add-after-train contract).
-    Idempotent-ish by the watermark: a re-run after a committed
-    manifest sees an empty delta and no-ops."""
+    RETRY-IDEMPOTENT end to end: a re-run after a committed manifest
+    sees an empty delta and no-ops, and a retry after a crash BEFORE
+    the manifest commit re-derives the identical ingest tag and
+    overwrites its own partitions — never a duplicate row."""
     m = read_manifest(root)
+    fams = set(m.get("families", ("docs", "vecs", "bpe")))
     new_docs = load_table_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id") > m["doc_watermark"]
-    )
+    ) if "docs" in fams or "bpe" in fams else None
     new_vecs = load_table_spread(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") > m["vec_watermark"]
-    )
-    n_new_docs = new_docs.count()
-    n_new_vecs = new_vecs.count()
+    ) if "vecs" in fams else None
+    n_new_docs = new_docs.count() if new_docs is not None else 0
+    n_new_vecs = new_vecs.count() if new_vecs is not None else 0
     if n_new_docs:
-        _doc_artifacts(spark, new_docs, root, "append")
-        _simhash_artifact(spark, sf_dir, new_docs, root, "append")
-        # OUT-OF-VOCABULARY segmentation: words seen only in the delta
-        # segment through the FROZEN merge chain (a shipped tokenizer
-        # never retrains on new text); words already in the stored
-        # vocab keep their stored segmentation
-        from .text import _bpe_apply_rules, _bpe_vocab_from_docs
+        # the delta's ingest tag is its max id — deterministic given
+        # (corpus, manifest), so a crashed refresh retried before the
+        # manifest commit OVERWRITES its own ingest partitions instead
+        # of appending the delta twice
+        new_doc_wm = int(new_docs.agg(F.max("doc_id")).first()[0])
+        if "docs" in fams:
+            _doc_artifacts(spark, new_docs, root, new_doc_wm)
+        if "bpe" in fams:
+            # OUT-OF-VOCABULARY segmentation: words seen only in the
+            # delta segment through the FROZEN merge chain (a shipped
+            # tokenizer never retrains on new text); words already in
+            # the stored vocab keep their stored segmentation
+            from .text import _bpe_apply_rules, _bpe_vocab_from_docs
 
-        stored_toks = spark.read.parquet(f"{root}/bpe_vocab").select("tok")
-        new_vocab = _bpe_vocab_from_docs(new_docs).join(
-            stored_toks, "tok", "left_anti"
-        )
-        _write(
-            _bpe_apply_rules(new_vocab, m["bpe_rules"]).select("tok", "syms"),
-            f"{root}/bpe_vocab",
-            mode="append",
-        )
+            stored_toks = spark.read.parquet(f"{root}/bpe_vocab").select("tok")
+            new_vocab = _bpe_vocab_from_docs(new_docs).join(
+                stored_toks, "tok", "left_anti"
+            )
+            _write(
+                _bpe_apply_rules(new_vocab, m["bpe_rules"]).select("tok", "syms"),
+                f"{root}/bpe_vocab/ingest={new_doc_wm}",
+            )
+        m["doc_watermark"] = max(m["doc_watermark"], new_doc_wm)
     if n_new_vecs:
+        new_vec_wm = int(new_vecs.agg(F.max("vec_id")).first()[0])
         _vec_artifacts(
-            new_vecs, root, "append", m["centroids"], m["srp_bits"], m["pq_books"]
+            new_vecs, root, new_vec_wm, m["centroids"], m["srp_bits"], m["pq_books"]
         )
-    m["doc_watermark"] = max(
-        m["doc_watermark"],
-        new_docs.agg(F.max("doc_id")).first()[0] or m["doc_watermark"],
-    )
-    m["vec_watermark"] = max(
-        m["vec_watermark"],
-        new_vecs.agg(F.max("vec_id")).first()[0] or m["vec_watermark"],
-    )
+        m["vec_watermark"] = max(m["vec_watermark"], new_vec_wm)
     m["n_docs"] += n_new_docs
     m["n_vecs"] += n_new_vecs
     out = dict(m)
@@ -368,58 +398,89 @@ def ensure_index(
         os.makedirs(root, exist_ok=True)
     else:
         root = tempfile.mkdtemp(prefix=f"idx_{variant}_")
-    if not os.path.exists(f"{root}/{MANIFEST}"):
+    if os.path.exists(f"{root}/{MANIFEST}"):
+        _repair_compact(root)  # heal a crashed compaction swap, if any
+    else:
         build_index(spark, sf_dir, root, **build_kwargs)
     _ROOT_CACHE[key] = root
     return root
 
 
-def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
-    """Small-files maintenance: every refresh APPENDS part-files to the
-    artifact partitions, so a long-lived index accumulates one file per
-    refresh per partition — the classic small-files tax on every probe
-    read. Compaction rewrites each artifact to consolidated files with
-    IDENTICAL content and partitioning (read -> write to a staging dir
-    -> atomic directory swap; the swap is the commit point, so a crash
-    leaves either the old or the new layout, never a mix). Returns the
-    per-artifact file counts after compaction. At warehouse scale this
-    is the OPTIMIZE/rewrite-data-files job table formats schedule."""
+_COMPACT_PARTS = {
+    "shingle_sets": [],
+    "minhash_bands": ["band_id"],
+    "simhash_fp": [],
+    "ivf_cells": ["cell"],
+    "pq_codes": ["cell"],
+    "srp_sigs": ["table_id"],
+    "bpe_vocab": [],
+}
+
+
+def _repair_compact(root: str) -> None:
+    """Crash repair for compact_index's two-rename swap: if a previous
+    compaction died between os.replace(src, old) and
+    os.replace(stage, src), the artifact directory is missing while
+    _old_/_compact_ hold the data — restore the OLD layout (the
+    staged copy may be incomplete) and clean the stage. Runs at the
+    top of compact_index and ensure_index, so the window is healed
+    before any read path can hit it."""
     import shutil
 
-    parts = {
-        "shingle_sets": [],
-        "minhash_bands": ["band_id"],
-        "simhash_fp": [],
-        "ivf_cells": ["cell"],
-        "pq_codes": ["cell"],
-        "srp_sigs": ["table_id"],
-        "bpe_vocab": [],
-    }
+    for name in _COMPACT_PARTS:
+        src, old = f"{root}/{name}", f"{root}/_old_{name}"
+        if os.path.isdir(old) and not os.path.isdir(src):
+            os.replace(old, src)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(f"{root}/_compact_{name}", ignore_errors=True)
+
+
+def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
+    """Small-files maintenance: every refresh adds an ingest=<wm>
+    partition with its own part-files, so a long-lived index
+    accumulates one directory per refresh — the classic small-files
+    tax on every probe read. Compaction folds each artifact's ingest
+    history into a SINGLE ingest=<current watermark> partition with
+    consolidated files and identical content (read -> staging dir ->
+    directory swap). The swap is two renames; a crash between them
+    leaves the artifact dir briefly absent, which _repair_compact
+    (invoked here and by ensure_index) heals by restoring the old
+    layout — re-run compact_index to finish. Returns per-artifact file
+    counts. At warehouse scale this is the OPTIMIZE/rewrite-data-files
+    job table formats schedule."""
+    import shutil
+
+    _repair_compact(root)
+    m = read_manifest(root)
     out: dict[str, int] = {}
-    for name, pcols in parts.items():
+    for name, pcols in _COMPACT_PARTS.items():
         src = f"{root}/{name}"
         if not os.path.isdir(src):
             continue
+        wm = m["vec_watermark"] if name in ("ivf_cells", "pq_codes", "srp_sigs") else m["doc_watermark"]
         stage = f"{root}/_compact_{name}"
         shutil.rmtree(stage, ignore_errors=True)
-        df = spark.read.parquet(src)
-        # one file per partition value (or per shuffle partition for
-        # unpartitioned artifacts) — localCheckpoint breaks the read's
-        # lineage on the directory we are about to replace
+        # drop the discovered ingest column; the fold IS the new ingest
+        df = spark.read.parquet(src).drop("ingest")
+        # localCheckpoint breaks the read's lineage on the directory we
+        # are about to replace
         df = df.localCheckpoint()
         w = df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)).write
         if pcols:
             w = w.partitionBy(*pcols)
-        w.mode("overwrite").parquet(stage)
+        w.mode("overwrite").parquet(f"{stage}/ingest={wm}")
         old = f"{root}/_old_{name}"
         shutil.rmtree(old, ignore_errors=True)
         os.replace(src, old)
-        os.replace(stage, src)  # commit point
+        os.replace(stage, src)
         shutil.rmtree(old, ignore_errors=True)
         out[name] = sum(
             1 for _, _, files in os.walk(src) for f in files if f.endswith(".parquet")
         )
     return out
+
+
+_LEDGER_COMPACT_MARKER = "_COMPACT_MANIFEST.json"
 
 
 def compact_ledger(spark: SparkSession, ledger: str, upto: int) -> None:
@@ -432,22 +493,56 @@ def compact_ledger(spark: SparkSession, ledger: str, upto: int) -> None:
     so folding history INTO a retryable batch's partition would hide
     that history from its retry. Expired keys (aged-out hours,
     tombstoned fingerprints) are the rows a production compaction
-    drops here."""
+    drops here.
+
+    CRASH SAFETY: the fold is staged completely, then a marker file
+    records the partitions to delete, then deletion + rename happen.
+    A crash at ANY point is recoverable: the marker makes
+    _ledger_prior fail loudly (no serving against truncated history),
+    and re-running compact_ledger resumes the pending swap from the
+    marker before doing anything else."""
     import shutil
 
-    done = [
-        d for d in os.listdir(ledger)
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto
-    ]
+    _resume_ledger_compact(ledger)
+    done = sorted(
+        (d for d in os.listdir(ledger)
+         if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
     if len(done) <= 1:
         return
     folded = spark.read.parquet(*(os.path.join(ledger, d) for d in done))
     stage = f"{ledger}/_compact"
     shutil.rmtree(stage, ignore_errors=True)
     folded.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(stage)
+    marker = os.path.join(ledger, _LEDGER_COMPACT_MARKER)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"upto": upto, "fold": done}, f)
+    os.replace(tmp, marker)  # intent committed: stage is authoritative
     for d in done:
-        shutil.rmtree(os.path.join(ledger, d))
-    os.replace(stage, os.path.join(ledger, f"batch_id={upto}"))  # commit point
+        shutil.rmtree(os.path.join(ledger, d), ignore_errors=True)
+    os.replace(stage, os.path.join(ledger, f"batch_id={upto}"))
+    os.remove(marker)
+
+
+def _resume_ledger_compact(ledger: str) -> None:
+    """Finish a compaction that crashed after its intent marker: the
+    staged fold is complete by marker contract, so re-delete any listed
+    partitions still present, complete the rename, clear the marker."""
+    import shutil
+
+    marker = os.path.join(ledger, _LEDGER_COMPACT_MARKER)
+    if not os.path.exists(marker):
+        return
+    with open(marker) as f:
+        intent = json.load(f)
+    stage = f"{ledger}/_compact"
+    if os.path.isdir(stage):
+        for d in intent["fold"]:
+            shutil.rmtree(os.path.join(ledger, d), ignore_errors=True)
+        os.replace(stage, os.path.join(ledger, f"batch_id={intent['upto']}"))
+    os.remove(marker)
 
 
 def _read_bands(spark: SparkSession, root: str) -> DataFrame:
@@ -559,8 +654,19 @@ def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
-        shortlist.join(cells.select("corpus_id", "c_emb", "c_norm"), "corpus_id")
-        .select("query_id", "probe_cell", "corpus_id", "adc_cosine", exact.alias("cosine"))
+        # rerank join keeps the cell equi-condition so the second
+        # ivf_cells read is ALSO pruned to the probed partition —
+        # without it the shortlist's corpus_id join scans every cell
+        # and rerank cost grows with the corpus
+        shortlist.join(
+            cells,
+            (shortlist.corpus_id == cells.corpus_id)
+            & (shortlist.probe_cell == cells.cell),
+        )
+        .select(
+            shortlist.query_id, "probe_cell", shortlist.corpus_id,
+            "adc_cosine", exact.alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "probe_cell", "rank", "corpus_id", "cosine", "adc_cosine")
@@ -667,7 +773,10 @@ def incremental_neardup_from_index(spark: SparkSession, sf_dir: str) -> DataFram
     from .dedup import JACCARD_THRESHOLD
 
     root = ensure_index(
-        spark, sf_dir, variant="ref_even", doc_pred=F.col("doc_id") % 2 == 0
+        spark, sf_dir, variant="ref_even",
+        doc_pred=F.col("doc_id") % 2 == 0,
+        families=("docs",),  # this screen reads bands+sets only — no
+                             # quantizer/codebook/tokenizer training
     )
     ref_bands = _read_bands(spark, root).select(
         F.col("doc_id").alias("ref_id"), "band_id", "band_key"

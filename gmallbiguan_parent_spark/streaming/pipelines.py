@@ -112,6 +112,14 @@ def _ledger_prior(
     earlier batch's writes (and checkpoint) committed."""
     if not os.path.isdir(ledger):
         return None
+    if os.path.exists(os.path.join(ledger, "_COMPACT_MANIFEST.json")):
+        # a ledger compaction crashed mid-swap: serving against the
+        # partially-deleted history would under-count seen state — fail
+        # loudly; operators.index_store.compact_ledger resumes the swap
+        raise RuntimeError(
+            f"ledger {ledger} has an incomplete compaction; "
+            "re-run compact_ledger to resume it before serving"
+        )
     prior = [
         d
         for d in os.listdir(ledger)

@@ -215,3 +215,90 @@ def test_env_root_makes_fresh_session_read_only(spark, tmp_path, monkeypatch):
     root2 = ix.ensure_index(spark, SF_DIR)
     assert root2 == root1
     assert calls == [], "existing manifest must short-circuit the build"
+
+
+def test_refresh_retry_before_manifest_commit_is_idempotent(spark, tmp_path):
+    """refresh_index is at-least-once under a scheduler: a crash after
+    the artifact writes but before the manifest commit leaves the
+    watermark unchanged, and the retry re-selects the SAME delta. The
+    ingest=<delta max id> overwrite partitions must make the retry a
+    no-op — before them, the retry appended the delta a second time and
+    duplicated every artifact row."""
+    import json
+    import shutil
+
+    from gmallbiguan_parent_spark.operators.index_store import (
+        MANIFEST, build_index, refresh_index,
+    )
+
+    root = str(tmp_path / "rr")
+    build_index(
+        spark, SF_DIR, root,
+        doc_pred=F.col("doc_id") <= DOC_WM,
+        vec_pred=F.col("vec_id") <= DOC_WM,
+    )
+    pre_refresh_manifest = open(f"{root}/{MANIFEST}").read()
+    refresh_index(spark, SF_DIR, root)
+    once = {name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS}
+    # simulate the crash: artifacts written, manifest NOT committed
+    with open(f"{root}/{MANIFEST}", "w") as f:
+        f.write(pre_refresh_manifest)
+    refresh_index(spark, SF_DIR, root)  # the scheduler's retry
+    twice = {name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS}
+    assert twice == once, "retried refresh must overwrite, never duplicate"
+
+
+def test_compact_ledger_crash_is_loud_and_resumable(spark, tmp_path):
+    """Simulate a compaction crash after the intent marker (stage
+    written, originals deleted, rename pending): serving must FAIL
+    loudly instead of computing admissions against truncated history,
+    and re-running compact_ledger must resume the swap, after which
+    decisions match the never-compacted twin."""
+    import datetime
+    import json
+    import shutil
+
+    import pytest
+
+    from gmallbiguan_parent_spark.operators.index_store import compact_ledger
+    from gmallbiguan_parent_spark.operators.quality import RATE_CAP
+    from gmallbiguan_parent_spark.streaming.pipelines import _rate_limit_admit_batch
+
+    hr = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, hr + datetime.timedelta(seconds=i), 7) for i in ids],
+            "event_id int, ts timestamp, user_id int",
+        )
+
+    batches = [range(2), range(100, 102), range(200, 200 + RATE_CAP)]
+    out = str(tmp_path / "crash")
+    _rate_limit_admit_batch(batch(batches[0]), 0, out)
+    _rate_limit_admit_batch(batch(batches[1]), 1, out)
+    ledger = f"{out}/_ledger"
+    # hand-build the mid-crash state: complete staged fold + marker,
+    # folded partitions already deleted, rename never ran
+    done = ["batch_id=0", "batch_id=1"]
+    folded = spark.read.parquet(*(f"{ledger}/{d}" for d in done)).localCheckpoint()
+    folded.coalesce(1).write.mode("overwrite").parquet(f"{ledger}/_compact")
+    with open(f"{ledger}/_COMPACT_MANIFEST.json", "w") as f:
+        json.dump({"upto": 1, "fold": done}, f)
+    for d in done:
+        shutil.rmtree(f"{ledger}/{d}")
+    # serving against this state must fail loudly, not under-count
+    with pytest.raises(Exception, match="incomplete compaction"):
+        _rate_limit_admit_batch(batch(batches[2]), 2, out)
+    # resume (compact_ledger heals pending swaps before anything else)
+    compact_ledger(spark, ledger, upto=1)
+    import os
+
+    assert sorted(os.listdir(ledger)) == ["batch_id=1"]
+    _rate_limit_admit_batch(batch(batches[2]), 2, out)
+    got = _rows(spark, f"{out}/data/batch_id=2", ["event_id", "kept"])
+    # plain twin, never compacted
+    plain = str(tmp_path / "plain")
+    for i, ids in enumerate(batches):
+        _rate_limit_admit_batch(batch(ids), i, plain)
+    want = _rows(spark, f"{plain}/data/batch_id=2", ["event_id", "kept"])
+    assert got == want

@@ -344,10 +344,25 @@ def test_ledger_prior_fails_on_corrupt_partition(spark, tmp_path):
     bad = ledger / "batch_id=0"
     bad.mkdir(parents=True)
     (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
-    with pytest.raises(Exception):
+    # the failure must come from the READ (at DataFrame creation or
+    # collect), never be swallowed into the 'no ledger yet' None — the
+    # old bare-except regression; AssertionError is re-raised so a
+    # silent None can't masquerade as the expected read error
+    raised = False
+    try:
         df = _ledger_prior(spark, str(ledger), 1)
-        assert df is not None
+        assert df is not None, "corrupt partition must not be treated as 'no ledger'"
         df.collect()
-    # and a genuinely-missing ledger is still an explicit first batch
+    except AssertionError:
+        raise
+    except Exception:
+        raised = True
+    assert raised, "corrupt ledger partition must raise, not pass silently"
+    # a genuinely-missing ledger is still an explicit first batch
     assert _ledger_prior(spark, str(tmp_path / "nope"), 1) is None
+    # and an interrupted compaction fails loudly instead of serving
+    # truncated history
+    (ledger / "_COMPACT_MANIFEST.json").write_text('{"upto": 0, "fold": []}')
+    with pytest.raises(RuntimeError, match="incomplete compaction"):
+        _ledger_prior(spark, str(ledger), 1)
 

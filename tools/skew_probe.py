@@ -170,6 +170,13 @@ def main() -> None:
 
     spark = get_spark("skew_probe")
     spark.range(1000).count()
+    # snapshot the session's pre-probe values of every conf we touch
+    baseline = {}
+    for k in set(SKEW_CONFS["default"]) | set(SKEW_CONFS["tuned"]):
+        try:
+            baseline[k] = spark.conf.get(k)
+        except Exception:
+            pass  # unset in this session; restored via unset afterwards
     t0 = time.time()
     build(spark)
     print(f"# build: {round(time.time() - t0, 1)}s", file=sys.stderr)
@@ -183,12 +190,16 @@ def main() -> None:
     salt_rows, n_salt, t_salt, _ = _timed(
         spark, SKEW_CONFS["default"], lambda: pair_join_salted(spark, DST)
     )
-    # restore session defaults (broadcast back on for later users)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    for k, v in SKEW_CONFS["default"].items():
-        if k not in _NO_BCAST:
-            spark.conf.set(k, v)
+    # restore EVERY conf any variant touched to its pre-probe value
+    # (unset keys restored via conf.unset) — a later query in this
+    # session must plan under the session's real defaults, not the
+    # probe's broadcast-off/forced-skew regime
+    touched = set(SKEW_CONFS["default"]) | set(SKEW_CONFS["tuned"])
+    for k in touched:
+        if k in baseline:
+            spark.conf.set(k, baseline[k])
+        else:
+            spark.conf.unset(k)
 
     a = {(r.pay_user, r["count"]) for r in plain_rows}
     b = {(r.pay_user, r["count"]) for r in tuned_rows}
