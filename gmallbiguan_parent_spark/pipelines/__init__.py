@@ -49,7 +49,7 @@ _GATE_PRIORITY = (
     "visitor_stats_window", "province_stats", "product_stats",
     "keyword_stats", "keyword_stats_cjk", "keyword_c2r_stack",
     # the 8 serving reads (S11, A5-A11, O1-O2, F7, F10)
-    "gmv_daily", "top_trademarks", "top_categories", "visitor_new_rollup",
+    "gmv_daily", "top_trademarks", "top_categories", "top_spus", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
     # CDC routing/pruning + SCD2 dim history (S6, S9, P3-P4, P6-P7, F9)
     "cdc_route", "cdc_column_prune", "scd2_history",
@@ -59,8 +59,10 @@ _GATE_PRIORITY = (
     "topn_orders_per_priority",
     # LLM-pipeline: dedup
     # (decontamination semantics are also inside the curate_corpus capstone,
-    # so decontaminate_corpus itself sits just outside the window)
-    "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_stats", "simhash_neardup_pairs",
+    # so decontaminate_corpus itself sits just outside the window;
+    # ngram_jaccard_stats moved to the local gate in r8 to make room for
+    # top_spus — the dedup family keeps 4 in-window covers)
+    "dedup_exact", "minhash_lsh_pairs", "simhash_neardup_pairs",
     "neardup_clusters",
     # LLM-pipeline: similarity search
     "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup_pairs",

@@ -105,6 +105,45 @@ def top_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_spus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (SPU variant): `group by spu_id,spu_name` with BOTH
+    `sum(order_amount)` AND `sum(order_ct)`, having, desc limit —
+    PUB/mapper/ProductStatsMapper.java:42-46. The two-aggregate shape is
+    what distinguishes it from the trademark/category3 reads: the
+    reference sums *pre-aggregated* per-window order counts from the
+    stats table, so the twin is two-level — a daily product-stats
+    aggregate (amount + exact distinct order count per spu per day),
+    then a SPU rollup summing both measures. spu ≈ (p_partkey, p_name):
+    the id+name grouping pair the reference uses. Both groupBys share
+    the spu key prefix, so AQE coalesces them into one shuffle exchange
+    reused across levels; countDistinct stays in the daily layer where
+    cardinality per group is small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy(
+            F.col("p_partkey").alias("spu_id"),
+            F.col("p_name").alias("spu_name"),
+            F.to_date("l_shipdate").alias("dt"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice")).alias("day_amount"),
+            F.countDistinct("l_orderkey").alias("day_ct"),
+        )
+    )
+    return (
+        daily.groupBy("spu_id", "spu_name")
+        .agg(
+            F.sum("day_amount").alias("order_amount"),
+            F.sum("day_ct").alias("order_ct"),
+        )
+        .filter(F.col("order_amount") > 0)
+        .orderBy(F.desc("order_amount"), F.asc("spu_id"))
+        .limit(10)
+    )
+
+
 def visitor_new_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: measures grouped by is_new flag. is_new derives from the P8
     repair (first-seen day) — new visitors are users on their first
@@ -218,6 +257,7 @@ QUERIES = {
     "sugar_envelope": sugar_envelope,
     "top_trademarks": top_trademarks,
     "top_categories": top_categories,
+    "top_spus": top_spus,
     "visitor_new_rollup": visitor_new_rollup,
     "visitor_hourly": visitor_hourly,
     "keyword_score": keyword_score,
@@ -269,6 +309,24 @@ ORACLES = {
         GROUP BY 1
         HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) > 0
         ORDER BY order_amount DESC, category_name ASC
+        LIMIT 10
+    """,
+    "top_spus": """
+        WITH daily AS (
+            SELECT p.p_partkey AS spu_id, p.p_name AS spu_name,
+                   CAST(l.l_shipdate AS DATE) AS dt,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS day_amount,
+                   COUNT(DISTINCT l.l_orderkey) AS day_ct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2, 3
+        )
+        SELECT spu_id, spu_name,
+               CAST(SUM(day_amount) AS DECIMAL(18,4)) AS order_amount,
+               CAST(SUM(day_ct) AS BIGINT) AS order_ct
+        FROM daily
+        GROUP BY 1, 2
+        HAVING SUM(day_amount) > 0
+        ORDER BY order_amount DESC, spu_id ASC
         LIMIT 10
     """,
     "visitor_new_rollup": """
