@@ -27,25 +27,136 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 
-# (source_table, operate_type, sink_type, sink_table) — the table_process
-# config rows (FIXTURES.md §3). 'error' events are deliberately absent:
-# unknown keys must be dropped.
+# (source_table, operate_type, sink_type, sink_table, sink_columns,
+# sink_pk, sink_extend) — the table_process config rows (FIXTURES.md §3),
+# now carrying the full DDL surface of the reference's config table
+# (RT/bean/TableProcess.java: sinkColumns/sinkPk/sinkExtend). 'error'
+# events are deliberately absent: unknown keys must be dropped. Kafka
+# routes carry no DDL metadata (the reference only auto-creates HBase
+# dim tables).
 ROUTING_CONFIG = [
-    ("view", "insert", "kafka", "dwd_view"),
-    ("view", "bootstrap-insert", "kafka", "dwd_view"),
-    ("click", "insert", "kafka", "dwd_click"),
-    ("purchase", "insert", "kafka", "dwd_purchase"),
-    ("purchase", "update", "kafka", "dwd_purchase_upd"),
-    ("signup", "insert", "hbase", "dim_signup"),
+    ("view", "insert", "kafka", "dwd_view", None, None, None),
+    ("view", "bootstrap-insert", "kafka", "dwd_view", None, None, None),
+    ("click", "insert", "kafka", "dwd_click", None, None, None),
+    ("purchase", "insert", "kafka", "dwd_purchase", None, None, None),
+    ("purchase", "update", "kafka", "dwd_purchase_upd", None, None, None),
+    ("signup", "insert", "hbase", "dim_signup", "event_id,user_id", "event_id", None),
 ]
 
-CONFIG_SCHEMA = "source_table string, operate_type string, sink_type string, sink_table string"
+CONFIG_SCHEMA = (
+    "source_table string, operate_type string, sink_type string, sink_table string, "
+    "sink_columns string, sink_pk string, sink_extend string"
+)
 
 
 def config_df(spark: SparkSession) -> DataFrame:
     """The table_process config as a (broadcastable) DataFrame — the
     S6 MySQL poll becomes a small in-memory/JDBC read per batch."""
     return spark.createDataFrame(ROUTING_CONFIG, CONFIG_SCHEMA)
+
+
+def build_sink_ddl(
+    sink_table: str,
+    sink_columns: str,
+    sink_pk: str | None = None,
+    sink_extend: str | None = None,
+    database: str | None = None,
+    location: str | None = None,
+) -> str:
+    """Generate the dim sink table's CREATE DDL from config metadata —
+    the Spark twin of TableProcessFunction.checkTable
+    (RT/app/func/TableProcessFunction.java:126-175): pk defaults to
+    'id', extend to '', every config column is a string (the reference
+    declares everything `varchar`). Phoenix idioms map structurally:
+    the `info.` column family flattens away (Parquet is columnar
+    already), `varchar primary key` becomes a `sink.pk` table property
+    (Spark tables don't enforce PKs; the upsert writer reads the
+    property), and the extend clause (Phoenix SALT_BUCKETS etc.) is an
+    opaque storage-clause slot between USING and TBLPROPERTIES (its
+    Spark analogs — PARTITIONED BY / CLUSTERED BY — live there)."""
+    pk = sink_pk if sink_pk else "id"
+    ext = f" {sink_extend.strip()}" if sink_extend and sink_extend.strip() else ""
+    cols = [c.strip() for c in sink_columns.split(",") if c.strip()]
+    if not cols:
+        raise ValueError(f"sink_table {sink_table}: empty sink_columns")
+    col_defs = ", ".join(f"`{c}` STRING" for c in cols)
+    name = f"{database}.{sink_table}" if database else sink_table
+    loc = f" LOCATION '{location}'" if location else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {name} ({col_defs}) USING PARQUET"
+        f"{ext}{loc} TBLPROPERTIES ('sink.pk' = '{pk}')"
+    )
+
+
+def ensure_sink_tables(
+    spark: SparkSession,
+    cfg_rows,
+    database: str | None = None,
+    location_root: str | None = None,
+) -> list[str]:
+    """The checkTable pass over the config: auto-create every HBase-type
+    insert route's dim sink table that doesn't exist yet
+    (TableProcessFunction.java:109-117 guards with an in-memory set;
+    CREATE TABLE IF NOT EXISTS gives the same idempotency without
+    driver-side state, so a restarted job converges). Returns the DDL
+    statements executed, in config order."""
+    if database:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    ddls = []
+    for row in cfg_rows:
+        if row.sink_type == "hbase" and row.operate_type == "insert":
+            loc = f"{location_root}/{row.sink_table}" if location_root else None
+            ddl = build_sink_ddl(
+                row.sink_table, row.sink_columns, row.sink_pk, row.sink_extend,
+                database=database, location=loc,
+            )
+            spark.sql(ddl)
+            ddls.append(ddl)
+    return ddls
+
+
+def _warehouse_root() -> str:
+    """Repo-local warehouse for auto-created dim tables — pinned under
+    the repo so a driver running from any CWD never writes outside it."""
+    import pathlib
+
+    return str(pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse" / "gmall_dim")
+
+
+def cdc_auto_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 DDL closure: the router materializes its own dim sink table
+    from config metadata, then the routed write lands IN that schema —
+    end-to-end: drop (to force the create path), checkTable from
+    config, route the hbase/insert records, prune to sink_columns, cast
+    to the declared all-string schema, INSERT OVERWRITE, read back.
+    The returned frame's schema is the config-declared one (every
+    column string, in sink_columns order) — which is exactly what the
+    oracle asserts. Values: bigints cast to string are
+    representation-identical across engines."""
+    cfg = config_df(spark)
+    spark.sql("DROP TABLE IF EXISTS dim_signup")
+    ensure_sink_tables(
+        spark,
+        cfg.filter(F.col("sink_type") == "hbase").collect(),
+        location_root=_warehouse_root(),
+    )
+    cdc = _cdc_stream(spark, sf_dir)
+    normalized = cdc.filter(F.col("table").isNotNull()).withColumn(
+        "type", F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type"))
+    )
+    dim = normalized.join(
+        F.broadcast(cfg.filter(F.col("sink_type") == "hbase")),
+        (normalized.table == cfg.source_table) & (normalized.type == cfg.operate_type),
+        "inner",
+    )
+    sink_cols = [
+        c.strip()
+        for c in next(r[4] for r in ROUTING_CONFIG if r[3] == "dim_signup").split(",")
+    ]
+    dim.select([F.col(c).cast("string").alias(c) for c in sink_cols]).write.mode(
+        "overwrite"
+    ).insertInto("dim_signup")
+    return spark.table("dim_signup")
 
 
 def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +213,6 @@ def cdc_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: the pruned dim rows for sink 'dim_signup'."""
     cdc = _cdc_stream(spark, sf_dir)
     cfg = config_df(spark)
-    sink_columns = {"dim_signup": ["event_id", "user_id"]}
     normalized = cdc.withColumn(
         "type", F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type"))
     )
@@ -111,7 +221,11 @@ def cdc_column_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         (normalized.table == cfg.source_table) & (normalized.type == cfg.operate_type),
         "inner",
     )
-    cols = sink_columns["dim_signup"]
+    # the select list comes from the config row's sink_columns CSV (F9)
+    cols = [
+        c.strip()
+        for c in next(r[4] for r in ROUTING_CONFIG if r[3] == "dim_signup").split(",")
+    ]
     return dim.select("sink_table", *cols)
 
 
@@ -185,6 +299,7 @@ def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_route": cdc_route,
     "cdc_column_prune": cdc_column_prune,
+    "cdc_auto_ddl": cdc_auto_ddl,
     "scd2_history": scd2_history,
     "dim_snapshot_diff": dim_snapshot_diff,
 }
@@ -264,6 +379,17 @@ ORACLES = {
     """,
     "cdc_column_prune": _DUCK_CDC + """
     SELECT c.sink_table, n.event_id, n.user_id
+    FROM normalized n
+    JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
+    WHERE c.sink_type = 'hbase'
+    """,
+    # the auto-DDL read-back: identical route + prune, but the OUTPUT
+    # SCHEMA is the config-declared one — all columns VARCHAR, in
+    # sink_columns order — because the rows land in the auto-created
+    # table before being read back
+    "cdc_auto_ddl": _DUCK_CDC + """
+    SELECT CAST(n.event_id AS VARCHAR) AS event_id,
+           CAST(n.user_id AS VARCHAR) AS user_id
     FROM normalized n
     JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
     WHERE c.sink_type = 'hbase'

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from gmallbiguan_parent_spark.io import apply_cdc_to_dim, compact_table
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 def _ts(s):
     return datetime.datetime.fromisoformat(s)
@@ -103,3 +105,64 @@ def test_compact_table_reduces_files(spark, tmp_path):
     compact_table(spark, path, 2)
     assert len(glob.glob(f"{path}/part-*.parquet")) == 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_build_sink_ddl_matches_checktable_semantics(spark, tmp_path):
+    """The config-driven DDL generator mirrors TableProcessFunction.
+    checkTable: pk defaults to 'id', extend defaults to empty, columns
+    come from the sink_columns CSV in order, everything is a string."""
+    from gmallbiguan_parent_spark.pipelines.cdc import build_sink_ddl, ensure_sink_tables
+
+    ddl = build_sink_ddl("dim_user", "id,name,birthday", "id", None, database="g")
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS g.dim_user (`id` STRING, `name` STRING, "
+        "`birthday` STRING) USING PARQUET TBLPROPERTIES ('sink.pk' = 'id')"
+    )
+    # pk/extend defaults (checkTable: pk -> 'id', ext -> '')
+    assert "('sink.pk' = 'id')" in build_sink_ddl("t", "a,b")
+    # the extend clause slot sits between USING and TBLPROPERTIES
+    ddl_ext = build_sink_ddl("t", "a,b", None, "PARTITIONED BY (a)")
+    assert "USING PARQUET PARTITIONED BY (a) TBLPROPERTIES" in ddl_ext
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_sink_ddl("t", " , ")
+
+    # ensure_sink_tables: creates only hbase/insert routes, idempotent
+    class Row:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    rows = [
+        Row(sink_type="hbase", operate_type="insert", sink_table="dim_a",
+            sink_columns="x,y", sink_pk="x", sink_extend=None),
+        Row(sink_type="kafka", operate_type="insert", sink_table="dwd_b",
+            sink_columns=None, sink_pk=None, sink_extend=None),
+        Row(sink_type="hbase", operate_type="delete", sink_table="dim_c",
+            sink_columns="x", sink_pk=None, sink_extend=None),
+    ]
+    spark.sql("DROP TABLE IF EXISTS dim_a")
+    ddls = ensure_sink_tables(spark, rows, location_root=str(tmp_path))
+    assert len(ddls) == 1 and "dim_a" in ddls[0]
+    assert [f.name for f in spark.table("dim_a").schema.fields] == ["x", "y"]
+    assert all(f.dataType.simpleString() == "string" for f in spark.table("dim_a").schema.fields)
+    # second pass: IF NOT EXISTS makes the checkTable pass restart-safe
+    ddls2 = ensure_sink_tables(spark, rows, location_root=str(tmp_path))
+    assert ddls2 == ddls
+    assert spark.table("dim_a").schema == spark.table("dim_a").schema
+    spark.sql("DROP TABLE IF EXISTS dim_a")
+
+
+def test_cdc_auto_ddl_routes_into_declared_schema(spark):
+    """End-to-end: the router auto-creates the dim sink from config and
+    the routed write lands in the declared all-string schema."""
+    from gmallbiguan_parent_spark.pipelines.cdc import cdc_auto_ddl
+
+    out = cdc_auto_ddl(spark, SF_DIR)
+    assert [f.name for f in out.schema.fields] == ["event_id", "user_id"]
+    assert all(f.dataType.simpleString() == "string" for f in out.schema.fields)
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES dim_signup").collect()
+    }
+    assert props.get("sink.pk") == "event_id"
+    assert out.count() > 0
