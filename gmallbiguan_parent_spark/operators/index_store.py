@@ -147,12 +147,31 @@ def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
     _write(sigs, f"{root}/srp_sigs/ingest={ingest}", partition_by=["table_id"])
 
 
+def _scope_pred(scope, col: str):
+    """Compile a serializable scope spec to a Column predicate. The only
+    spec today is ("mod", m, r): `col % m == r` — the membership rule of
+    a variant store (e.g. ref_even). Specs are json-round-trippable so
+    refresh_index can REAPPLY the build's scope to every delta (ADVICE
+    r7: an unrecorded scope would let a refresh ingest out-of-scope
+    rows into the variant's artifacts, silently corrupting its
+    screening contract)."""
+    if scope is None:
+        return None
+    kind = scope[0]
+    if kind == "mod":
+        _, m, r = scope
+        return F.col(col) % int(m) == int(r)
+    raise ValueError(f"unknown scope spec: {scope!r}")
+
+
 def build_index(
     spark: SparkSession,
     sf_dir: str,
     root: str,
     doc_pred=None,
     vec_pred=None,
+    doc_scope=None,
+    vec_scope=None,
     centroids=None,
     simhash_wide: bool | None = None,
     srp_bits: int | None = None,
@@ -163,8 +182,19 @@ def build_index(
     """Full index build: write the requested artifact families +
     manifest.
 
-    doc_pred/vec_pred restrict the indexed rows (the tests' split
-    corpora; None = everything). centroids/simhash_wide/srp_bits/
+    TWO DISTINCT ROW-RESTRICTION CONTRACTS:
+    - doc_scope/vec_scope: a SERIALIZABLE membership rule of the variant
+      (("mod", 2, 0) = even ids only). Recorded in the manifest and
+      REAPPLIED by refresh_index to every delta — out-of-scope rows can
+      never enter the artifacts.
+    - doc_pred/vec_pred: an OPAQUE Column used to simulate a corpus
+      PREFIX (the tests' "corpus as of watermark" builds; refresh is
+      then expected to ingest past it). Opaque predicates cannot be
+      reapplied, so the manifest flags them and refresh_index refuses
+      unless the caller asserts the prefix contract with
+      assume_prefix_pred=True.
+
+    centroids/simhash_wide/srp_bits/
     pq_books/bpe_rules override the corpus-derived parameters — the
     refresh-equality test rebuilds the FULL corpus under the subset
     build's frozen parameters, which is exactly what refresh(delta)
@@ -182,9 +212,13 @@ def build_index(
     refresh retry-idempotent. At 100 TB this job runs once; every
     dedup/ANN query thereafter reads, never derives."""
     docs = load_table_spread(spark, sf_dir, "documents")
+    if doc_scope is not None:
+        docs = docs.filter(_scope_pred(doc_scope, "doc_id"))
     if doc_pred is not None:
         docs = docs.filter(doc_pred)
     vecs = load_table_spread(spark, sf_dir, "embeddings")
+    if vec_scope is not None:
+        vecs = vecs.filter(_scope_pred(vec_scope, "vec_id"))
     if vec_pred is not None:
         vecs = vecs.filter(vec_pred)
 
@@ -283,6 +317,12 @@ def build_index(
         ],
         # (step, lhs, rhs, merged, pair_ct) — the trained merge chain
         "bpe_rules": [list(r) for r in bpe_rules],
+        # variant membership rules, reapplied verbatim by refresh_index
+        "doc_scope": list(doc_scope) if doc_scope else None,
+        "vec_scope": list(vec_scope) if vec_scope else None,
+        # opaque prefix-simulation predicates can't be reapplied — flag
+        # them so refresh_index demands the prefix contract explicitly
+        "opaque_pred": doc_pred is not None or vec_pred is not None,
     }
     tmp = f"{root}/{MANIFEST}.tmp"
     with open(tmp, "w") as f:
@@ -306,27 +346,79 @@ def read_manifest(root: str) -> dict:
     return m
 
 
-def refresh_index(spark: SparkSession, sf_dir: str, root: str) -> dict:
+_DOC_ARTIFACTS = ("shingle_sets", "minhash_bands", "simhash_fp", "bpe_vocab")
+_VEC_ARTIFACTS = ("ivf_cells", "pq_codes", "srp_sigs")
+
+
+def _heal_uncommitted(root: str, m: dict) -> None:
+    """Delete ingest partitions whose tag exceeds the manifest
+    watermark: they are by definition UNCOMMITTED — a refresh crashed
+    after writing them but before the manifest commit, and if the
+    corpus has since grown, the retry's delta gets a HIGHER tag, so the
+    orphan would survive and duplicate its rows in every artifact
+    (ADVICE r7). Mirrors the ledger compaction's heal-before-serve:
+    runs at the top of refresh_index and when ensure_index adopts an
+    existing root."""
+    import shutil
+
+    for name, wm_key in (
+        *((n, "doc_watermark") for n in _DOC_ARTIFACTS),
+        *((n, "vec_watermark") for n in _VEC_ARTIFACTS),
+    ):
+        d = f"{root}/{name}"
+        wm = m.get(wm_key)
+        if not os.path.isdir(d) or wm is None:
+            continue
+        for sub in os.listdir(d):
+            if sub.startswith("ingest=") and int(sub.split("=", 1)[1]) > wm:
+                shutil.rmtree(os.path.join(d, sub), ignore_errors=True)
+
+
+def refresh_index(
+    spark: SparkSession, sf_dir: str, root: str, assume_prefix_pred: bool = False
+) -> dict:
     """Incremental maintenance: index ONLY rows past the manifest
     watermark (append-only corpus — the daily-ingest shape) under the
     FROZEN parameters, write the delta's artifact rows into a new
     ingest=<delta max id> partition of each table, advance the
-    watermark. Cost is one pass over the DELTA, never the corpus
-    (every artifact is computed from the delta rows directly); the
-    quantizer is never retrained (new vectors are assigned to the
-    existing cells, exactly FAISS's add-after-train contract).
-    RETRY-IDEMPOTENT end to end: a re-run after a committed manifest
-    sees an empty delta and no-ops, and a retry after a crash BEFORE
-    the manifest commit re-derives the identical ingest tag and
-    overwrites its own partitions — never a duplicate row."""
+    watermark. The build's doc_scope/vec_scope membership rules are
+    REAPPLIED to the delta (a variant store never ingests out-of-scope
+    rows); a build made with an opaque doc_pred/vec_pred is refused
+    unless assume_prefix_pred=True asserts the predicate was a corpus
+    prefix that the refresh is meant to ingest past. Cost is one pass
+    over the DELTA, never the corpus (every artifact is computed from
+    the delta rows directly); the quantizer is never retrained (new
+    vectors are assigned to the existing cells, exactly FAISS's
+    add-after-train contract). RETRY-IDEMPOTENT end to end: a re-run
+    after a committed manifest sees an empty delta and no-ops; a retry
+    after a crash BEFORE the manifest commit re-derives the identical
+    ingest tag and overwrites its own partitions; and if the corpus
+    GREW between crash and retry, _heal_uncommitted first deletes the
+    crashed attempt's orphan partitions (tag > watermark) — never a
+    duplicate row."""
     m = read_manifest(root)
+    if m.get("opaque_pred") and not assume_prefix_pred:
+        raise ValueError(
+            f"{root}: manifest was built with an opaque doc_pred/vec_pred that "
+            "cannot be reapplied to the delta. If the predicate was a corpus "
+            "prefix (a watermark simulation), pass assume_prefix_pred=True; "
+            "if it was a variant membership rule, rebuild with "
+            "doc_scope/vec_scope so refresh can enforce it."
+        )
+    _heal_uncommitted(root, m)
     fams = set(m.get("families", ("docs", "vecs", "bpe")))
+    doc_scope_pred = _scope_pred(m.get("doc_scope"), "doc_id")
+    vec_scope_pred = _scope_pred(m.get("vec_scope"), "vec_id")
     new_docs = load_table_spread(spark, sf_dir, "documents").filter(
         F.col("doc_id") > m["doc_watermark"]
     ) if "docs" in fams or "bpe" in fams else None
+    if new_docs is not None and doc_scope_pred is not None:
+        new_docs = new_docs.filter(doc_scope_pred)
     new_vecs = load_table_spread(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") > m["vec_watermark"]
     ) if "vecs" in fams else None
+    if new_vecs is not None and vec_scope_pred is not None:
+        new_vecs = new_vecs.filter(vec_scope_pred)
     n_new_docs = new_docs.count() if new_docs is not None else 0
     n_new_vecs = new_vecs.count() if new_vecs is not None else 0
     if n_new_docs:
@@ -384,7 +476,19 @@ def ensure_index(
     """Root of a built index store for (corpus, variant); builds on
     first use (session memo). With SPARK_GRAFT_INDEX_DIR set the root
     is a stable path and an existing manifest short-circuits the build
-    entirely — the fresh-session read-only path."""
+    entirely — the fresh-session read-only path.
+
+    CROSS-PROCESS SAFETY (ADVICE r7): under a shared
+    SPARK_GRAFT_INDEX_DIR, two fresh sessions can race the first
+    build. Each builds into its own pid-suffixed sibling directory and
+    PUBLISHES with one atomic rename — the loser detects the winner's
+    manifest and adopts it, discarding its own build. A reader can
+    therefore never observe a half-built shared root. (compact_index
+    remains an in-place maintenance job: run it from the single
+    maintenance owner, not concurrently with other processes'
+    first-use builds.)"""
+    import shutil
+
     key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key in _ROOT_CACHE:
         return _ROOT_CACHE[key]
@@ -395,11 +499,32 @@ def ensure_index(
         root = os.path.join(
             base, sf_dir.strip("/").replace("/", "_"), variant
         )
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.dirname(root), exist_ok=True)
     else:
         root = tempfile.mkdtemp(prefix=f"idx_{variant}_")
+        import atexit
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     if os.path.exists(f"{root}/{MANIFEST}"):
         _repair_compact(root)  # heal a crashed compaction swap, if any
+        _heal_uncommitted(root, read_manifest(root))  # and refresh orphans
+    elif base:
+        # build privately, publish atomically
+        stage = f"{root}.build.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        build_index(spark, sf_dir, stage, **build_kwargs)
+        try:
+            os.rename(stage, root)  # atomic: manifest+artifacts together
+        except OSError:
+            if os.path.exists(f"{root}/{MANIFEST}"):
+                # lost the race to a concurrent builder — adopt theirs
+                shutil.rmtree(stage, ignore_errors=True)
+            else:
+                # a stale/empty or crashed in-place root blocks the
+                # rename: clear it and publish ours
+                shutil.rmtree(root, ignore_errors=True)
+                os.rename(stage, root)
     else:
         build_index(spark, sf_dir, root, **build_kwargs)
     _ROOT_CACHE[key] = root
@@ -774,7 +899,9 @@ def incremental_neardup_from_index(spark: SparkSession, sf_dir: str) -> DataFram
 
     root = ensure_index(
         spark, sf_dir, variant="ref_even",
-        doc_pred=F.col("doc_id") % 2 == 0,
+        doc_scope=("mod", 2, 0),  # serializable membership rule: the
+                                  # manifest records it and refresh_index
+                                  # reapplies it to every delta
         families=("docs",),  # this screen reads bands+sets only — no
                              # quantizer/codebook/tokenizer training
     )

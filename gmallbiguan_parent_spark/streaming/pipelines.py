@@ -262,7 +262,8 @@ def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | 
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in raw.schema.fields
     ])
-    stage = tempfile.mkdtemp(prefix="jump_src_")
+    from .queries import _scratch
+    stage = _scratch("jump_src_")
     tmp_out = f"{stage}/_sentinel_build"
     sentinels.coalesce(1).write.parquet(tmp_out)
     part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
@@ -965,6 +966,7 @@ def stream_hypertable_hour_sink(spark: SparkSession, sf_dir: str, out_dir: str) 
 def run_stream_to_df(spark: SparkSession, sf_dir: str, runner, out_dir: str | None = None) -> DataFrame:
     """Run a bounded streaming replay and read the sink back as a batch
     DataFrame (how tests and the driver consume streaming results)."""
-    out = out_dir or tempfile.mkdtemp(prefix="stream_out_")
+    from .queries import _scratch
+    out = out_dir or _scratch("stream_out_")
     runner(spark, sf_dir, out)
     return spark.read.parquet(f"{out}/data")

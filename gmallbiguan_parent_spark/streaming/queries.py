@@ -30,6 +30,25 @@ from .pipelines import (
     stream_rate_limit_ledger, stream_transition_matrix,
 )
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    """Scratch directory under ONE per-process root that is removed at
+    interpreter exit (ADVICE r7: per-call mkdtemp checkpoints/stores
+    accumulated full corpus copies across repeated bench/gate runs).
+    Still unique per call — concurrent queries never collide — but the
+    whole tree dies with the session."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sgq_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 # static-side (band table, shingle sets, per-ref band-key arrays)
 # checkpoints for the stream-static LSH screen, keyed on
 # (applicationId, sf_dir)
@@ -63,7 +82,7 @@ def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_vsq_"))
+        .option("checkpointLocation", _scratch("chk_vsq_"))
         .start()
         .awaitTermination()
     )
@@ -78,7 +97,7 @@ def stream_uv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "dt"])
         .select("user_id", "dt")
     )
-    out = tempfile.mkdtemp(prefix="uvq_")
+    out = _scratch("uvq_")
     (
         firsts.writeStream.outputMode("append")
         .trigger(availableNow=True)
@@ -134,7 +153,7 @@ def stream_keyword_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_kwq_"))
+        .option("checkpointLocation", _scratch("chk_kwq_"))
         .start()
         .awaitTermination()
     )
@@ -181,7 +200,7 @@ def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_sdq_"))
+        .option("checkpointLocation", _scratch("chk_sdq_"))
         .start()
         .awaitTermination()
     )
@@ -214,7 +233,7 @@ def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_eid"),
         )
     )
-    out = tempfile.mkdtemp(prefix="usq_")
+    out = _scratch("usq_")
     (
         agg.writeStream.outputMode("append")
         .trigger(availableNow=True)
@@ -281,8 +300,8 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import load_table
     from ..pipelines.serving import GMV_MONTH
 
-    stage = tempfile.mkdtemp(prefix="gmvinc_src_")
-    acc_root = tempfile.mkdtemp(prefix="gmvinc_acc_")
+    stage = _scratch("gmvinc_src_")
+    acc_root = _scratch("gmvinc_acc_")
     orders = load_table(spark, sf_dir, "orders")
     orders.repartition(4).write.mode("overwrite").parquet(f"{stage}/orders")
 
@@ -570,7 +589,7 @@ def stream_incremental_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_sin_"))
+        .option("checkpointLocation", _scratch("chk_sin_"))
         .start()
         .awaitTermination()
     )
@@ -627,7 +646,7 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = F.round(
         F.col("hit_ct").cast("decimal(18,6)") / F.col("gram_ct"), 4
     ).cast("decimal(9,4)")
-    out_dir = tempfile.mkdtemp(prefix="out_dcq_")
+    out_dir = _scratch("out_dcq_")
 
     # the file source hands each trigger's files over partition-per-file;
     # spread the raw docs across the executors BEFORE the window explode
@@ -666,7 +685,7 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         stream.writeStream.foreachBatch(_score)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_dcq_"))
+        .option("checkpointLocation", _scratch("chk_dcq_"))
         .start()
         .awaitTermination()
     )
@@ -694,8 +713,8 @@ def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _lsh_pairs_from_tables, _minhash_banded_from_sets, _shingles
     from ..io import load_table
 
-    stage = tempfile.mkdtemp(prefix="six_src_")
-    store = tempfile.mkdtemp(prefix="six_store_")
+    stage = _scratch("six_src_")
+    store = _scratch("six_store_")
     docs = load_table(spark, sf_dir, "documents")
     docs.repartition(4).write.mode("overwrite").parquet(f"{stage}/documents")
 
@@ -785,7 +804,7 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_sqg_"))
+        .option("checkpointLocation", _scratch("chk_sqg_"))
         .start()
         .awaitTermination()
     )
@@ -820,7 +839,7 @@ def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_htr_"))
+        .option("checkpointLocation", _scratch("chk_htr_"))
         .start()
         .awaitTermination()
     )
@@ -873,7 +892,7 @@ def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dec as _dec
 
     stream = _table_stream(spark, sf_dir, "orders")
-    ledger = tempfile.mkdtemp(prefix="led_gcs_")
+    ledger = _scratch("led_gcs_")
 
     def _partials(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent ledger: overwrite this batch's own batch_id
@@ -893,7 +912,7 @@ def stream_gmv_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         stream.writeStream.foreachBatch(_partials)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_gcs_"))
+        .option("checkpointLocation", _scratch("chk_gcs_"))
         .start()
         .awaitTermination()
     )
@@ -915,7 +934,7 @@ def stream_hypertable_hour_append_q(spark: SparkSession, sf_dir: str) -> DataFra
     as the batch hypertable oracle, restricted to 'hour'."""
     from .pipelines import stream_hypertable_hour_sink
 
-    out = tempfile.mkdtemp(prefix="hta_")
+    out = _scratch("hta_")
     stream_hypertable_hour_sink(spark, sf_dir, out)
     return spark.read.parquet(f"{out}/data").select(
         "bucket_start",
@@ -952,7 +971,7 @@ def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _table_stream(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < N_QUERIES
     )
-    out_dir = tempfile.mkdtemp(prefix="out_annq_")
+    out_dir = _scratch("out_annq_")
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent sink: overwrite this batch's own batch_id partition
@@ -987,7 +1006,7 @@ def stream_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         stream.writeStream.foreachBatch(_serve)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_annq_"))
+        .option("checkpointLocation", _scratch("chk_annq_"))
         .start()
         .awaitTermination()
     )
@@ -1039,7 +1058,7 @@ def stream_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFra
     stream = _table_stream(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 17 != 0
     )
-    out_dir = tempfile.mkdtemp(prefix="out_semdcq_")
+    out_dir = _scratch("out_semdcq_")
 
     def _screen(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent sink: overwrite this batch's own batch_id partition
@@ -1099,7 +1118,7 @@ def stream_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFra
     (
         stream.writeStream.foreachBatch(_screen)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_semdcq_"))
+        .option("checkpointLocation", _scratch("chk_semdcq_"))
         .start()
         .awaitTermination()
     )

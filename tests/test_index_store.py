@@ -48,7 +48,7 @@ def test_refresh_delta_equals_rebuild_full(spark, tmp_path):
         vec_pred=F.col("vec_id") <= DOC_WM,
     )
     assert m0["doc_watermark"] == DOC_WM
-    m1 = refresh_index(spark, SF_DIR, inc_root)
+    m1 = refresh_index(spark, SF_DIR, inc_root, assume_prefix_pred=True)
     assert m1["doc_watermark"] > DOC_WM and m1["vec_watermark"] > DOC_WM
 
     build_index(
@@ -122,7 +122,7 @@ def test_compact_index_preserves_content(spark, tmp_path):
         doc_pred=F.col("doc_id") <= DOC_WM,
         vec_pred=F.col("vec_id") <= DOC_WM,
     )
-    refresh_index(spark, SF_DIR, root)
+    refresh_index(spark, SF_DIR, root, assume_prefix_pred=True)
     before = {
         name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS
     }
@@ -238,12 +238,12 @@ def test_refresh_retry_before_manifest_commit_is_idempotent(spark, tmp_path):
         vec_pred=F.col("vec_id") <= DOC_WM,
     )
     pre_refresh_manifest = open(f"{root}/{MANIFEST}").read()
-    refresh_index(spark, SF_DIR, root)
+    refresh_index(spark, SF_DIR, root, assume_prefix_pred=True)
     once = {name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS}
     # simulate the crash: artifacts written, manifest NOT committed
     with open(f"{root}/{MANIFEST}", "w") as f:
         f.write(pre_refresh_manifest)
-    refresh_index(spark, SF_DIR, root)  # the scheduler's retry
+    refresh_index(spark, SF_DIR, root, assume_prefix_pred=True)  # the scheduler's retry
     twice = {name: _rows(spark, f"{root}/{name}", cols) for name, cols in ARTIFACTS}
     assert twice == once, "retried refresh must overwrite, never duplicate"
 
@@ -302,3 +302,164 @@ def test_compact_ledger_crash_is_loud_and_resumable(spark, tmp_path):
         _rate_limit_admit_batch(batch(ids), i, plain)
     want = _rows(spark, f"{plain}/data/batch_id=2", ["event_id", "kept"])
     assert got == want
+
+
+def test_scoped_variant_refresh_reapplies_scope(spark, tmp_path):
+    """ADVICE r8 (medium): a variant store built with a doc_scope
+    membership rule must reapply it on refresh — lowering the manifest
+    watermark (simulating an older build) and refreshing must ingest
+    ONLY in-scope (even) doc_ids."""
+    import json
+
+    from gmallbiguan_parent_spark.operators.index_store import (
+        MANIFEST, build_index, read_manifest, refresh_index,
+    )
+
+    del json  # manifest round-trip goes through read_manifest below
+    root = str(tmp_path / "scoped")
+    # the realistic shape: a scoped variant built when the corpus was
+    # smaller (prefix pred simulates the old corpus state) — the scope
+    # must be recorded AND reapplied when refresh ingests the growth
+    build_index(
+        spark, SF_DIR, root, doc_scope=("mod", 2, 0),
+        doc_pred=F.col("doc_id") <= DOC_WM, families=("docs",),
+    )
+    m = read_manifest(root)
+    assert m["doc_scope"] == ["mod", 2, 0] and m["opaque_pred"]
+    prefix_even = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root}/shingle_sets").select("doc_id").collect()
+    )
+    assert prefix_even and all(d % 2 == 0 and d <= DOC_WM for d in prefix_even)
+    refresh_index(spark, SF_DIR, root, assume_prefix_pred=True)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root}/shingle_sets").select("doc_id").collect()
+    )
+    assert all(d % 2 == 0 for d in got), "refresh ingested out-of-scope doc_ids"
+    assert len(got) > len(prefix_even), "refresh must ingest the in-scope delta"
+    full_even = sorted(
+        r.doc_id
+        for r in __import__("gmallbiguan_parent_spark.io", fromlist=["load_table_spread"])
+        .load_table_spread(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == full_even
+
+
+def test_refresh_refuses_opaque_pred_without_contract(spark, tmp_path):
+    """A build made with an opaque doc_pred cannot be refreshed without
+    asserting the prefix contract — the refusal is the guard against
+    silently ingesting out-of-scope rows into a variant store."""
+    import pytest
+
+    from gmallbiguan_parent_spark.operators.index_store import (
+        build_index, refresh_index,
+    )
+
+    root = str(tmp_path / "opaque")
+    build_index(
+        spark, SF_DIR, root, doc_pred=F.col("doc_id") <= DOC_WM,
+        families=("docs",),
+    )
+    with pytest.raises(ValueError, match="opaque"):
+        refresh_index(spark, SF_DIR, root)
+    refresh_index(spark, SF_DIR, root, assume_prefix_pred=True)  # contract asserted
+
+
+def test_heal_uncommitted_deletes_orphan_ingest_partitions(spark, tmp_path):
+    """ADVICE r8: a refresh that crashed AFTER writing its ingest
+    partitions but BEFORE the manifest commit leaves partitions with
+    tag > watermark. If the corpus grows before the retry, the retry's
+    delta gets a higher tag and the orphan would duplicate rows —
+    refresh must delete any above-watermark partition first."""
+    import os
+
+    from gmallbiguan_parent_spark.operators.index_store import (
+        build_index, read_manifest, refresh_index,
+    )
+
+    root = str(tmp_path / "orphan")
+    build_index(spark, SF_DIR, root, families=("docs",))
+    wm = read_manifest(root)["doc_watermark"]
+    orphan = f"{root}/shingle_sets/ingest={wm + 999}"
+    spark.createDataFrame(
+        [(10**9, ["zz"])], "doc_id long, s array<string>"
+    ).write.parquet(orphan)
+    assert os.path.isdir(orphan)
+    before = spark.read.parquet(f"{root}/shingle_sets").filter(
+        F.col("doc_id") < 10**9
+    ).count()
+    refresh_index(spark, SF_DIR, root)  # empty delta, but heals first
+    assert not os.path.isdir(orphan)
+    assert spark.read.parquet(f"{root}/shingle_sets").count() == before
+
+
+def test_ensure_index_atomic_publish_shared_root(spark, tmp_path, monkeypatch):
+    """ADVICE r8: under a shared SPARK_GRAFT_INDEX_DIR the first build
+    stages privately and publishes with one atomic rename, so a reader
+    can never observe a half-built root — and a stale empty root dir
+    (the old in-place layout's makedirs) must not block the publish."""
+    import os
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+
+    base = str(tmp_path / "shared")
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", base)
+    ix._ROOT_CACHE.clear()
+    # pre-create the stale empty root the old code used to makedirs
+    sf_key = SF_DIR.strip("/").replace("/", "_")
+    stale = os.path.join(base, sf_key, "pubtest")
+    os.makedirs(stale)
+    root = ix.ensure_index(spark, SF_DIR, variant="pubtest", families=("docs",))
+    assert root == stale
+    assert os.path.exists(f"{root}/{ix.MANIFEST}")
+    assert not [d for d in os.listdir(os.path.dirname(root)) if ".build." in d]
+    # second session (cold cache): adopts the published manifest, no rebuild
+    ix._ROOT_CACHE.clear()
+    calls = []
+    real = ix.build_index
+    monkeypatch.setattr(ix, "build_index", lambda *a, **k: calls.append(1) or real(*a, **k))
+    assert ix.ensure_index(spark, SF_DIR, variant="pubtest") == root
+    assert not calls, "published manifest must short-circuit the build"
+    ix._ROOT_CACHE.clear()
+
+
+def test_compact_ledger_resume_after_partial_deletes(spark, tmp_path):
+    """Crash-inject the OTHER window (VERDICT r7 #8): marker committed,
+    only SOME fold partitions deleted before the crash — resume must
+    re-delete the stragglers, finish the rename, and leave exactly the
+    folded partition."""
+    import datetime
+    import json
+    import os
+    import shutil
+
+    from gmallbiguan_parent_spark.operators.index_store import compact_ledger
+    from gmallbiguan_parent_spark.streaming.pipelines import _rate_limit_admit_batch
+
+    hr = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [(i, hr + datetime.timedelta(seconds=i), 7) for i in ids],
+            "event_id int, ts timestamp, user_id int",
+        )
+
+    out = str(tmp_path / "partial")
+    _rate_limit_admit_batch(batch(range(2)), 0, out)
+    _rate_limit_admit_batch(batch(range(100, 102)), 1, out)
+    ledger = f"{out}/_ledger"
+    done = ["batch_id=0", "batch_id=1"]
+    expected = sorted(
+        map(tuple, spark.read.parquet(*(f"{ledger}/{d}" for d in done)).collect())
+    )
+    folded = spark.read.parquet(*(f"{ledger}/{d}" for d in done)).localCheckpoint()
+    folded.coalesce(1).write.mode("overwrite").parquet(f"{ledger}/_compact")
+    with open(f"{ledger}/_COMPACT_MANIFEST.json", "w") as f:
+        json.dump({"upto": 1, "fold": done}, f)
+    shutil.rmtree(f"{ledger}/batch_id=0")  # crash: only ONE delete ran
+    compact_ledger(spark, ledger, upto=1)  # resume
+    assert sorted(os.listdir(ledger)) == ["batch_id=1"]
+    got = sorted(map(tuple, spark.read.parquet(f"{ledger}/batch_id=1").collect()))
+    assert got == expected
