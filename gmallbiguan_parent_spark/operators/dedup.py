@@ -1083,20 +1083,27 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
     return _simhash_pairs_from_fp(sim, wide)
 
 
-def _simhash_pairs_from_fp(sim: DataFrame, wide: bool) -> DataFrame:
-    """Banded hamming<=3 pair join over a (doc_id, sim_hi, sim_lo)
-    fingerprint table — shared by simhash_neardup_pairs (session-
-    memoized fingerprints) and the index_store *_from_index twin (the
-    SAME table read back from the persisted artifact, layout frozen in
-    the manifest), so the two paths cannot drift."""
+def _simhash_banded(sim: DataFrame, wide: bool) -> DataFrame:
+    """The exploded (doc_id, sim_hi, sim_lo, band_id, band_val) table —
+    the self-join input shared by the complete pair join and the
+    bucket-capped variant."""
     bands = _simhash_band_keys(wide)
-    banded = sim.select(
+    return sim.select(
         "doc_id", "sim_hi", "sim_lo",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"), expr.alias("band_val"))
             for b, expr in enumerate(bands)
         ])).alias("band"),
     ).select("doc_id", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
+
+
+def _simhash_pairs_from_fp(sim: DataFrame, wide: bool) -> DataFrame:
+    """Banded hamming<=3 pair join over a (doc_id, sim_hi, sim_lo)
+    fingerprint table — shared by simhash_neardup_pairs (session-
+    memoized fingerprints) and the index_store *_from_index twin (the
+    SAME table read back from the persisted artifact, layout frozen in
+    the manifest), so the two paths cannot drift."""
+    banded = _simhash_banded(sim, wide)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
         F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
@@ -1130,6 +1137,93 @@ def _simhash_pairs_from_fp(sim: DataFrame, wide: bool) -> DataFrame:
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
+# Gate-scale bucket budget for the capped variant: small enough that the
+# synthetic corpus's copy clusters actually overflow it, so the gate
+# exercises the degraded path for real.
+SIMHASH_BUCKET_CAP = 8
+
+
+def _simhash_capped_pairs_from_fp(sim: DataFrame, wide: bool, bucket_cap: int) -> DataFrame:
+    """The PAIR-BUDGETED variant (VERDICT r7 #6): at 200x the complete
+    pair set was 53.7M rows and output-bound — a pathological corpus
+    (one giant boilerplate cluster) makes the s^2-per-bucket join
+    unbounded. The budget engages BEFORE the join: within each band
+    bucket, only the `bucket_cap` smallest doc_ids join (a window over
+    the fingerprint-sized banded table — NOT over pairs, so the bound
+    applies to compute, not just the write). A bucket of size s emits
+    at most C(cap,2) pairs instead of C(s,2); total output is
+    O(n_buckets * cap^2). Overflowing buckets degrade to a count-only
+    report (simhash_bucket_overflow) instead of an unbounded pair
+    write — production dedup handles mega-clusters via a
+    representative, not pairwise. Pairs among kept members keep exact
+    hamming semantics; the first-agreeing-band dedup is replaced by
+    dropDuplicates because cap membership differs per band (bounded by
+    the cap, so the dedup shuffle is too)."""
+    from pyspark.sql import Window
+
+    banded = _simhash_banded(sim, wide)
+    w = Window.partitionBy("band_id", "band_val").orderBy("doc_id")
+    kept = banded.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= bucket_cap
+    ).drop("rk")
+    a, b = kept.alias("a"), kept.alias("b")
+    hamming = F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))) + F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_neardup_pairs under the SIMHASH_BUCKET_CAP budget —
+    the graceful-degradation path a pathological corpus takes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIMHASH_CACHE:
+        ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()
+        _SIMHASH_CACHE[key] = (ck, ck.count())
+    sim, n_docs = _SIMHASH_CACHE[key]
+    return _simhash_capped_pairs_from_fp(
+        sim, n_docs >= SIMHASH_WIDE_MIN_DOCS, SIMHASH_BUCKET_CAP
+    )
+
+
+def simhash_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-only overflow report paired with simhash_pairs_capped:
+    how many band buckets exceed the cap, the worst bucket, and the
+    number of pair slots the cap dropped — the observability a capped
+    run ships instead of the unbounded pair write."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIMHASH_CACHE:
+        ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()
+        _SIMHASH_CACHE[key] = (ck, ck.count())
+    sim, n_docs = _SIMHASH_CACHE[key]
+    banded = _simhash_banded(sim, n_docs >= SIMHASH_WIDE_MIN_DOCS)
+    cap = F.lit(SIMHASH_BUCKET_CAP)
+    sizes = banded.groupBy("band_id", "band_val").agg(F.count("*").alias("sz"))
+    over = sizes.filter(F.col("sz") > cap)
+    return over.agg(
+        F.count("*").alias("over_buckets"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2 - cap * (cap - 1) / 2).cast("long"),
+            F.lit(0),
+        ).alias("dropped_pair_slots"),
     )
 
 
@@ -1545,6 +1639,8 @@ QUERIES = {
     "containment_pairs": containment_pairs,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "simhash_pairs_capped": simhash_pairs_capped,
+    "simhash_bucket_overflow": simhash_bucket_overflow,
     "decontaminate_corpus": decontaminate_corpus,
     "neardup_clusters": neardup_clusters,
     "neardup_dedup_rewrite": neardup_dedup_rewrite,
@@ -2070,6 +2166,42 @@ ORACLES = {
     WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
     """,
 }
+
+# The gate corpus stays under SIMHASH_WIDE_MIN_DOCS, so the capped
+# oracles replay the NARROW 4x16-bit band layout (the same layout the
+# Spark side picks adaptively at gate scale).
+_DUCK_SIMHASH_BANDED = _DUCK_SIMHASH + """
+    , banded AS (
+        SELECT doc_id, sim_hi, sim_lo, b['band_id'] AS band_id, b['band_val'] AS band_val
+        FROM s, UNNEST([
+            {'band_id': 0, 'band_val': sim_lo & 65535},
+            {'band_id': 1, 'band_val': sim_lo >> 16},
+            {'band_id': 2, 'band_val': sim_hi & 65535},
+            {'band_id': 3, 'band_val': sim_hi >> 16}]) AS t(b)
+    )
+"""
+
+ORACLES["simhash_pairs_capped"] = _DUCK_SIMHASH_BANDED + f"""
+    , kept AS (
+        SELECT * FROM (
+            SELECT doc_id, sim_hi, sim_lo, band_id, band_val,
+                   row_number() OVER (PARTITION BY band_id, band_val ORDER BY doc_id) AS rk
+            FROM banded) WHERE rk <= {SIMHASH_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+    FROM kept a JOIN kept b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+"""
+
+ORACLES["simhash_bucket_overflow"] = _DUCK_SIMHASH_BANDED + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS over_buckets,
+           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_bucket,
+           CAST(COALESCE(SUM(sz * (sz - 1) / 2 - {SIMHASH_BUCKET_CAP} * ({SIMHASH_BUCKET_CAP} - 1) / 2), 0) AS BIGINT) AS dropped_pair_slots
+    FROM (SELECT band_id, band_val, COUNT(*) AS sz FROM banded GROUP BY 1, 2)
+    WHERE sz > {SIMHASH_BUCKET_CAP}
+"""
 
 # Built after the dict so it can embed the neardup_clusters oracle as a
 # subquery (DuckDB allows a WITH chain inside a parenthesized FROM).

@@ -866,6 +866,52 @@ def srp_bits_for(n: int) -> int:
     return min(SRP_MAX_BITS, max(SRP_BITS, math.ceil(math.log2(max(n, 2) / SRP_TARGET_BUCKET))))
 
 
+# Recall governor (VERDICT r7 #4): srp_bits_for holds bucket population
+# constant as the corpus grows, but per-table agreement is p^bits, so
+# recall at fixed SRP_TABLES FALLS with width (measured: within-copy
+# recovery 863 -> ~44/copy at 6 -> 13 bits, SCALE_100X.md). The probe
+# RADIUS is the lever that restores it without extra signature storage:
+# a pair at design cosine tau has per-bit agreement p = 1 - acos(tau)/pi,
+# and probing all hamming<=r neighbor keys recovers it per table with
+# P_r = sum_{i<=r} C(bits,i) p^(bits-i) (1-p)^r; the governor picks the
+# smallest r with 1-(1-P_r)^tables >= target. At 6 bits that is r=1
+# (the old hand-set hamming-1), at the probe's 13 bits r=2, at the
+# 16-bit cap r=3 — recall holds by construction instead of collapsing.
+SRP_DESIGN_COSINE = 0.9   # the "true near-duplicate" design point
+SRP_TARGET_RECALL = 0.99
+SRP_RADIUS_MAX = 3        # cost ceiling: sum C(bits,i) probes per table
+
+
+import math as _math
+
+# per-bit agreement probability at the design cosine — ONE literal shared
+# by the Python governor and (via repr injection) the DuckDB oracle
+_SRP_P = 1.0 - _math.acos(SRP_DESIGN_COSINE) / _math.pi
+
+
+def srp_probe_radius_for(bits: int, tables: int = SRP_TABLES) -> int:
+    """Smallest hamming probe radius holding the recall target for a
+    pair at SRP_DESIGN_COSINE, capped at SRP_RADIUS_MAX. The DuckDB
+    oracle evaluates the IDENTICAL closed form from its own bits value,
+    so Spark and oracle always probe the same keys at any scale."""
+    import math
+
+    p = _SRP_P
+    P = 0.0
+    for r in range(SRP_RADIUS_MAX + 1):
+        P += math.comb(bits, r) * p ** (bits - r) * (1 - p) ** r
+        if 1 - (1 - P) ** tables >= SRP_TARGET_RECALL:
+            return r
+    return SRP_RADIUS_MAX
+
+
+def _srp_probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks within the probe radius (mask 0 = the home
+    bucket), in ascending order — the (bits choose <=r) keys each
+    signature probes."""
+    return [m for m in range(1 << bits) if bin(m).count("1") <= radius]
+
+
 def _srp_signature(v, table: int, bits: int):
     """SRP bucket id for one table: bit p = sign of v · plane_p (dot
     rounded to 6 dp so both engines take the same branch at the
@@ -988,36 +1034,33 @@ def _srp_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
 
 
 def embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding_neardup_pairs with HAMMING-1 MULTIPROBE (the
-    multi-probe LSH of Lv et al., VLDB'07) — the recall lever the 100x
-    probe showed the width-adaptive design needs: srp_bits_for keeps
-    bucket population constant as the corpus grows, but per-table
-    agreement probability is p^bits, so recall at a fixed table count
-    FALLS as the width rises (measured in SCALE_100X.md: within-copy
-    recovery 863 -> ~44/copy at 6 -> 13 bits). Instead of paying more
-    tables (another full signature set each), each vector also probes
-    its bits hamming-1 neighbor signatures per table: a true pair
-    whose signatures disagree on exactly ONE hyperplane is recovered,
-    at (bits+1)x candidate-lookup cost and zero extra signature
-    storage — the same exchange IVF makes with nprobe.
+    """embedding_neardup_pairs with RADIUS-GOVERNED MULTIPROBE (the
+    multi-probe LSH of Lv et al., VLDB'07, with the radius picked by
+    srp_probe_radius_for): each vector probes every hamming<=r
+    neighbor signature per table, where r is the smallest radius
+    holding SRP_TARGET_RECALL for a pair at SRP_DESIGN_COSINE under
+    the corpus-adaptive width — recall no longer collapses as
+    srp_bits_for widens (863 -> ~44/copy measured at 6 -> 13 bits
+    before this governor; at 13 bits the governor picks r=2). The
+    cost is sum_{i<=r} C(bits,i) candidate lookups per vector-table
+    and ZERO extra signature storage — the same exchange IVF makes
+    with nprobe, auto-scaled instead of hand-set.
 
-    Plan: the memoized signature table explodes into (bits+1) probe
-    keys on ONE side only (hamming<=1 is symmetric, so probing the
-    a-side finds every qualifying pair); the bucket join, cosine
-    confirm, and dedup are embedding_neardup_pairs' verbatim. Output is
-    a SUPERSET of the single-probe operator at the same threshold.
-    """
+    Plan: the memoized signature table explodes into the mask set on
+    ONE side only (hamming<=r is symmetric, so probing the a-side
+    finds every qualifying pair); the bucket join, cosine confirm,
+    and dedup are embedding_neardup_pairs' verbatim. Output is a
+    SUPERSET of the single-probe operator at the same threshold."""
     from ..io import load_table_spread
 
     bits = srp_bits_for(load_table_spread(spark, sf_dir, "embeddings").count())
+    radius = srp_probe_radius_for(bits)
+    masks = _srp_probe_masks(bits, radius)
     sigs = _srp_signature_table(spark, sf_dir)
     probes = sigs.select(
         F.col("vec_id"), F.col("v"), F.col("table_id"),
         F.explode(
-            F.array(
-                F.col("sig"),
-                *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(bits)],
-            )
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("probe_sig"),
     )
     a, b = probes.alias("a"), sigs.alias("b")
@@ -2592,12 +2635,26 @@ ORACLES = {
     # probing the a-side is complete); list_transform over range(bits)
     # keeps the oracle width-adaptive like the signature CTE itself
     "embedding_neardup_multiprobe": _DUCK_SRP_SIGS + f"""
-    , probes AS (
+    , rcfg AS (
+        -- the radius governor, closed form identical to
+        -- srp_probe_radius_for: smallest r with
+        -- 1-(1-P_r)^tables >= target at the design cosine
+        SELECT bits, CASE
+            WHEN 1 - POWER(1 - (POWER({_SRP_P!r}, bits)), {SRP_TABLES}) >= {SRP_TARGET_RECALL} THEN 0
+            WHEN 1 - POWER(1 - (POWER({_SRP_P!r}, bits)
+                 + bits * POWER({_SRP_P!r}, bits - 1) * {1.0 - _SRP_P!r}), {SRP_TABLES}) >= {SRP_TARGET_RECALL} THEN 1
+            WHEN 1 - POWER(1 - (POWER({_SRP_P!r}, bits)
+                 + bits * POWER({_SRP_P!r}, bits - 1) * {1.0 - _SRP_P!r}
+                 + (bits * (bits - 1) / 2) * POWER({_SRP_P!r}, bits - 2) * POWER({1.0 - _SRP_P!r}, 2)), {SRP_TABLES}) >= {SRP_TARGET_RECALL} THEN 2
+            ELSE {SRP_RADIUS_MAX} END AS radius
+        FROM bcfg
+    ), probes AS (
         SELECT vec_id, v, table_id,
-               unnest(list_prepend(sig,
-                   list_transform(range(0, (SELECT bits FROM bcfg)),
-                                  p -> xor(sig, (1 << p))))) AS probe_sig
-        FROM sigs
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= radius),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM sigs, rcfg
     )
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.v, b.v)
