@@ -463,6 +463,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join splits. The confirm re-join touches only candidate docs —
     at 100 TB that is orders of magnitude smaller than the corpus.
     """
+    from .index_store import _read_bands, _read_sets, persisted_root
+
+    root = persisted_root(spark, sf_dir, "docs")
+    if root:  # warm environment: read the persisted band/set artifacts
+        return _lsh_pairs_from_tables(_read_bands(spark, root), _read_sets(spark, root))
     sets = _shingle_sets(spark, sf_dir)
     banded = _minhash_banded_from_sets(sets)
     return _lsh_pairs_from_tables(banded, sets)
@@ -1073,6 +1078,14 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
     # table the dedup pipeline maintains (same session-memo pattern as
     # _SHINGLE_SET_CACHE). The cached doc count rides along for the
     # layout switch.
+    from .index_store import persisted_root, read_manifest
+
+    root = persisted_root(spark, sf_dir, "docs")
+    if root and wide is None:  # warm environment: persisted fingerprints
+        return _simhash_pairs_from_fp(
+            spark.read.parquet(f"{root}/simhash_fp"),
+            read_manifest(root)["simhash_wide"],
+        )
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIMHASH_CACHE:
         ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()

@@ -670,6 +670,28 @@ def _resume_ledger_compact(ledger: str) -> None:
     os.remove(marker)
 
 
+def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
+    """The opportunistic warm-path switch for the BASE neardup/ANN
+    queries (VERDICT r7 #7): when SPARK_GRAFT_INDEX_DIR is set, default
+    to ensure_index — first use builds the store once, every later
+    session (and every later query in this one) reads partitioned
+    parquet artifacts instead of re-deriving session memos. Returns
+    None (zero behavior change) when the env is unset or the full
+    store doesn't carry `family` / isn't a full-corpus build."""
+    if not os.environ.get("SPARK_GRAFT_INDEX_DIR"):
+        return None
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    if (
+        family not in m.get("families", ())
+        or m.get("doc_scope")
+        or m.get("vec_scope")
+        or m.get("opaque_pred")
+    ):
+        return None
+    return root
+
+
 def _read_bands(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(f"{root}/minhash_bands").select(
         "doc_id", "band_id", "band_key"

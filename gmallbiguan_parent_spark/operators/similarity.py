@@ -484,6 +484,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample collect, then driver-side Lloyd rounds) — DataFrame
     construction is eager here, like the SRP width derivation in
     embedding_neardup_pairs."""
+    from .index_store import persisted_root
+
+    if persisted_root(spark, sf_dir, "vecs"):
+        # warm environment: the trained quantizer comes from the
+        # manifest and the assignment from the partitionBy(cell) layout
+        from .index_store import ann_ivf_topk_from_index
+
+        return ann_ivf_topk_from_index(spark, sf_dir)
     corpus, queries = _ivf_corpus_queries(spark, sf_dir)
     cent = _ivf_cached_centroids(spark, sf_dir, corpus)
     cells = _cached_cells(spark, sf_dir, corpus, cent)
@@ -1003,6 +1011,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     population stays ~constant at any scale; the oracle computes the
     identical width from count(embeddings), so verification holds at
     every scale factor, not just sf0.01."""
+    from .index_store import persisted_root
+
+    root = persisted_root(spark, sf_dir, "vecs")
+    if root:  # warm environment: persisted partitionBy(table_id) signatures
+        return _srp_pairs_from_sigs(
+            spark.read.parquet(f"{root}/srp_sigs").select("vec_id", "v", "table_id", "sig")
+        )
     return _srp_pairs_from_sigs(_srp_signature_table(spark, sf_dir))
 
 

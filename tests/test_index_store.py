@@ -463,3 +463,27 @@ def test_compact_ledger_resume_after_partial_deletes(spark, tmp_path):
     assert sorted(os.listdir(ledger)) == ["batch_id=1"]
     got = sorted(map(tuple, spark.read.parquet(f"{ledger}/batch_id=1").collect()))
     assert got == expected
+
+
+def test_base_queries_read_persisted_store_when_env_set(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #7: with SPARK_GRAFT_INDEX_DIR set, the BASE
+    neardup/ANN queries default to the persisted store — same rows as
+    the cold in-session derivation, and persisted_root returns the
+    published root (None when unset or for non-carried families)."""
+    import os
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+    from gmallbiguan_parent_spark.operators.dedup import minhash_lsh_pairs
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    ix._ROOT_CACHE.clear()
+    assert ix.persisted_root(spark, SF_DIR, "docs") is None
+    cold = sorted(map(tuple, minhash_lsh_pairs(spark, SF_DIR).collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "warm"))
+    ix._ROOT_CACHE.clear()
+    root = ix.persisted_root(spark, SF_DIR, "docs")
+    assert root and os.path.exists(f"{root}/{ix.MANIFEST}")
+    warm = sorted(map(tuple, minhash_lsh_pairs(spark, SF_DIR).collect()))
+    assert warm == cold and len(warm) > 0
+    ix._ROOT_CACHE.clear()

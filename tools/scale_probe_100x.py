@@ -54,9 +54,12 @@ PROBE_QUERIES = [
     # (name, data-ratio for the factor column)
     ("minhash_lsh_pairs", DOC_COPIES),
     ("simhash_neardup_pairs", DOC_COPIES),
+    ("simhash_pairs_capped", DOC_COPIES),      # r8: bucket budget engaged
+    ("simhash_bucket_overflow", DOC_COPIES),   # r8: count-only overflow report
     ("containment_pairs", DOC_COPIES),
     ("prefix_jaccard_pairs", DOC_COPIES),
     ("embedding_neardup_pairs", VEC_COPIES),
+    ("embedding_neardup_multiprobe", VEC_COPIES),  # r8: radius governor
     ("dedup_exact", DOC_COPIES),
     ("stream_rate_limit", EV_COPIES),
     ("stream_dedup_gate", DOC_COPIES),
@@ -218,6 +221,42 @@ def main() -> None:
         lines.append(
             f"| {name} | {s_t} | {s_n:,} | {b_t} | {b_n:,} | {ratio}x | {f}x |"
         )
+
+    # r8 recall-governor evidence: copies are pair-structure-preserving
+    # bijections, so the big corpus's TRUE pair set is copies x the 1x
+    # pair set — within-copy recall is big_rows / (copies * 1x_rows).
+    from gmallbiguan_parent_spark.operators.similarity import (
+        SRP_TARGET_RECALL, srp_probe_radius_for,
+    )
+    mp_small, mp_big = small["embedding_neardup_multiprobe"], big["embedding_neardup_multiprobe"]
+    sp_small, sp_big = small["embedding_neardup_pairs"], big["embedding_neardup_pairs"]
+    mp_recall = mp_big[1] / (VEC_COPIES * mp_small[1]) if mp_small[1] else float("nan")
+    sp_recall = sp_big[1] / (VEC_COPIES * sp_small[1]) if sp_small[1] else float("nan")
+    lines += [
+        "",
+        "## SRP recall governor (r8)",
+        "",
+        f"True big-corpus pair count = copies x 1x pairs (bijective copies).",
+        f"- single-probe recovery: {sp_big[1]:,} / {VEC_COPIES * sp_small[1]:,} "
+        f"= {sp_recall:.3f} of the 1x-recoverable set",
+        f"- radius-governed multiprobe (radius "
+        f"{srp_probe_radius_for(srp_bits_for(n_vecs_big))} at {bits_big} bits): "
+        f"{mp_big[1]:,} / {VEC_COPIES * mp_small[1]:,} = {mp_recall:.3f} "
+        f"(target {SRP_TARGET_RECALL} for pairs at the design cosine; the "
+        "ratio also counts sub-design-cosine pairs, so it is a LOWER bound "
+        "on design-point recall)",
+        "",
+        "## SimHash pair budget (r8)",
+        "",
+        f"- complete pairs: {big['simhash_neardup_pairs'][1]:,} rows in "
+        f"{big['simhash_neardup_pairs'][0]}s (output-bound)",
+        f"- capped pairs: {big['simhash_pairs_capped'][1]:,} rows in "
+        f"{big['simhash_pairs_capped'][0]}s; overflow report "
+        f"{big['simhash_bucket_overflow'][1]} row in "
+        f"{big['simhash_bucket_overflow'][0]}s — a pathological corpus "
+        "degrades to a bounded write + counts instead of an unbounded "
+        "pair set.",
+    ]
     with open("/root/repo/SCALE_100X.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps({name: {"small": small[name], "big": big[name]} for name, _ in PROBE_QUERIES}))
