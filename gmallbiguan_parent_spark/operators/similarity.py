@@ -1061,41 +1061,51 @@ def embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ZERO extra signature storage — the same exchange IVF makes
     with nprobe, auto-scaled instead of hand-set.
 
-    Plan: the memoized signature table explodes into the mask set on
-    ONE side only (hamming<=r is symmetric, so probing the a-side
-    finds every qualifying pair); the bucket join, cosine confirm,
-    and dedup are embedding_neardup_pairs' verbatim. Output is a
-    SUPERSET of the single-probe operator at the same threshold."""
+    Plan — slim keys through the wide part, vectors only at the end:
+    the probe explosion ((sum C(bits,i)) keys per vector-table) carries
+    ONLY (vec_id, table_id, probe_sig) — never the 64-double embedding
+    (carrying v through every probe row shuffled ~25x more bytes and
+    recomputed each pair's cosine once per table it collided in). The
+    bucket join emits bare (vec_a, vec_b) id pairs map-side,
+    dropDuplicates collapses the per-table repeats BEFORE any vector
+    math, and the embeddings join back once per DISTINCT candidate for
+    a single cosine evaluation. hamming<=r is symmetric, so probing
+    the a-side alone finds every qualifying pair. Output is a SUPERSET
+    of the single-probe operator at the same threshold."""
     from ..io import load_table_spread
 
     bits = srp_bits_for(load_table_spread(spark, sf_dir, "embeddings").count())
     radius = srp_probe_radius_for(bits)
     masks = _srp_probe_masks(bits, radius)
     sigs = _srp_signature_table(spark, sf_dir)
-    probes = sigs.select(
-        F.col("vec_id"), F.col("v"), F.col("table_id"),
+    slim = sigs.select("vec_id", "table_id", "sig")
+    probes = slim.select(
+        "vec_id", "table_id",
         F.explode(
             F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("probe_sig"),
     )
-    a, b = probes.alias("a"), sigs.alias("b")
-    cosine = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 6
-    )
-    return (
+    a, b = probes.alias("a"), slim.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.probe_sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cosine = F.round(
+        _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
+    )
+    return (
+        cand.join(va, cand.vec_a == va.vec_id)
+        .join(vb, cand.vec_b == vb.vec_id)
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
 
 
