@@ -1078,12 +1078,24 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
     # table the dedup pipeline maintains (same session-memo pattern as
     # _SHINGLE_SET_CACHE). The cached doc count rides along for the
     # layout switch.
-    from .index_store import persisted_root, read_manifest
+    sim, layout = _simhash_cached_fp(spark, sf_dir)
+    return _simhash_pairs_from_fp(sim, layout if wide is None else wide)
+
+
+def _simhash_cached_fp(spark: SparkSession, sf_dir: str):
+    """(fingerprint table, wide-layout flag) — THE single source for
+    every simhash consumer (complete pairs, capped pairs, overflow
+    report): the persisted simhash_fp artifact with its MANIFEST-FROZEN
+    layout when SPARK_GRAFT_INDEX_DIR is set (all consumers band with
+    the same layout the store was written under, even at the
+    SIMHASH_WIDE_MIN_DOCS boundary), else the session-memoized
+    localCheckpoint with the corpus-count-derived layout."""
+    from .index_store import _read_artifact, persisted_root, read_manifest
 
     root = persisted_root(spark, sf_dir, "docs")
-    if root and wide is None:  # warm environment: persisted fingerprints
-        return _simhash_pairs_from_fp(
-            spark.read.parquet(f"{root}/simhash_fp"),
+    if root:
+        return (
+            _read_artifact(spark, root, "simhash_fp"),
             read_manifest(root)["simhash_wide"],
         )
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1091,9 +1103,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str, wide: bool | None = 
         ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()
         _SIMHASH_CACHE[key] = (ck, ck.count())
     sim, n_docs = _SIMHASH_CACHE[key]
-    if wide is None:
-        wide = n_docs >= SIMHASH_WIDE_MIN_DOCS
-    return _simhash_pairs_from_fp(sim, wide)
+    return sim, n_docs >= SIMHASH_WIDE_MIN_DOCS
 
 
 def _simhash_banded(sim: DataFrame, wide: bool) -> DataFrame:
@@ -1206,14 +1216,8 @@ def _simhash_capped_pairs_from_fp(sim: DataFrame, wide: bool, bucket_cap: int) -
 def simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """simhash_neardup_pairs under the SIMHASH_BUCKET_CAP budget —
     the graceful-degradation path a pathological corpus takes."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SIMHASH_CACHE:
-        ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()
-        _SIMHASH_CACHE[key] = (ck, ck.count())
-    sim, n_docs = _SIMHASH_CACHE[key]
-    return _simhash_capped_pairs_from_fp(
-        sim, n_docs >= SIMHASH_WIDE_MIN_DOCS, SIMHASH_BUCKET_CAP
-    )
+    sim, wide = _simhash_cached_fp(spark, sf_dir)
+    return _simhash_capped_pairs_from_fp(sim, wide, SIMHASH_BUCKET_CAP)
 
 
 def simhash_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,12 +1225,8 @@ def simhash_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many band buckets exceed the cap, the worst bucket, and the
     number of pair slots the cap dropped — the observability a capped
     run ships instead of the unbounded pair write."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SIMHASH_CACHE:
-        ck = simhash_fingerprint(spark, sf_dir).localCheckpoint()
-        _SIMHASH_CACHE[key] = (ck, ck.count())
-    sim, n_docs = _SIMHASH_CACHE[key]
-    banded = _simhash_banded(sim, n_docs >= SIMHASH_WIDE_MIN_DOCS)
+    sim, wide = _simhash_cached_fp(spark, sf_dir)
+    banded = _simhash_banded(sim, wide)
     cap = F.lit(SIMHASH_BUCKET_CAP)
     sizes = banded.groupBy("band_id", "band_val").agg(F.count("*").alias("sz"))
     over = sizes.filter(F.col("sz") > cap)

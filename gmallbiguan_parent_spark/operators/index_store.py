@@ -243,11 +243,11 @@ def build_index(
         if centroids is None:
             from .similarity import _ivf_centroids
 
-            if vec_pred is None:
+            if vec_pred is None and vec_scope is None:
                 # full corpus: share the session-memoized trained quantizer
                 centroids = _ivf_cached_centroids(spark, sf_dir, corpus)
             else:
-                # subset build (tests): train directly — the session cache
+                # subset/scoped build: train directly — the session cache
                 # is keyed on (app, corpus) and must never hold
                 # subset-trained centroids that would corrupt
                 # same-session ann_ivf_topk
@@ -257,7 +257,7 @@ def build_index(
                 _pq_cached_codebooks, _pq_codebooks_spec, pq_train_mod,
             )
 
-            if vec_pred is None:
+            if vec_pred is None and vec_scope is None:
                 pq_books = _pq_cached_codebooks(spark, sf_dir, corpus)
             else:  # same cache-pollution rationale as the centroids above
                 mod = pq_train_mod(corpus.count())
@@ -277,10 +277,12 @@ def build_index(
         if bpe_rules is None:
             from .text import _bpe_train, _bpe_train_on, _bpe_vocab_from_docs
 
-            if doc_pred is None:
+            if doc_pred is None and doc_scope is None:
                 # full corpus: share the session-memoized trained tokenizer
                 bpe_rules, bpe_vocab = _bpe_train(spark, sf_dir)
-            else:  # subset build: train directly, never through the memo
+            else:  # subset/scoped build: train directly on the restricted
+                # docs, never through the full-corpus memo (a scoped store
+                # must not carry out-of-scope vocabulary rows)
                 bpe_rules, bpe_vocab = _bpe_train_on(_bpe_vocab_from_docs(docs))
         else:
             # frozen rules (refresh-equality rebuilds): segment the corpus
@@ -436,7 +438,7 @@ def refresh_index(
             # the stored vocab keep their stored segmentation
             from .text import _bpe_apply_rules, _bpe_vocab_from_docs
 
-            stored_toks = spark.read.parquet(f"{root}/bpe_vocab").select("tok")
+            stored_toks = _read_artifact(spark, root, "bpe_vocab").select("tok")
             new_vocab = _bpe_vocab_from_docs(new_docs).join(
                 stored_toks, "tok", "left_anti"
             )
@@ -507,13 +509,22 @@ def ensure_index(
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     if os.path.exists(f"{root}/{MANIFEST}"):
         _repair_compact(root)  # heal a crashed compaction swap, if any
-        _heal_uncommitted(root, read_manifest(root))  # and refresh orphans
+        # NOTE: no _heal_uncommitted here — readers never see
+        # above-watermark partitions (_read_artifact filters them), and
+        # deleting them from a reader would race a concurrent
+        # refresh_index mid-write. The destructive heal belongs to the
+        # refresh owner alone.
     elif base:
         # build privately, publish atomically
         stage = f"{root}.build.{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage)
-        build_index(spark, sf_dir, stage, **build_kwargs)
+        try:
+            build_index(spark, sf_dir, stage, **build_kwargs)
+        except BaseException:
+            # never leak a multi-GB partial stage into the shared dir
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         try:
             os.rename(stage, root)  # atomic: manifest+artifacts together
         except OSError:
@@ -521,10 +532,22 @@ def ensure_index(
                 # lost the race to a concurrent builder — adopt theirs
                 shutil.rmtree(stage, ignore_errors=True)
             else:
-                # a stale/empty or crashed in-place root blocks the
-                # rename: clear it and publish ours
-                shutil.rmtree(root, ignore_errors=True)
-                os.rename(stage, root)
+                # a manifest-less root (crashed in-place build from an
+                # older layout) blocks the rename. Take over WITHOUT
+                # deleting: move it aside atomically — if a concurrent
+                # winner published between the manifest check and here,
+                # the aside-rename moves a COMPLETE store aside (still
+                # recoverable on disk), never unlinks it mid-read.
+                aside = f"{root}.crashed.{os.getpid()}"
+                shutil.rmtree(aside, ignore_errors=True)
+                try:
+                    os.rename(root, aside)
+                    os.rename(stage, root)
+                except OSError:
+                    if os.path.exists(f"{root}/{MANIFEST}"):
+                        shutil.rmtree(stage, ignore_errors=True)
+                    else:
+                        raise
     else:
         build_index(spark, sf_dir, root, **build_kwargs)
     _ROOT_CACHE[key] = root
@@ -670,14 +693,24 @@ def _resume_ledger_compact(ledger: str) -> None:
     os.remove(marker)
 
 
+# once-per-session staleness verdicts for persisted_root: (app, root,
+# family) -> is_fresh
+_FRESH_CACHE: dict[tuple[str, str, str], bool] = {}
+
+
 def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
     """The opportunistic warm-path switch for the BASE neardup/ANN
     queries (VERDICT r7 #7): when SPARK_GRAFT_INDEX_DIR is set, default
     to ensure_index — first use builds the store once, every later
     session (and every later query in this one) reads partitioned
     parquet artifacts instead of re-deriving session memos. Returns
-    None (zero behavior change) when the env is unset or the full
-    store doesn't carry `family` / isn't a full-corpus build."""
+    None (zero behavior change) when the env is unset, the full store
+    doesn't carry `family` / isn't a full-corpus build, or the corpus
+    has GROWN past the manifest watermark — a stale store would
+    silently omit every pair/neighbor involving the new rows, so the
+    read path falls back to live derivation and leaves the refresh to
+    the maintenance owner (read paths never mutate shared state). The
+    freshness check is one max() scan per (session, store, family)."""
     if not os.environ.get("SPARK_GRAFT_INDEX_DIR"):
         return None
     root = ensure_index(spark, sf_dir)
@@ -689,17 +722,47 @@ def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
         or m.get("opaque_pred")
     ):
         return None
-    return root
+    key = (spark.sparkContext.applicationId, root, family)
+    if key not in _FRESH_CACHE:
+        for k in [k for k in _FRESH_CACHE if k[0] != key[0]]:
+            del _FRESH_CACHE[k]
+        if family == "vecs":
+            cur = load_table_spread(spark, sf_dir, "embeddings").agg(
+                F.max("vec_id")
+            ).first()[0]
+            _FRESH_CACHE[key] = cur is None or cur <= m["vec_watermark"]
+        else:
+            cur = load_table_spread(spark, sf_dir, "documents").agg(
+                F.max("doc_id")
+            ).first()[0]
+            _FRESH_CACHE[key] = cur is None or cur <= m["doc_watermark"]
+    return root if _FRESH_CACHE[key] else None
+
+
+_VEC_ARTIFACT_SET = set(_VEC_ARTIFACTS)
+
+
+def _read_artifact(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Watermark-filtered artifact read: only ingest partitions at or
+    below the manifest watermark are COMMITTED — a concurrent or
+    crashed refresh's higher-tagged partitions are invisible to
+    readers (partition-pruned filter, zero data cost). This makes
+    reads safe against in-flight maintenance WITHOUT deleting anything:
+    the destructive heal runs only inside refresh_index, which — like
+    compact_index — is a single-owner maintenance job."""
+    wm_key = "vec_watermark" if name in _VEC_ARTIFACT_SET else "doc_watermark"
+    wm = read_manifest(root)[wm_key]
+    return spark.read.parquet(f"{root}/{name}").filter(F.col("ingest") <= wm)
 
 
 def _read_bands(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(f"{root}/minhash_bands").select(
+    return _read_artifact(spark, root, "minhash_bands").select(
         "doc_id", "band_id", "band_key"
     )
 
 
 def _read_sets(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(f"{root}/shingle_sets")
+    return _read_artifact(spark, root, "shingle_sets").select("doc_id", "s")
 
 
 def minhash_lsh_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,7 +781,7 @@ def simhash_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> DataFr
     and new fingerprints always band identically."""
     root = ensure_index(spark, sf_dir)
     m = read_manifest(root)
-    sim = spark.read.parquet(f"{root}/simhash_fp")
+    sim = _read_artifact(spark, root, "simhash_fp")
     return _simhash_pairs_from_fp(sim, m["simhash_wide"])
 
 
@@ -731,7 +794,7 @@ def ann_ivf_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivf_partition_pruning.py asserts)."""
     root = ensure_index(spark, sf_dir)
     m = read_manifest(root)
-    cells = spark.read.parquet(f"{root}/ivf_cells").select(
+    cells = _read_artifact(spark, root, "ivf_cells").select(
         "corpus_id", "c_emb", "c_norm", "cell"
     )
     queries = (
@@ -762,10 +825,10 @@ def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = ensure_index(spark, sf_dir)
     m = read_manifest(root)
-    cells = spark.read.parquet(f"{root}/ivf_cells").select(
+    cells = _read_artifact(spark, root, "ivf_cells").select(
         "corpus_id", "c_emb", "c_norm", "cell"
     )
-    codes = spark.read.parquet(f"{root}/pq_codes").select(
+    codes = _read_artifact(spark, root, "pq_codes").select(
         "corpus_id", "codes", "cell"
     )
     queries = (
@@ -832,7 +895,7 @@ def ann_ivf_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame
 
     root = ensure_index(spark, sf_dir)
     m = read_manifest(root)
-    cells = spark.read.parquet(f"{root}/ivf_cells").select(
+    cells = _read_artifact(spark, root, "ivf_cells").select(
         "corpus_id", "c_emb", "c_norm", "cell"
     )
     queries = (
@@ -902,7 +965,7 @@ def embedding_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> Data
     """embedding_neardup_pairs over the persisted partitionBy(table_id)
     SRP signature table, width frozen in the manifest."""
     root = ensure_index(spark, sf_dir)
-    sigs = spark.read.parquet(f"{root}/srp_sigs").select(
+    sigs = _read_artifact(spark, root, "srp_sigs").select(
         "vec_id", "v", "table_id", "sig"
     )
     return _srp_pairs_from_sigs(sigs)
@@ -987,7 +1050,7 @@ def bpe_doc_tokens_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import BPE_DOC_MOD
 
     root = ensure_index(spark, sf_dir)
-    vocab = spark.read.parquet(f"{root}/bpe_vocab")
+    vocab = _read_artifact(spark, root, "bpe_vocab")
     pieces = vocab.select(
         "tok", F.size(F.split(F.trim(F.col("syms")), " ")).alias("n_pieces")
     )

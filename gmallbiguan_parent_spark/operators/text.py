@@ -1023,18 +1023,25 @@ BPE_BATCH_ROUNDS = 14
 def _bpe_select_batch(cands):
     """Rank-window conflict-free subset of one scan's top-K candidates:
     the candidate at rank r survives iff NO candidate at rank q<r in the
-    same window shares a symbol with it (lhs or rhs). Comparing against
-    ALL earlier-ranked candidates — not just the kept ones — is
-    deliberately conservative: it drops slightly more merges per round
-    than greedy-against-kept, but it is expressible as a single
-    NOT EXISTS anti-join in the DuckDB oracle (greedy needs recursion).
-    Disjoint symbol sets make the kept merges' pair counts and fuse
-    rewrites independent of each other, so applying them in rank order
-    equals applying each against the scan-time vocabulary."""
+    same window shares a symbol with it — where "shares" covers the
+    earlier candidate's lhs, rhs, AND its MERGED symbol lhs+rhs (an
+    earlier fuse of ('a','b') creates new 'ab' tokens, so a later
+    ('ab','x') in the same window would see adjacencies the scan never
+    counted — excluding the merged symbol keeps every kept merge's
+    scan-time pair count exact). Comparing against ALL earlier-ranked
+    candidates — not just the kept ones — is deliberately conservative:
+    it drops slightly more merges per round than greedy-against-kept,
+    but it is expressible as a single NOT EXISTS anti-join in the
+    DuckDB oracle (greedy needs recursion). Disjoint symbol sets make
+    the kept merges' pair counts and fuse rewrites independent of each
+    other, so applying them in rank order equals applying each against
+    the scan-time vocabulary."""
     kept = []
     for i, c in enumerate(cands):
         if all(
-            e.lhs not in (c.lhs, c.rhs) and e.rhs not in (c.lhs, c.rhs)
+            e.lhs not in (c.lhs, c.rhs)
+            and e.rhs not in (c.lhs, c.rhs)
+            and (e.lhs + e.rhs) not in (c.lhs, c.rhs)
             for e in cands[:i]
         ):
             kept.append(c)
@@ -1336,7 +1343,8 @@ def _bpe_batched_oracle() -> str:
         SELECT c.lhs, c.rhs, c.pair_ct, c.rk FROM cand{r} c
         WHERE NOT EXISTS (
             SELECT 1 FROM cand{r} e WHERE e.rk < c.rk
-            AND (e.lhs IN (c.lhs, c.rhs) OR e.rhs IN (c.lhs, c.rhs)))
+            AND (e.lhs IN (c.lhs, c.rhs) OR e.rhs IN (c.lhs, c.rhs)
+                 OR (e.lhs || e.rhs) IN (c.lhs, c.rhs)))
     ), ms{r} AS (
         SELECT COALESCE(list(lhs || ' ' || rhs ORDER BY rk), []) AS ms FROM keep{r}
     ), vocab{r} AS MATERIALIZED (

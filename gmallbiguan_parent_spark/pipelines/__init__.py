@@ -48,7 +48,7 @@ _GATE_PRIORITY = (
     # windowed aggregates (A1-A4, U1-U3, J4-J5)
     "visitor_stats_window", "province_stats", "product_stats",
     "keyword_stats", "keyword_stats_cjk", "keyword_c2r_stack",
-    # the 8 serving reads (S11, A5-A11, O1-O2, F7, F10)
+    # the 9 serving reads (S11, A5-A11 incl. the SPU twin, O1-O2, F7, F10)
     "gmv_daily", "top_trademarks", "top_categories", "top_spus", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
     # CDC routing/pruning + SCD2 dim history (S6, S9, P3-P4, P6-P7, F9)

@@ -391,6 +391,7 @@ def test_bpe_batched_matches_pure_python_reference_and_job_budget(spark):
         kept = []
         for i, ((lhs, rhs), ct) in enumerate(cands):
             if all(e[0] not in (lhs, rhs) and e[1] not in (lhs, rhs)
+                   and (e[0] + e[1]) not in (lhs, rhs)
                    for (e, _) in cands[:i]):
                 kept.append((lhs, rhs, ct))
         kept = kept[: BPE_BATCH_MERGES - len(expected)]

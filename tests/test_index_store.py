@@ -487,3 +487,39 @@ def test_base_queries_read_persisted_store_when_env_set(spark, tmp_path, monkeyp
     warm = sorted(map(tuple, minhash_lsh_pairs(spark, SF_DIR).collect()))
     assert warm == cold and len(warm) > 0
     ix._ROOT_CACHE.clear()
+
+
+def test_persisted_root_stale_store_falls_back(spark, tmp_path, monkeypatch):
+    """r8 review finding: a warm store whose corpus has grown past the
+    manifest watermark must NOT serve (it would silently omit every
+    pair involving the new rows) — persisted_root returns None until a
+    maintenance refresh catches the store up."""
+    import os
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+
+    corpus = tmp_path / "corpus"
+    os.makedirs(corpus)
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.parquet(
+            str(corpus / f"{t}.parquet")
+        )
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    ix._ROOT_CACHE.clear()
+    ix._FRESH_CACHE.clear()
+    root = ix.persisted_root(spark, str(corpus), "docs")
+    assert root is not None
+
+    spark.createDataFrame(
+        [(10**7, "zz brand new document text", "en", "web", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("append").parquet(str(corpus / "documents.parquet"))
+    ix._FRESH_CACHE.clear()
+    assert ix.persisted_root(spark, str(corpus), "docs") is None, (
+        "stale store must not serve the warm path"
+    )
+    ix.refresh_index(spark, str(corpus), root)
+    ix._FRESH_CACHE.clear()
+    assert ix.persisted_root(spark, str(corpus), "docs") == root
+    ix._ROOT_CACHE.clear()
+    ix._FRESH_CACHE.clear()

@@ -63,16 +63,22 @@ def test_writer_targets_kafka_transport(spark, tmp_path):
     the production path is wired to the real connector, with options
     assembled by kafka_sink_options (asserted above) and payload by
     topic_payload (asserted below)."""
-    import pytest
-
     df = (
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
         .select(F.col("value").alias("event_id"), F.lit("click").alias("event_type"))
         .withColumn("topic", F.concat(F.lit("dwd_"), F.col("event_type")))
     )
     writer = write_topic_stream(df, str(tmp_path / "chk"))
-    with pytest.raises(Exception, match="(?i)kafka"):
-        writer.start()
+    try:
+        q = writer.start()
+    except Exception as e:
+        # connector jar absent in this container: the failure names the
+        # kafka data source itself — the transport is wired
+        assert "kafka" in str(e).lower()
+    else:
+        # connector present (future container): the stream starts; stop
+        # it before the async localhost:9092 connection failure matters
+        q.stop()
 
 
 def test_dynamic_routing_serialization_end_to_end(spark, tmp_path):
