@@ -159,6 +159,49 @@ def cdc_auto_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("dim_signup")
 
 
+def cdc_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+S6 closure as an oracle-gated query: the routed dim rows go
+    through the REAL Spark JDBC data source — batched append into an
+    embedded Derby database (the driver PySpark bundles for the Hive
+    metastore; only the vendor URL differs from the reference's
+    ClickHouse/MySQL), with a @TransientSink-style helper column
+    dropped at the sink exactly like ClickHouseUtil.getJdbcSink's
+    annotation skip (RT/utils/ClickHouseUtil.java:41-86,
+    RT/bean/TransientSink.java:16-19) — then read BACK through the
+    PARTITIONED JDBC scan (4 tasks over disjoint event_id ranges,
+    MySQLUtil.queryList's scan generalized to the parallel ingest form,
+    RT/utils/MySQLUtil.java:33-103). The oracle sees the identical
+    route+prune projection: a hash match proves the JDBC hop is
+    lossless, transient-free, and partition-complete."""
+    from ..io_jdbc import read_jdbc_table, write_jdbc_batch
+    from ..streaming.queries import _scratch
+
+    cdc = _cdc_stream(spark, sf_dir)
+    cfg = config_df(spark)
+    normalized = cdc.withColumn(
+        "type", F.when(F.col("type") == "bootstrap-insert", "insert").otherwise(F.col("type"))
+    )
+    dim = normalized.join(
+        F.broadcast(cfg.filter(F.col("sink_type") == "hbase")),
+        (normalized.table == cfg.source_table) & (normalized.type == cfg.operate_type),
+        "inner",
+    ).select(
+        "sink_table", "event_id", "user_id",
+        F.lit("helper-state").alias("tmp_state"),  # must NOT land
+    )
+    url = f"jdbc:derby:{_scratch('derby_cdc_')}/db;create=true"
+    write_jdbc_batch(dim, transient_cols=["tmp_state"], url=url, table="dim_sink")
+    back = read_jdbc_table(
+        spark, url=url, table="dim_sink",
+        partition_column="event_id", lower_bound=0, upper_bound=100_000,
+        num_partitions=4,
+    )
+    return back.select(
+        F.col("sink_table"), F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+
+
 def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a Maxwell-like CDC envelope from events:
     table = event_type, type = insert/update/bootstrap-insert by a
@@ -300,6 +343,7 @@ QUERIES = {
     "cdc_route": cdc_route,
     "cdc_column_prune": cdc_column_prune,
     "cdc_auto_ddl": cdc_auto_ddl,
+    "cdc_jdbc_roundtrip": cdc_jdbc_roundtrip,
     "scd2_history": scd2_history,
     "dim_snapshot_diff": dim_snapshot_diff,
 }
@@ -390,6 +434,13 @@ ORACLES = {
     "cdc_auto_ddl": _DUCK_CDC + """
     SELECT CAST(n.event_id AS VARCHAR) AS event_id,
            CAST(n.user_id AS VARCHAR) AS user_id
+    FROM normalized n
+    JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
+    WHERE c.sink_type = 'hbase'
+    """,
+    # the JDBC hop must be lossless: identical projection to the route
+    "cdc_jdbc_roundtrip": _DUCK_CDC + """
+    SELECT c.sink_table, n.event_id, n.user_id
     FROM normalized n
     JOIN cfg c ON n."table" = c.source_table AND n."type" = c.operate_type
     WHERE c.sink_type = 'hbase'
