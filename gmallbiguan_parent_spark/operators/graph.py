@@ -258,7 +258,15 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented edge set; per-node attribution explodes each triangle's
     three corners. All shuffles key on node/edge ids — AQE splits any
     residual hot key."""
-    edges = _copurchase_edges(spark, sf_dir)
+    return _triangles_over(_copurchase_edges(spark, sf_dir))
+
+
+def _triangles_over(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration + clustering coefficient
+    over a symmetric (src, dst) edge set — shared by
+    copurchase_triangles (full thresholded graph) and
+    copurchase_triangles_capped (hub-removed graph), so the two cannot
+    drift."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     half = edges.filter(F.col("src") < F.col("dst"))
     o = (
@@ -314,6 +322,68 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_ct"), F.asc("part_id"))
         .limit(TRI_TOP)
     )
+
+
+# Gate-scale hub budget for the capped variant: small enough that the
+# sf0.01 graph actually has hubs over it (max degree 13, 50 nodes past
+# the cap), so the gate exercises the degraded path for real — the
+# SIMHASH_BUCKET_CAP discipline applied to the graph family.
+TRI_DEG_CAP = 8
+
+
+def copurchase_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copurchase_triangles under a DEGREE BUDGET (VERDICT r8 #3): the
+    thresholded edge set is catalog-bounded only while basket overlap
+    is sparse — a corpus whose baskets densify (or a replication
+    artifact that keeps the catalog fixed while orders grow) drives the
+    graph toward complete, and m^1.5 wedge work explodes with it. The
+    standard guard is HIGH-DEGREE VERTEX REMOVAL: nodes with degree >
+    TRI_DEG_CAP leave the graph entirely (a recommender treats a part
+    co-purchased with everything as boilerplate, exactly like a dedup
+    mega-cluster), triangles are enumerated on the induced subgraph
+    where wedge fan-out is <= cap per node, and the dropped mass is
+    observable via copurchase_degree_overflow. Deterministic given the
+    degree threshold, so the DuckDB oracle replays it exactly."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP).select("node")
+    kept = edges.join(
+        F.broadcast(hubs.withColumnRenamed("node", "src")), "src", "left_anti"
+    ).join(
+        F.broadcast(hubs.withColumnRenamed("node", "dst")), "dst", "left_anti"
+    ).select("src", "dst")
+    return _triangles_over(kept)
+
+
+def copurchase_degree_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-only overflow report paired with
+    copurchase_triangles_capped: how many nodes exceed the degree cap,
+    the worst degree, and how many undirected edges the removal drops —
+    the observability a capped run ships instead of unbounded wedge
+    work (the simhash_bucket_overflow contract for the graph family)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP)
+    dropped = (
+        edges.join(
+            F.broadcast(
+                hubs.select("node").withColumnRenamed("node", "src")
+            ).withColumn("hub_src", F.lit(1)),
+            "src", "left",
+        )
+        .join(
+            F.broadcast(
+                hubs.select("node").withColumnRenamed("node", "dst")
+            ).withColumn("hub_dst", F.lit(1)),
+            "dst", "left",
+        )
+        .filter(F.col("hub_src").isNotNull() | F.col("hub_dst").isNotNull())
+        .filter(F.col("src") < F.col("dst"))
+    )
+    return hubs.agg(
+        F.count("*").alias("over_nodes"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias("max_degree"),
+    ).crossJoin(F.broadcast(dropped.agg(F.count("*").alias("dropped_edges"))))
 
 
 REACH_HOPS = 3
@@ -452,6 +522,8 @@ QUERIES = {
     "supplier_pagerank": supplier_pagerank,
     "copurchase_lift": copurchase_lift,
     "copurchase_triangles": copurchase_triangles,
+    "copurchase_triangles_capped": copurchase_triangles_capped,
+    "copurchase_degree_overflow": copurchase_degree_overflow,
     "copurchase_reach": copurchase_reach,
     "frequent_triples": frequent_triples,
 }
@@ -541,6 +613,69 @@ ORACLES = {
     FROM per_node p JOIN deg d ON p.node = d.node
     ORDER BY tri_ct DESC, part_id ASC
     LIMIT {TRI_TOP}
+    """,
+    "copurchase_triangles_capped": f"""
+    WITH bridge AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), all_edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ), hubs AS (
+        SELECT src AS node FROM all_edges GROUP BY src HAVING COUNT(*) > {TRI_DEG_CAP}
+    ), edges AS (
+        SELECT src, dst FROM all_edges
+        WHERE src NOT IN (SELECT node FROM hubs)
+          AND dst NOT IN (SELECT node FROM hubs)
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), o AS (
+        SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS lo,
+               CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS hi
+        FROM edges e
+        JOIN deg ds ON e.src = ds.node
+        JOIN deg dd ON e.dst = dd.node
+        WHERE e.src < e.dst
+    ), tri AS (
+        SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+        FROM o w1
+        JOIN o w2 ON w1.lo = w2.lo AND w1.hi <> w2.hi
+        JOIN o e3 ON w1.hi = e3.lo AND w2.hi = e3.hi
+    ), per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_ct
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT p.node AS part_id, CAST(d.deg AS BIGINT) AS degree, p.tri_ct,
+           ROUND(2.0 * CAST(p.tri_ct AS DOUBLE)
+                 / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6) AS clust_coef
+    FROM per_node p JOIN deg d ON p.node = d.node
+    ORDER BY tri_ct DESC, part_id ASC
+    LIMIT {TRI_TOP}
+    """,
+    "copurchase_degree_overflow": f"""
+    WITH bridge AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), hubs AS (
+        SELECT node, deg FROM deg WHERE deg > {TRI_DEG_CAP}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS over_nodes,
+           CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_degree,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges
+            WHERE src < dst
+              AND (src IN (SELECT node FROM hubs)
+                   OR dst IN (SELECT node FROM hubs))) AS dropped_edges
+    FROM hubs
     """,
     "supplier_pagerank": f"""
     WITH bridge AS (

@@ -534,20 +534,37 @@ def ensure_index(
             else:
                 # a manifest-less root (crashed in-place build from an
                 # older layout) blocks the rename. Take over WITHOUT
-                # deleting: move it aside atomically — if a concurrent
-                # winner published between the manifest check and here,
-                # the aside-rename moves a COMPLETE store aside (still
-                # recoverable on disk), never unlinks it mid-read.
+                # deleting: move it aside atomically. Re-check for a
+                # winner's manifest IMMEDIATELY before the aside-rename
+                # (ADVICE r8: a winner publishing between the first
+                # check and here would get its COMPLETE store moved
+                # aside, leaving root briefly absent and the store
+                # stranded) — the remaining window is two syscalls wide,
+                # and the post-rename sweep below closes even that.
                 aside = f"{root}.crashed.{os.getpid()}"
                 shutil.rmtree(aside, ignore_errors=True)
-                try:
-                    os.rename(root, aside)
-                    os.rename(stage, root)
-                except OSError:
-                    if os.path.exists(f"{root}/{MANIFEST}"):
-                        shutil.rmtree(stage, ignore_errors=True)
+                if os.path.exists(f"{root}/{MANIFEST}"):
+                    shutil.rmtree(stage, ignore_errors=True)  # adopt winner
+                else:
+                    try:
+                        os.rename(root, aside)
+                        os.rename(stage, root)
+                    except OSError:
+                        if os.path.exists(f"{root}/{MANIFEST}"):
+                            shutil.rmtree(stage, ignore_errors=True)
+                        else:
+                            raise
                     else:
-                        raise
+                        if os.path.exists(f"{aside}/{MANIFEST}"):
+                            # lost the two-syscall race after all: the
+                            # aside holds a concurrent winner's COMPLETE
+                            # store of the same (corpus, variant) — the
+                            # build is deterministic, so our published
+                            # root carries identical content; delete the
+                            # stranded copy instead of leaking it (no
+                            # process ever resolved the aside path, and
+                            # open file handles survive the unlink)
+                            shutil.rmtree(aside, ignore_errors=True)
     else:
         build_index(spark, sf_dir, root, **build_kwargs)
     _ROOT_CACHE[key] = root
@@ -693,9 +710,33 @@ def _resume_ledger_compact(ledger: str) -> None:
     os.remove(marker)
 
 
-# once-per-session staleness verdicts for persisted_root: (app, root,
-# family) -> is_fresh
-_FRESH_CACHE: dict[tuple[str, str, str], bool] = {}
+# staleness verdicts for persisted_root, keyed on (app, root, family,
+# corpus file signature) — NOT once-per-session (ADVICE r8: a corpus
+# that grows mid-session, or an external writer's append, must flip the
+# verdict on the NEXT query, or warm reads silently omit every
+# pair/neighbor involving the new rows). The signature is driver-side
+# os.stat over the corpus path — O(files) syscalls, no Spark job — so
+# any file added, replaced, or rewritten changes the key and forces one
+# fresh max() scan.
+_FRESH_CACHE: dict[tuple, bool] = {}
+
+
+def _corpus_signature(sf_dir: str, table: str) -> tuple:
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (table, "missing")
+    if not os.path.isdir(path):
+        return (table, st.st_mtime_ns, st.st_size)
+    sig = [table]
+    for entry in sorted(os.listdir(path)):
+        try:
+            s = os.stat(os.path.join(path, entry))
+        except OSError:
+            continue
+        sig.append((entry, s.st_mtime_ns, s.st_size))
+    return tuple(sig)
 
 
 def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
@@ -710,7 +751,9 @@ def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
     silently omit every pair/neighbor involving the new rows, so the
     read path falls back to live derivation and leaves the refresh to
     the maintenance owner (read paths never mutate shared state). The
-    freshness check is one max() scan per (session, store, family)."""
+    freshness check is one max() scan per (session, store, family,
+    corpus-file signature) — a corpus mutation invalidates the memo, so
+    mid-session growth is seen by the very next query."""
     if not os.environ.get("SPARK_GRAFT_INDEX_DIR"):
         return None
     root = ensure_index(spark, sf_dir)
@@ -722,20 +765,20 @@ def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
         or m.get("opaque_pred")
     ):
         return None
-    key = (spark.sparkContext.applicationId, root, family)
+    table, id_col, wm_key = (
+        ("embeddings", "vec_id", "vec_watermark")
+        if family == "vecs"
+        else ("documents", "doc_id", "doc_watermark")
+    )
+    key = (
+        spark.sparkContext.applicationId, root, family,
+        _corpus_signature(sf_dir, table),
+    )
     if key not in _FRESH_CACHE:
         for k in [k for k in _FRESH_CACHE if k[0] != key[0]]:
             del _FRESH_CACHE[k]
-        if family == "vecs":
-            cur = load_table_spread(spark, sf_dir, "embeddings").agg(
-                F.max("vec_id")
-            ).first()[0]
-            _FRESH_CACHE[key] = cur is None or cur <= m["vec_watermark"]
-        else:
-            cur = load_table_spread(spark, sf_dir, "documents").agg(
-                F.max("doc_id")
-            ).first()[0]
-            _FRESH_CACHE[key] = cur is None or cur <= m["doc_watermark"]
+        cur = load_table_spread(spark, sf_dir, table).agg(F.max(id_col)).first()[0]
+        _FRESH_CACHE[key] = cur is None or cur <= m[wm_key]
     return root if _FRESH_CACHE[key] else None
 
 

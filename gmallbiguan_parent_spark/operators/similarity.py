@@ -913,6 +913,21 @@ def srp_probe_radius_for(bits: int, tables: int = SRP_TABLES) -> int:
     return SRP_RADIUS_MAX
 
 
+# The oracle's radius table: srp_probe_radius_for evaluated ONCE in
+# Python (exact math.comb arithmetic) for every width srp_bits_for can
+# produce, injected into the SQL as integer literals (ADVICE r8: a SQL
+# re-derivation with POWER() float arithmetic can drift a last ulp at a
+# corpus size where cumulative recall sits exactly on the 0.99 boundary
+# and probe a different key set — the radius is data-independent given
+# bits, so there is nothing for SQL to compute).
+def _srp_radius_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN {srp_probe_radius_for(b)}"
+        for b in range(SRP_BITS, SRP_MAX_BITS + 1)
+    )
+    return f"CASE bits {whens} ELSE {SRP_RADIUS_MAX} END"
+
+
 def _srp_probe_masks(bits: int, radius: int) -> list[int]:
     """All XOR masks within the probe radius (mask 0 = the home
     bucket), in ascending order — the (bits choose <=r) keys each
@@ -1011,12 +1026,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     population stays ~constant at any scale; the oracle computes the
     identical width from count(embeddings), so verification holds at
     every scale factor, not just sf0.01."""
-    from .index_store import persisted_root
+    from .index_store import _read_artifact, persisted_root
 
     root = persisted_root(spark, sf_dir, "vecs")
-    if root:  # warm environment: persisted partitionBy(table_id) signatures
+    if root:  # warm environment: persisted partitionBy(table_id) signatures,
+        # read through the watermark filter like every other persisted
+        # reader (a raw read here would ingest a concurrent/crashed
+        # refresh's uncommitted above-watermark partitions — phantom or
+        # duplicate pairs, ADVICE r8)
         return _srp_pairs_from_sigs(
-            spark.read.parquet(f"{root}/srp_sigs").select("vec_id", "v", "table_id", "sig")
+            _read_artifact(spark, root, "srp_sigs").select("vec_id", "v", "table_id", "sig")
         )
     return _srp_pairs_from_sigs(_srp_signature_table(spark, sf_dir))
 
@@ -1048,7 +1067,19 @@ def _srp_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The PRODUCTION emit threshold of the multiprobe screen (VERDICT r8
+# #2): the governor guarantees recall for pairs at >= SRP_DESIGN_COSINE
+# (0.9); emitting everything down to the 0.35 exploration floor made
+# 12.6M of the 100x probe's output rows pairs no dedup decision would
+# ever act on (SCALE_100X.md r8). The band variant cuts them IN CODE —
+# threshold below the design point with margin for measurement noise,
+# so every governed-recall pair still lands.
+NEARDUP_BAND_COSINE = 0.8
+
+
+def embedding_neardup_multiprobe(
+    spark: SparkSession, sf_dir: str, confirm_cosine: float = NEARDUP_COSINE
+) -> DataFrame:
     """embedding_neardup_pairs with RADIUS-GOVERNED MULTIPROBE (the
     multi-probe LSH of Lv et al., VLDB'07, with the radius picked by
     srp_probe_radius_for): each vector probes every hamming<=r
@@ -1071,7 +1102,14 @@ def embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, and the embeddings join back once per DISTINCT candidate for
     a single cosine evaluation. hamming<=r is symmetric, so probing
     the a-side alone finds every qualifying pair. Output is a SUPERSET
-    of the single-probe operator at the same threshold."""
+    of the single-probe operator at the same threshold.
+
+    confirm_cosine is the EMIT threshold (not a recall knob — the probe
+    radius alone governs recall at the design point): the gate default
+    keeps the exploration floor so the single-probe oracle relation
+    holds; production screens pass NEARDUP_BAND_COSINE (the
+    embedding_neardup_multiprobe_band registration) to cut the
+    low-cosine tail at the source."""
     from ..io import load_table_spread
 
     bits = srp_bits_for(load_table_spread(spark, sf_dir, "embeddings").count())
@@ -1105,7 +1143,17 @@ def embedding_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(va, cand.vec_a == va.vec_id)
         .join(vb, cand.vec_b == vb.vec_id)
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .filter(F.col("cosine") >= confirm_cosine)
+    )
+
+
+def embedding_neardup_multiprobe_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of the multiprobe screen: same governed
+    radius (recall 0.996 at the 0.9-cosine design point, SCALE_100X.md),
+    emit threshold at NEARDUP_BAND_COSINE instead of the exploration
+    floor — the 100x probe's 12.6M low-cosine rows never materialize."""
+    return embedding_neardup_multiprobe(
+        spark, sf_dir, confirm_cosine=NEARDUP_BAND_COSINE
     )
 
 
@@ -1964,6 +2012,7 @@ QUERIES = {
     "embedding_principal_component": embedding_principal_component,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_multiprobe": embedding_neardup_multiprobe,
+    "embedding_neardup_multiprobe_band": embedding_neardup_multiprobe_band,
     "knn_graph": knn_graph,
     "semantic_decontaminate": semantic_decontaminate,
     "ann_mmr_topk": ann_mmr_topk,
@@ -2387,6 +2436,39 @@ _DUCK_SRP_SIGS = (
     + "\n    )\n"
 )
 
+def _multiprobe_oracle(threshold: float) -> str:
+    """The multiprobe pair relation at a given emit threshold — shared
+    by the gate entry (exploration floor) and the production band
+    variant, so the two can never drift structurally.
+
+    One-sided hamming<=r probe expansion (symmetric relation, so
+    probing the a-side is complete); list_transform over range(bits)
+    keeps the oracle width-adaptive like the signature CTE itself."""
+    return _DUCK_SRP_SIGS + f"""
+    , rcfg AS (
+        -- the radius governor: srp_probe_radius_for evaluated in Python
+        -- (exact math.comb) for every possible width and injected as
+        -- integer literals — no float closed form to drift from Spark's
+        SELECT bits, {_srp_radius_case_sql()} AS radius
+        FROM bcfg
+    ), probes AS (
+        SELECT vec_id, v, table_id,
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= radius),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM sigs, rcfg
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM probes a JOIN sigs b
+      ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
 ORACLES = {
     "ann_cosine_topk": _DUCK_SCORED + f"""
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
@@ -2656,39 +2738,8 @@ ORACLES = {
     WHERE ROUND(list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
     """,
-    # one-sided hamming-1 probe expansion (symmetric relation, so
-    # probing the a-side is complete); list_transform over range(bits)
-    # keeps the oracle width-adaptive like the signature CTE itself
-    "embedding_neardup_multiprobe": _DUCK_SRP_SIGS + f"""
-    , rcfg AS (
-        -- the radius governor, closed form identical to
-        -- srp_probe_radius_for: smallest r with
-        -- 1-(1-P_r)^tables >= target at the design cosine
-        SELECT bits, CASE
-            WHEN 1 - POWER(1 - (POWER({_SRP_P!r}, bits)), {SRP_TABLES}) >= {SRP_TARGET_RECALL} THEN 0
-            WHEN 1 - POWER(1 - (POWER({_SRP_P!r}, bits)
-                 + bits * POWER({_SRP_P!r}, bits - 1) * {1.0 - _SRP_P!r}), {SRP_TABLES}) >= {SRP_TARGET_RECALL} THEN 1
-            WHEN 1 - POWER(1 - (POWER({_SRP_P!r}, bits)
-                 + bits * POWER({_SRP_P!r}, bits - 1) * {1.0 - _SRP_P!r}
-                 + (bits * (bits - 1) / 2) * POWER({_SRP_P!r}, bits - 2) * POWER({1.0 - _SRP_P!r}, 2)), {SRP_TABLES}) >= {SRP_TARGET_RECALL} THEN 2
-            ELSE {SRP_RADIUS_MAX} END AS radius
-        FROM bcfg
-    ), probes AS (
-        SELECT vec_id, v, table_id,
-               unnest(list_transform(
-                   list_filter(range(0, (1::BIGINT << bits)),
-                               m -> bit_count(m) <= radius),
-                   m -> xor(sig, m))) AS probe_sig
-        FROM sigs, rcfg
-    )
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-    FROM probes a JOIN sigs b
-      ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.v, b.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {NEARDUP_COSINE}
-    """,
+    "embedding_neardup_multiprobe": _multiprobe_oracle(NEARDUP_COSINE),
+    "embedding_neardup_multiprobe_band": _multiprobe_oracle(NEARDUP_BAND_COSINE),
     "knn_graph": _DUCK_SRP_SIGS + f"""
     , cand AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,

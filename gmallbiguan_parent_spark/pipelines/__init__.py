@@ -43,31 +43,42 @@ _MODULES = (
 _GATE_PRIORITY = (
     # warehouse parse/split/repair (P1-P8, F4-F5, F8)
     "json_parse_props", "log_split", "is_new_repair", "json_roundtrip", "order_age_summary",
-    # dedup/session/wide-join layer (P9, ST4, J1-J3, S7-S8)
-    "uv_daily", "user_jump", "order_wide", "payment_wide",
+    # dedup/session/wide-join layer (ST4, J1-J3, S7-S8; P9's driver cover
+    # is stream_uv_dedup below — uv_daily rotated to the local gate, r9)
+    "user_jump", "order_wide", "payment_wide",
     # windowed aggregates (A1-A4, U1-U3, J4-J5)
     "visitor_stats_window", "province_stats", "product_stats",
     "keyword_stats", "keyword_stats_cjk", "keyword_c2r_stack",
     # the 9 serving reads (S11, A5-A11 incl. the SPU twin, O1-O2, F7, F10)
     "gmv_daily", "top_trademarks", "top_categories", "top_spus", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
-    # CDC routing/pruning + SCD2 dim history (S6, S9, P3-P4, P6-P7, F9)
-    "cdc_route", "cdc_column_prune", "scd2_history",
+    # CDC routing/pruning + SCD2 dim history + the round-8 closures:
+    # auto-DDL (S9, TableProcessFunction.checkTable parity) and the
+    # Derby-gated JDBC write/partitioned-read roundtrip (S6+S10,
+    # ClickHouseUtil/MySQLUtil parity) — rotated INTO the driver window
+    # per VERDICT r8 #1 (S6/S9/P3-P4/P6-P7/F9/S10)
+    "cdc_route", "cdc_column_prune", "scd2_history", "cdc_auto_ddl",
+    "cdc_jdbc_roundtrip",
     # SQL-DDL tumble variant (S4 surface, F6 window functions)
     "province_stats_sql",
     # OVER-window engine family (§2.5)
     "topn_orders_per_priority",
-    # LLM-pipeline: dedup
-    # (decontamination semantics are also inside the curate_corpus capstone,
-    # so decontaminate_corpus itself sits just outside the window;
-    # ngram_jaccard_stats moved to the local gate in r8 to make room for
-    # top_spus — the dedup family keeps 4 in-window covers)
-    "dedup_exact", "minhash_lsh_pairs", "simhash_neardup_pairs",
-    "neardup_clusters",
-    # LLM-pipeline: similarity search
-    "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup_pairs",
-    # LLM-pipeline: text analysis
-    "token_count", "text_quality", "lang_id", "quality_buckets",
+    # LLM-pipeline: dedup — minhash enters via its persisted-index twin
+    # (identical oracle + the build/publish/read path on top); the
+    # in-session operator, neardup_clusters, and ngram_jaccard_stats are
+    # local-gated (decontamination semantics also sit inside the
+    # curate_corpus capstone below)
+    "dedup_exact", "minhash_lsh_pairs_from_index", "simhash_neardup_pairs",
+    # LLM-pipeline: similarity search — cold IVF, its persisted twin,
+    # the persisted SRP single-probe relation, and the governed
+    # multiprobe (VERDICT r8 #1); ann_cosine_topk (brute-force baseline)
+    # and in-session embedding_neardup_pairs are local-gated with
+    # identical oracles
+    "ann_ivf_topk", "ann_ivf_topk_from_index",
+    "embedding_neardup_pairs_from_index", "embedding_neardup_multiprobe",
+    # LLM-pipeline: text analysis (lang_id/quality_buckets local-gated
+    # to make room for the batched BPE trainer, VERDICT r8 #1)
+    "token_count", "text_quality", "bpe_train_merges_batched",
     # multimodal plumbing
     "media_features",
     # sketches / distributional stats
@@ -76,7 +87,7 @@ _GATE_PRIORITY = (
     # (embedding_clusters and user_gap_stats sit just outside: both are
     # rows-only/variant checks, verified by CORRECTNESS_LOCAL.json)
     "asof_purchase_context", "corpus_sample", "curate_corpus", "table_profile",
-    # structured streaming (ST1-ST7)
+    # structured streaming (ST1-ST7; stream_uv_dedup doubles as P9 cover)
     "stream_visitor_stats", "stream_uv_dedup", "stream_jump_detect", "stream_dim_enrich",
 )
 

@@ -115,14 +115,6 @@ def ensure_sink_tables(
     return ddls
 
 
-def _warehouse_root() -> str:
-    """Repo-local warehouse for auto-created dim tables — pinned under
-    the repo so a driver running from any CWD never writes outside it."""
-    import pathlib
-
-    return str(pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse" / "gmall_dim")
-
-
 def cdc_auto_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 DDL closure: the router materializes its own dim sink table
     from config metadata, then the routed write lands IN that schema —
@@ -132,13 +124,34 @@ def cdc_auto_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame's schema is the config-declared one (every
     column string, in sink_columns order) — which is exactly what the
     oracle asserts. Values: bigints cast to string are
-    representation-identical across engines."""
+    representation-identical across engines.
+
+    ISOLATION (ADVICE r8): the created table name and its LOCATION are
+    suffixed with the applicationId and the files live in per-session
+    scratch, so two sessions running the gate concurrently against the
+    same repo never DROP/OVERWRITE each other's round trip (the catalog
+    is per-session already; the on-disk directory was the shared
+    state)."""
+    from ..streaming.queries import _scratch
+
+    app = "".join(
+        ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId
+    )
+    tbl = f"dim_signup_{app}"
     cfg = config_df(spark)
-    spark.sql("DROP TABLE IF EXISTS dim_signup")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # checkTable pass over the config rows with the session-suffixed
+    # sink name (the DDL builder itself is exercised verbatim)
+    hbase_rows = [
+        row.asDict() | {"sink_table": tbl if row.sink_table == "dim_signup" else row.sink_table}
+        for row in cfg.filter(F.col("sink_type") == "hbase").collect()
+    ]
+    from types import SimpleNamespace
+
     ensure_sink_tables(
         spark,
-        cfg.filter(F.col("sink_type") == "hbase").collect(),
-        location_root=_warehouse_root(),
+        [SimpleNamespace(**r) for r in hbase_rows],
+        location_root=_scratch("auto_ddl_"),
     )
     cdc = _cdc_stream(spark, sf_dir)
     normalized = cdc.filter(F.col("table").isNotNull()).withColumn(
@@ -155,8 +168,8 @@ def cdc_auto_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     dim.select([F.col(c).cast("string").alias(c) for c in sink_cols]).write.mode(
         "overwrite"
-    ).insertInto("dim_signup")
-    return spark.table("dim_signup")
+    ).insertInto(tbl)
+    return spark.table(tbl)
 
 
 def cdc_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

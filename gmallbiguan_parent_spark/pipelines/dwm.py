@@ -125,7 +125,16 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     line side — six dim hops like the reference's six async joins
     (RT/app/dwm2/OrderWideApp2.java:189-322), all LEFT joins
     (keep-row-on-miss, RT/app/func/DimAsyncFunction.java:75-78).
-    Filter on o_orderdate is pushed into the parquet scan."""
+    Filter on o_orderdate is pushed into the parquet scan.
+
+    Broadcast discipline (VERDICT r8 #5): nation/region are
+    CATALOG-CONSTANT (25/5 rows at every SF) and carry a hard broadcast
+    hint; customer/part/supplier SCALE WITH THE CORPUS, so their hint
+    is left to Catalyst/AQE — under autoBroadcastJoinThreshold they
+    broadcast exactly as before (gate/bench plans unchanged, PLANS.md
+    asserts it), past it they degrade to a shuffled join instead of
+    forcing a multi-GB broadcast at 100 TB (the 100x core probe in
+    SCALE_100X.md measures both shapes)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-02-01")
@@ -138,11 +147,11 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wide = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .join(part, li.l_partkey == part.p_partkey, "left")
+        .join(supp, li.l_suppkey == supp.s_suppkey, "left")
     )
     return wide.select(
         F.col("l_orderkey").alias("order_id"),

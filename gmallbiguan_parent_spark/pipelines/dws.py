@@ -80,7 +80,11 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct(l_orderkey), then broadcast-joined to part dims —
     aggregate FIRST, enrich AFTER, so the dim join runs on the small
     aggregated side exactly like the reference
-    (RT/app/dws2/ProductStatsApp.java:337-411)."""
+    (RT/app/dws2/ProductStatsApp.java:337-411). The part dim scales
+    with the corpus, so its broadcast is Catalyst/AQE's call (VERDICT
+    r8 #5): sub-threshold it broadcasts as before; at 100 TB both
+    sides are part-catalog-sized and a shuffled join on sku_id is the
+    right shape."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     agg = li.groupBy(F.col("l_partkey").alias("sku_id")).agg(
@@ -95,7 +99,7 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("refund_order_ct"),
     )
     return (
-        agg.join(F.broadcast(part), agg.sku_id == part.p_partkey, "left")
+        agg.join(part, agg.sku_id == part.p_partkey, "left")
         .select(
             "sku_id",
             F.col("p_name").alias("sku_name"),

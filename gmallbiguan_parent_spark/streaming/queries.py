@@ -219,9 +219,12 @@ def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch user_sessions exactly (same >= gap merge rule), minus the
     per-user ordinal which append output cannot order — the oracle is
     the batch CTE aggregated without session_seq."""
-    from .pipelines import SESSION_GAP_S, _events_stream, _stage_events_with_sentinels
+    from .pipelines import (
+        SESSION_GAP_S, STAGE_PAD_S, _events_stream, _stage_events_with_sentinels,
+    )
 
-    stage = _stage_events_with_sentinels(spark, sf_dir, pad_s=SESSION_GAP_S + 10)
+    assert STAGE_PAD_S > SESSION_GAP_S + 10  # shared pad closes every session
+    stage = _stage_events_with_sentinels(spark, sf_dir)
     ev = _events_stream(spark, stage, glob="*.parquet")
     agg = (
         ev.withWatermark("ts", "3 seconds")
@@ -695,8 +698,11 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING INDEX INGESTION — the index_store maintained by a
     document stream instead of a batch job: documents replay as a
-    multi-file stream (maxFilesPerTrigger=1 → one micro-batch per
-    file), and each micro-batch writes ITS OWN docs' shingle-set and
+    multi-file stream (4 staged files at maxFilesPerTrigger=2 → two
+    micro-batches: still a real multi-batch ingest exercising the
+    idempotent per-batch partitions, at half the ~1-1.5 s/batch
+    micro-batch floor the r8 bench measured — VERDICT r8 #7),
+    and each micro-batch writes ITS OWN docs' shingle-set and
     LSH-band artifact rows under idempotent batch_id partitions
     (overwrite — an at-least-once retry replaces its own prior write).
     STATELESS by construction: both artifacts are per-document, so no
@@ -721,7 +727,7 @@ def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{stage}/documents").schema
     src = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(f"{stage}/documents")
     )
     n_part = spark.sparkContext.defaultParallelism

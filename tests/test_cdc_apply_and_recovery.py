@@ -160,9 +160,10 @@ def test_cdc_auto_ddl_routes_into_declared_schema(spark):
     out = cdc_auto_ddl(spark, SF_DIR)
     assert [f.name for f in out.schema.fields] == ["event_id", "user_id"]
     assert all(f.dataType.simpleString() == "string" for f in out.schema.fields)
+    app = "".join(ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId)
     props = {
         r.key: r.value
-        for r in spark.sql("SHOW TBLPROPERTIES dim_signup").collect()
+        for r in spark.sql(f"SHOW TBLPROPERTIES dim_signup_{app}").collect()
     }
     assert props.get("sink.pk") == "event_id"
     assert out.count() > 0

