@@ -928,6 +928,51 @@ def _srp_radius_case_sql() -> str:
     return f"CASE bits {whens} ELSE {SRP_RADIUS_MAX} END"
 
 
+# The OTHER recall lever (VERDICT r8 "cost-control on the recall
+# lever", measured r9): probe cost is tables x sum_{i<=r} C(bits,i)
+# keys per vector and candidate volume scales the same way, so RADIUS
+# is the expensive dial (C(13,2)=78 of the 92 keys at 13 bits) while
+# TABLES is the cheap one (+14 keys each) — classic LSH theory: more
+# tables beat deeper probing on compute, multiprobe exists to save
+# signature STORAGE at extra compute (Lv et al. VLDB'07 §1). The wide
+# governor fixes radius at 1 and picks the smallest table count
+# holding the recall target: at 13 bits that is 9 tables x 14 keys =
+# 126 probe keys/vector vs the radius governor's 4 x 92 = 368 — ~2.9x
+# less probe+candidate work for 2.25x more (integer-sized) signature
+# rows. At 100 TB signatures are noise next to the vectors, so wide is
+# the production default; the radius form remains the zero-extra-
+# storage option.
+SRP_WIDE_RADIUS = 1
+SRP_WIDE_TABLES_MAX = 13   # T(16-bit cap) = 13 — the governor never clamps
+
+
+def srp_tables_for(bits: int, radius: int = SRP_WIDE_RADIUS) -> int:
+    """Smallest table count holding SRP_TARGET_RECALL for a pair at
+    SRP_DESIGN_COSINE when every table probes hamming<=radius. Exact
+    math.comb arithmetic, evaluated once in Python and injected into
+    the DuckDB oracle as integer literals (same discipline as
+    srp_probe_radius_for)."""
+    import math
+
+    p = _SRP_P
+    P = sum(
+        math.comb(bits, i) * p ** (bits - i) * (1 - p) ** i
+        for i in range(radius + 1)
+    )
+    for t in range(1, SRP_WIDE_TABLES_MAX + 1):
+        if 1 - (1 - P) ** t >= SRP_TARGET_RECALL:
+            return t
+    return SRP_WIDE_TABLES_MAX
+
+
+def _srp_tables_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN {srp_tables_for(b)}"
+        for b in range(SRP_BITS, SRP_MAX_BITS + 1)
+    )
+    return f"CASE bits {whens} ELSE {SRP_WIDE_TABLES_MAX} END"
+
+
 def _srp_probe_masks(bits: int, radius: int) -> list[int]:
     """All XOR masks within the probe radius (mask 0 = the home
     bucket), in ascending order — the (bits choose <=r) keys each
@@ -1148,12 +1193,83 @@ def embedding_neardup_multiprobe(
 
 
 def embedding_neardup_multiprobe_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production form of the multiprobe screen: same governed
+    """The production EMIT form of the multiprobe screen: same governed
     radius (recall 0.996 at the 0.9-cosine design point, SCALE_100X.md),
     emit threshold at NEARDUP_BAND_COSINE instead of the exploration
-    floor — the 100x probe's 12.6M low-cosine rows never materialize."""
+    floor — the 100x probe's 12.6M low-cosine rows never materialize.
+    Measured r9: the cut bounds OUTPUT, not wall time (1052 s vs 1018 s
+    at 100x — the candidate join dominates); the COMPUTE lever is
+    embedding_neardup_multiprobe_wide."""
     return embedding_neardup_multiprobe(
         spark, sf_dir, confirm_cosine=NEARDUP_BAND_COSINE
+    )
+
+
+def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production COMPUTE form of the governed near-dup screen: the
+    same recall contract (SRP_TARGET_RECALL at SRP_DESIGN_COSINE) met
+    by MORE TABLES AT RADIUS 1 instead of radius 2 on 4 tables — see
+    srp_tables_for. Probe keys per vector drop tables*sumC(bits,<=2) ->
+    tables'*(bits+1) (368 -> 126 at the 100x probe's 13 bits) and the
+    candidate join shrinks by the same factor, for 2.25x more
+    integer-sized signature rows — the storage-for-compute exchange a
+    warehouse makes without blinking (SCALE_100X.md measures both
+    forms).
+
+    Same slim-key plan as embedding_neardup_multiprobe: the probe
+    explosion carries only (vec_id, table_id, probe_sig), pairs dedup
+    BEFORE any vector math, one cosine per distinct candidate. The
+    recall-path difference means the candidate set (and therefore the
+    emitted pair set at the exploration floor) legitimately differs
+    from the radius form's — the oracle replays these exact tables and
+    masks, and the planted-twin test pins the design-point contract."""
+    from ..io import load_table_spread
+
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    bits = srp_bits_for(corpus.count())
+    tables = srp_tables_for(bits)
+    masks = _srp_probe_masks(bits, SRP_WIDE_RADIUS)
+    sigs = corpus.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _srp_signature(F.col("v"), t, bits).alias("sig"),
+            )
+            for t in range(tables)
+        ])).alias("b"),
+    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    slim = sigs.select("vec_id", "table_id", "sig")
+    probes = slim.select(
+        "vec_id", "table_id",
+        F.explode(
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe_sig"),
+    )
+    a, b = probes.alias("a"), slim.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.probe_sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cosine = F.round(
+        _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
+    )
+    return (
+        cand.join(va, cand.vec_a == va.vec_id)
+        .join(vb, cand.vec_b == vb.vec_id)
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
 
 
@@ -2013,6 +2129,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_multiprobe": embedding_neardup_multiprobe,
     "embedding_neardup_multiprobe_band": embedding_neardup_multiprobe_band,
+    "embedding_neardup_multiprobe_wide": embedding_neardup_multiprobe_wide,
     "knn_graph": knn_graph,
     "semantic_decontaminate": semantic_decontaminate,
     "ann_mmr_topk": ann_mmr_topk,
@@ -2436,6 +2553,60 @@ _DUCK_SRP_SIGS = (
     + "\n    )\n"
 )
 
+# Wide-governor signature CTE: signatures for every table the wide
+# governor could need (SRP_WIDE_TABLES_MAX), then `kept` filters to the
+# corpus-derived table count from tcfg — the table-count twin of the
+# width-adaptive bits CASE.
+_DUCK_SRP_SIGS_WIDE = (
+    "\n    WITH vecs AS (\n"
+    "        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+    "    ), bcfg AS (\n"
+    f"        SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_BITS},\n"
+    f"            CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / {SRP_TARGET_BUCKET}.0)) AS INTEGER))) AS bits\n"
+    "        FROM vecs\n"
+    "    ), tcfg AS (\n"
+    f"        SELECT bits, {_srp_tables_case_sql()} AS tables FROM bcfg\n"
+    "    ), sigs AS (\n        "
+    + "\n        UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS table_id, ("
+        + " + ".join(
+            f"CASE WHEN {p} < bits AND ROUND(list_dot_product(v, "
+            f"[{', '.join(str(s) for s in _srp_plane(t, p))}]), 6) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+            for p in range(SRP_MAX_BITS)
+        )
+        + ") AS sig FROM vecs, bcfg"
+        for t in range(SRP_WIDE_TABLES_MAX)
+    )
+    + "\n    ), kept AS (\n"
+    "        SELECT s.vec_id, s.v, s.table_id, s.sig FROM sigs s, tcfg\n"
+    "        WHERE s.table_id < tcfg.tables\n"
+    "    )\n"
+)
+
+
+def _multiprobe_wide_oracle(threshold: float) -> str:
+    """The wide-governor pair relation: radius fixed at SRP_WIDE_RADIUS,
+    table count from the injected srp_tables_for CASE."""
+    return _DUCK_SRP_SIGS_WIDE + f"""
+    , probes AS (
+        SELECT vec_id, v, table_id,
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= {SRP_WIDE_RADIUS}),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM kept, bcfg
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM probes a JOIN kept b
+      ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+    """
+
+
 def _multiprobe_oracle(threshold: float) -> str:
     """The multiprobe pair relation at a given emit threshold — shared
     by the gate entry (exploration floor) and the production band
@@ -2740,6 +2911,7 @@ ORACLES = {
     """,
     "embedding_neardup_multiprobe": _multiprobe_oracle(NEARDUP_COSINE),
     "embedding_neardup_multiprobe_band": _multiprobe_oracle(NEARDUP_BAND_COSINE),
+    "embedding_neardup_multiprobe_wide": _multiprobe_wide_oracle(NEARDUP_COSINE),
     "knn_graph": _DUCK_SRP_SIGS + f"""
     , cand AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,

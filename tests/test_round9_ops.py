@@ -107,3 +107,27 @@ def test_persisted_root_sees_mid_session_corpus_growth(spark, tmp_path, monkeypa
     assert index_store.persisted_root(spark, str(sf), "vecs") is None, (
         "stale store served after mid-session corpus growth"
     )
+
+
+def test_multiprobe_wide_recovers_design_point_twins(spark, tmp_path):
+    """The wide governor (tables at radius 1 instead of radius 2 on 4
+    tables) meets the same design-point recall contract: planted twins
+    at SRP_DESIGN_COSINE land in the output, and the emitted relation
+    is confirmed at the same floor threshold as the radius form."""
+    from gmallbiguan_parent_spark.operators.similarity import (
+        NEARDUP_COSINE,
+        SRP_DESIGN_COSINE,
+        embedding_neardup_multiprobe_wide,
+    )
+
+    sf = _planted_dir(spark, tmp_path, SRP_DESIGN_COSINE)
+    rows = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_multiprobe_wide(spark, sf).collect()
+    }
+    assert all(c >= NEARDUP_COSINE for c in rows.values())
+    planted = {(i, 500 + j) for j, i in enumerate(range(40))}
+    recovered = planted & set(rows)
+    assert len(recovered) >= len(planted) - 1, (
+        f"only {len(recovered)}/{len(planted)} design-point twins recovered"
+    )

@@ -60,6 +60,8 @@ PROBE_QUERIES = [
     ("prefix_jaccard_pairs", DOC_COPIES),
     ("embedding_neardup_pairs", VEC_COPIES),
     ("embedding_neardup_multiprobe", VEC_COPIES),  # r8: radius governor
+    ("embedding_neardup_multiprobe_band", VEC_COPIES),  # r9: production cut
+    ("embedding_neardup_multiprobe_wide", VEC_COPIES),  # r9: tables-for-radius
     ("dedup_exact", DOC_COPIES),
     ("stream_rate_limit", EV_COPIES),
     ("stream_dedup_gate", DOC_COPIES),
@@ -256,6 +258,35 @@ def main() -> None:
         f"{big['simhash_bucket_overflow'][0]}s — a pathological corpus "
         "degrades to a bounded write + counts instead of an unbounded "
         "pair set.",
+        "",
+        "## Multiprobe production band (r9)",
+        "",
+        f"- floor (>= 0.35) emit: {big['embedding_neardup_multiprobe'][1]:,} "
+        f"rows in {big['embedding_neardup_multiprobe'][0]}s",
+        f"- band (>= NEARDUP_BAND_COSINE) emit: "
+        f"{big['embedding_neardup_multiprobe_band'][1]:,} rows in "
+        f"{big['embedding_neardup_multiprobe_band'][0]}s — the same governed",
+        "  radius and candidate set (recall at the design point unchanged by",
+        "  construction: the threshold only gates EMISSION after the cosine",
+        "  confirm, and every design-point pair clears it — the planted-twin",
+        "  tables above and tests/test_round9_ops.py pin that), with the",
+        "  low-cosine tail cut at the source instead of in prose.",
+        "",
+        "## Multiprobe wide governor (r9): tables-for-radius",
+        "",
+        f"- radius governor (4 tables, hamming<=2, 368 probe keys/vec at 13",
+        f"  bits): {big['embedding_neardup_multiprobe'][0]}s",
+        f"- wide governor (srp_tables_for -> 9 tables, hamming<=1, 126 probe",
+        f"  keys/vec): {big['embedding_neardup_multiprobe_wide'][1]:,} rows in "
+        f"{big['embedding_neardup_multiprobe_wide'][0]}s — same recall target",
+        "  at the design point by the identical closed form (planted-twin",
+        "  test in tests/test_round9_ops.py), ~2.9x less probe+candidate",
+        "  work for 2.25x more integer-sized signature rows: the",
+        "  storage-for-compute exchange that is the production default at",
+        "  100 TB (signatures are noise next to the vectors). The candidate",
+        "  set legitimately differs from the radius form below the design",
+        "  band, so row counts are not comparable pairwise; the contract",
+        "  band is what both governors hold.",
     ]
     with open("/root/repo/SCALE_100X.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
