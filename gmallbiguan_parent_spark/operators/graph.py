@@ -266,14 +266,20 @@ def _triangles_over(edges: DataFrame) -> DataFrame:
     over a symmetric (src, dst) edge set — shared by
     copurchase_triangles (full thresholded graph) and
     copurchase_triangles_capped (hub-removed graph), so the two cannot
-    drift."""
+    drift.
+
+    The degree table scales with the CATALOG (one row per node), so it
+    carries no broadcast hint (r9 self-review, same discipline as the
+    order_wide dims): sub-threshold Catalyst/AQE broadcasts it exactly
+    as before; on a multi-million-part catalog the joins degrade to
+    shuffles instead of forcing a multi-GB broadcast."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     half = edges.filter(F.col("src") < F.col("dst"))
     o = (
-        half.join(F.broadcast(deg).withColumnRenamed("node", "src"), "src")
+        half.join(deg.withColumnRenamed("node", "src"), "src")
         .withColumnRenamed("deg", "deg_src")
         .join(
-            F.broadcast(deg).withColumnRenamed("node", "dst").withColumnRenamed("deg", "deg_dst"),
+            deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "deg_dst"),
             "dst",
         )
         .select(
@@ -312,7 +318,7 @@ def _triangles_over(edges: DataFrame) -> DataFrame:
         6,
     )
     return (
-        per_node.join(F.broadcast(deg), "node")
+        per_node.join(deg, "node")
         .select(
             F.col("node").alias("part_id"),
             F.col("deg").alias("degree"),
@@ -344,15 +350,27 @@ def copurchase_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     where wedge fan-out is <= cap per node, and the dropped mass is
     observable via copurchase_degree_overflow. Deterministic given the
     degree threshold, so the DuckDB oracle replays it exactly."""
+    kept, _hubs, _deg = _capped_graph(spark, sf_dir)
+    return _triangles_over(kept)
+
+
+def _capped_graph(spark: SparkSession, sf_dir: str):
+    """(kept_edges, hubs, deg) of the degree-budgeted co-purchase graph
+    — the ONE place the hub rule (deg > TRI_DEG_CAP over src-grouped
+    counts) lives, shared by the capped enumeration and its overflow
+    report so the two can never disagree. The hub/degree tables scale
+    with the catalog, so no broadcast hints (Catalyst/AQE decides —
+    sub-threshold plans unchanged, multi-million-part catalogs fall
+    back to shuffled anti joins)."""
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP).select("node")
+    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP)
     kept = edges.join(
-        F.broadcast(hubs.withColumnRenamed("node", "src")), "src", "left_anti"
+        hubs.select(F.col("node").alias("src")), "src", "left_anti"
     ).join(
-        F.broadcast(hubs.withColumnRenamed("node", "dst")), "dst", "left_anti"
+        hubs.select(F.col("node").alias("dst")), "dst", "left_anti"
     ).select("src", "dst")
-    return _triangles_over(kept)
+    return kept, hubs, deg
 
 
 def copurchase_degree_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,25 +378,14 @@ def copurchase_degree_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     copurchase_triangles_capped: how many nodes exceed the degree cap,
     the worst degree, and how many undirected edges the removal drops —
     the observability a capped run ships instead of unbounded wedge
-    work (the simhash_bucket_overflow contract for the graph family)."""
+    work (the simhash_bucket_overflow contract for the graph family).
+    'Dropped' = edges touching at least one hub = all edges minus the
+    capped variant's kept set, both from the shared _capped_graph."""
+    kept, hubs, _deg = _capped_graph(spark, sf_dir)
     edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP)
     dropped = (
-        edges.join(
-            F.broadcast(
-                hubs.select("node").withColumnRenamed("node", "src")
-            ).withColumn("hub_src", F.lit(1)),
-            "src", "left",
-        )
-        .join(
-            F.broadcast(
-                hubs.select("node").withColumnRenamed("node", "dst")
-            ).withColumn("hub_dst", F.lit(1)),
-            "dst", "left",
-        )
-        .filter(F.col("hub_src").isNotNull() | F.col("hub_dst").isNotNull())
-        .filter(F.col("src") < F.col("dst"))
+        edges.filter(F.col("src") < F.col("dst"))
+        .join(kept.filter(F.col("src") < F.col("dst")), ["src", "dst"], "left_anti")
     )
     return hubs.agg(
         F.count("*").alias("over_nodes"),

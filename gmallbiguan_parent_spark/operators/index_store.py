@@ -729,13 +729,19 @@ def _corpus_signature(sf_dir: str, table: str) -> tuple:
         return (table, "missing")
     if not os.path.isdir(path):
         return (table, st.st_mtime_ns, st.st_size)
+    # recursive walk, not a first-level listing (r9 self-review): a
+    # partitioned layout rewrites files INSIDE date=X/ subdirectories,
+    # and a directory's own mtime only changes on entry create/delete/
+    # rename — stat every file so an in-place rewrite flips the key
     sig = [table]
-    for entry in sorted(os.listdir(path)):
-        try:
-            s = os.stat(os.path.join(path, entry))
-        except OSError:
-            continue
-        sig.append((entry, s.st_mtime_ns, s.st_size))
+    for d, _subdirs, files in sorted(os.walk(path)):
+        for name in sorted(files):
+            try:
+                s = os.stat(os.path.join(d, name))
+            except OSError:
+                continue
+            sig.append((os.path.relpath(os.path.join(d, name), path),
+                        s.st_mtime_ns, s.st_size))
     return tuple(sig)
 
 
@@ -775,7 +781,14 @@ def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
         _corpus_signature(sf_dir, table),
     )
     if key not in _FRESH_CACHE:
-        for k in [k for k in _FRESH_CACHE if k[0] != key[0]]:
+        # evict other sessions' keys AND this (app, root, family)'s
+        # superseded signatures — without the prefix eviction a
+        # frequently-appended corpus leaks one O(file-count) tuple per
+        # mutation for the session's lifetime (r9 self-review)
+        for k in [
+            k for k in _FRESH_CACHE
+            if k[0] != key[0] or k[:3] == key[:3]
+        ]:
             del _FRESH_CACHE[k]
         cur = load_table_spread(spark, sf_dir, table).agg(F.max(id_col)).first()[0]
         _FRESH_CACHE[key] = cur is None or cur <= m[wm_key]

@@ -1158,9 +1158,21 @@ def embedding_neardup_multiprobe(
     from ..io import load_table_spread
 
     bits = srp_bits_for(load_table_spread(spark, sf_dir, "embeddings").count())
-    radius = srp_probe_radius_for(bits)
-    masks = _srp_probe_masks(bits, radius)
-    sigs = _srp_signature_table(spark, sf_dir)
+    masks = _srp_probe_masks(bits, srp_probe_radius_for(bits))
+    return _multiprobe_pairs_from(
+        _srp_signature_table(spark, sf_dir), masks, confirm_cosine
+    )
+
+
+def _multiprobe_pairs_from(
+    sigs: DataFrame, masks: list[int], confirm_cosine: float
+) -> DataFrame:
+    """The slim-key probe/candidate/confirm plan shared by every
+    multiprobe form (radius, band, wide) so they can never drift: the
+    probe explosion carries only (vec_id, table_id, probe_sig), the
+    bucket join emits bare id pairs, dropDuplicates collapses per-table
+    repeats BEFORE any vector math, and the vector table joins back
+    once per DISTINCT candidate for a single cosine evaluation."""
     slim = sigs.select("vec_id", "table_id", "sig")
     probes = slim.select(
         "vec_id", "table_id",
@@ -1216,13 +1228,12 @@ def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataF
     warehouse makes without blinking (SCALE_100X.md measures both
     forms).
 
-    Same slim-key plan as embedding_neardup_multiprobe: the probe
-    explosion carries only (vec_id, table_id, probe_sig), pairs dedup
-    BEFORE any vector math, one cosine per distinct candidate. The
-    recall-path difference means the candidate set (and therefore the
-    emitted pair set at the exploration floor) legitimately differs
-    from the radius form's — the oracle replays these exact tables and
-    masks, and the planted-twin test pins the design-point contract."""
+    Same slim-key plan as embedding_neardup_multiprobe (shared helper
+    _multiprobe_pairs_from — the forms cannot drift). The recall-path
+    difference means the candidate set (and therefore the emitted pair
+    set at the exploration floor) legitimately differs from the radius
+    form's — the oracle replays these exact tables and masks, and the
+    planted-twin test pins the design-point contract."""
     from ..io import load_table_spread
 
     emb = load_table_spread(spark, sf_dir, "embeddings")
@@ -1242,35 +1253,7 @@ def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataF
             for t in range(tables)
         ])).alias("b"),
     ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
-    slim = sigs.select("vec_id", "table_id", "sig")
-    probes = slim.select(
-        "vec_id", "table_id",
-        F.explode(
-            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("probe_sig"),
-    )
-    a, b = probes.alias("a"), slim.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.probe_sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
-    va, vb = vecs.alias("va"), vecs.alias("vb")
-    cosine = F.round(
-        _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
-    )
-    return (
-        cand.join(va, cand.vec_a == va.vec_id)
-        .join(vb, cand.vec_b == vb.vec_id)
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_COSINE)
-    )
+    return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
 
 
 MMR_LAMBDA = "0.7"   # relevance weight — EXACT decimal strings, never

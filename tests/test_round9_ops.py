@@ -10,17 +10,20 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _planted_dir(spark, tmp_path, target_cosine: float, n_twins: int = 40) -> str:
+def _planted_dir(spark, tmp_path, target_cosine: float, n_twins: int = 40):
     """A corpus dir whose embeddings are sf0.001's 500 vectors plus
     n_twins planted twins at an exact target cosine (deterministic
     perpendicular noise — the construction tools/srp_recall_probe.py
-    validated the governor with)."""
+    validated the governor with). Returns (dir, planted_pairs) with the
+    pair set built from the ACTUAL vec_ids captured at planting time —
+    no positional assumption about collect() order or id contiguity."""
     import numpy as np
 
     rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
     out = [(int(r.vec_id), [float(x) for x in r.embedding], int(r.label)) for r in rows]
     base = max(r.vec_id for r in rows) + 1
-    for i, r in enumerate(rows[:n_twins]):
+    planted = set()
+    for i, r in enumerate(sorted(rows, key=lambda r: r.vec_id)[:n_twins]):
         v = np.array([float(x) for x in r.embedding])
         u = v / np.linalg.norm(v)
         rng = np.random.RandomState(int(r.vec_id) % (2**31))
@@ -31,9 +34,10 @@ def _planted_dir(spark, tmp_path, target_cosine: float, n_twins: int = 40) -> st
         # keep the original's magnitude so the twin is a realistic row
         w = w * np.linalg.norm(v)
         out.append((base + i, [float(x) for x in w], int(r.label)))
+        planted.add((min(int(r.vec_id), base + i), max(int(r.vec_id), base + i)))
     df = spark.createDataFrame(out, "vec_id bigint, embedding array<float>, label int")
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
-    return str(tmp_path)
+    return str(tmp_path), planted
 
 
 def test_multiprobe_band_cuts_floor_tail_and_keeps_design_pairs(spark, tmp_path):
@@ -48,7 +52,7 @@ def test_multiprobe_band_cuts_floor_tail_and_keeps_design_pairs(spark, tmp_path)
         embedding_neardup_multiprobe_band,
     )
 
-    sf = _planted_dir(spark, tmp_path, SRP_DESIGN_COSINE)
+    sf, planted = _planted_dir(spark, tmp_path, SRP_DESIGN_COSINE)
     floor_rows = {
         (r.vec_a, r.vec_b): r.cosine
         for r in embedding_neardup_multiprobe(spark, sf).collect()
@@ -66,7 +70,6 @@ def test_multiprobe_band_cuts_floor_tail_and_keeps_design_pairs(spark, tmp_path)
     assert all(c >= NEARDUP_BAND_COSINE for c in band_rows.values())
     # recall at the design point: planted twins land in the band output
     # (target 0.99 at the design cosine; 40 twins -> tolerate one miss)
-    planted = {(i, 500 + j) for j, i in enumerate(range(40))}
     recovered = planted & set(band_rows)
     assert len(recovered) >= len(planted) - 1, (
         f"only {len(recovered)}/{len(planted)} design-point twins in band output"
@@ -120,13 +123,12 @@ def test_multiprobe_wide_recovers_design_point_twins(spark, tmp_path):
         embedding_neardup_multiprobe_wide,
     )
 
-    sf = _planted_dir(spark, tmp_path, SRP_DESIGN_COSINE)
+    sf, planted = _planted_dir(spark, tmp_path, SRP_DESIGN_COSINE)
     rows = {
         (r.vec_a, r.vec_b): r.cosine
         for r in embedding_neardup_multiprobe_wide(spark, sf).collect()
     }
     assert all(c >= NEARDUP_COSINE for c in rows.values())
-    planted = {(i, 500 + j) for j, i in enumerate(range(40))}
     recovered = planted & set(rows)
     assert len(recovered) >= len(planted) - 1, (
         f"only {len(recovered)}/{len(planted)} design-point twins recovered"
