@@ -136,6 +136,9 @@ EXTENDED = [
     "minhash_lsh_pairs_from_index",
     "ann_ivf_topk_from_index",
     "embedding_neardup_multiprobe",
+    # round-9: the tables-for-radius governor — same recall contract,
+    # ~3x fewer probe keys (SCALE_100X.md)
+    "embedding_neardup_multiprobe_wide",
     "bpe_doc_tokens_from_index",
     "stream_index_build",
     # round-6 continuation: semantic decontamination (batch + stream),

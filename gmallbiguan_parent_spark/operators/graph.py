@@ -23,7 +23,7 @@ no dangling-mass redistribution term is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -354,23 +354,59 @@ def copurchase_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triangles_over(kept)
 
 
-def _capped_graph(spark: SparkSession, sf_dir: str):
-    """(kept_edges, hubs, deg) of the degree-budgeted co-purchase graph
-    — the ONE place the hub rule (deg > TRI_DEG_CAP over src-grouped
-    counts) lives, shared by the capped enumeration and its overflow
-    report so the two can never disagree. The hub/degree tables scale
-    with the catalog, so no broadcast hints (Catalyst/AQE decides —
-    sub-threshold plans unchanged, multi-million-part catalogs fall
-    back to shuffled anti joins)."""
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP)
-    kept = edges.join(
+def _hub_free(edges: DataFrame, hubs: DataFrame) -> DataFrame:
+    """Edges with neither endpoint in the hub set. No broadcast hints —
+    the hub table scales with the catalog (Catalyst/AQE decides;
+    sub-threshold plans unchanged, huge catalogs fall back to shuffled
+    anti joins)."""
+    return edges.join(
         hubs.select(F.col("node").alias("src")), "src", "left_anti"
     ).join(
         hubs.select(F.col("node").alias("dst")), "dst", "left_anti"
     ).select("src", "dst")
-    return kept, hubs, deg
+
+
+def _capped_graph(spark: SparkSession, sf_dir: str):
+    """(kept_edges, hubs, deg) of the degree-budgeted co-purchase graph
+    — the ONE place the hub rule (deg > TRI_DEG_CAP over src-grouped
+    counts) lives, shared by the capped enumeration and its overflow
+    report so the two can never disagree."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    hubs = deg.filter(F.col("deg") > TRI_DEG_CAP)
+    return _hub_free(edges, hubs), hubs, deg
+
+
+TRI_CAP_QUANTILE = 0.99
+
+
+def copurchase_triangles_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the degree budget (ADVICE r9): instead of
+    a fixed cap, the hub threshold is the corpus's own p99 degree — the
+    budget adapts to the graph the way srp_bits_for adapts to corpus
+    size, so a densifying corpus sheds exactly its top-1% boilerplate
+    hubs instead of (as the dense-100x probe showed for the fixed
+    gate-scale cap) emptying the graph.
+
+    Scale: the quantile is EXACT but never funnels the node table
+    through one task — degrees histogram into at most max-degree
+    distinct values, the cumulative sum windows over THAT bounded
+    table, and the cap joins back as a broadcast scalar. ceil(q*n) on
+    the shared float64 product keeps Spark and DuckDB on the same side
+    of any boundary (IEEE multiplication is deterministic)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    hist = deg.groupBy("deg").agg(F.count("*").alias("ct"))
+    wd = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("ct").over(wd))
+    n = deg.agg(F.count("*").alias("n"))
+    cap = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.ceil(F.lit(TRI_CAP_QUANTILE) * F.col("n")))
+        .agg(F.min("deg").alias("cap"))
+    )
+    hubs = deg.crossJoin(F.broadcast(cap)).filter(F.col("deg") > F.col("cap")).select("node", "deg")
+    return _triangles_over(_hub_free(edges, hubs))
 
 
 def copurchase_degree_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +566,7 @@ QUERIES = {
     "copurchase_lift": copurchase_lift,
     "copurchase_triangles": copurchase_triangles,
     "copurchase_triangles_capped": copurchase_triangles_capped,
+    "copurchase_triangles_p99": copurchase_triangles_p99,
     "copurchase_degree_overflow": copurchase_degree_overflow,
     "copurchase_reach": copurchase_reach,
     "frequent_triples": frequent_triples,
@@ -632,6 +669,56 @@ ORACLES = {
         HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
     ), hubs AS (
         SELECT src AS node FROM all_edges GROUP BY src HAVING COUNT(*) > {TRI_DEG_CAP}
+    ), edges AS (
+        SELECT src, dst FROM all_edges
+        WHERE src NOT IN (SELECT node FROM hubs)
+          AND dst NOT IN (SELECT node FROM hubs)
+    ), deg AS (
+        SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src
+    ), o AS (
+        SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS lo,
+               CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS hi
+        FROM edges e
+        JOIN deg ds ON e.src = ds.node
+        JOIN deg dd ON e.dst = dd.node
+        WHERE e.src < e.dst
+    ), tri AS (
+        SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z
+        FROM o w1
+        JOIN o w2 ON w1.lo = w2.lo AND w1.hi <> w2.hi
+        JOIN o e3 ON w1.hi = e3.lo AND w2.hi = e3.hi
+    ), per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_ct
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT p.node AS part_id, CAST(d.deg AS BIGINT) AS degree, p.tri_ct,
+           ROUND(2.0 * CAST(p.tri_ct AS DOUBLE)
+                 / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6) AS clust_coef
+    FROM per_node p JOIN deg d ON p.node = d.node
+    ORDER BY tri_ct DESC, part_id ASC
+    LIMIT {TRI_TOP}
+    """,
+    "copurchase_triangles_p99": f"""
+    WITH bridge AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), all_edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ), deg0 AS (
+        SELECT src AS node, COUNT(*) AS deg FROM all_edges GROUP BY src
+    ), hist AS (
+        SELECT deg, COUNT(*) AS ct FROM deg0 GROUP BY deg
+    ), cum AS (
+        SELECT deg, SUM(ct) OVER (ORDER BY deg) AS cum FROM hist
+    ), cap AS (
+        SELECT MIN(deg) AS cap FROM cum, (SELECT COUNT(*) AS n FROM deg0)
+        WHERE cum >= CEIL({TRI_CAP_QUANTILE} * n)
+    ), hubs AS (
+        SELECT node FROM deg0, cap WHERE deg > cap
     ), edges AS (
         SELECT src, dst FROM all_edges
         WHERE src NOT IN (SELECT node FROM hubs)

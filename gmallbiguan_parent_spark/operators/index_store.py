@@ -64,7 +64,11 @@ from .dedup import (
 )
 from .similarity import (
     N_QUERIES,
+    SRP_BITS,
+    SRP_MAX_BITS,
     SRP_TABLES,
+    SRP_TARGET_BUCKET,
+    _srp_tables_case_sql,
     _assign_cells,
     _ivf_cached_centroids,
     _ivf_probe_topk,
@@ -72,6 +76,7 @@ from .similarity import (
     _srp_pairs_from_sigs,
     _srp_signature,
     srp_bits_for,
+    srp_tables_for,
 )
 
 MANIFEST = "MANIFEST.json"
@@ -145,6 +150,22 @@ def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
         ])).alias("b"),
     ).select("vec_id", "v", "b.table_id", "b.sig")
     _write(sigs, f"{root}/srp_sigs/ingest={ingest}", partition_by=["table_id"])
+    # the wide-governor layout (r9): srp_tables_for(width) tables probed
+    # at hamming<=1 — ~3x less probe/candidate work at equal recall
+    # (SCALE_100X.md). Table count is a pure function of the FROZEN
+    # width, so refresh reproduces it without a new manifest parameter.
+    wide = srp_tables_for(srp_bits)
+    sigs_w = v.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _srp_signature(F.col("v"), t, srp_bits).alias("sig"),
+            )
+            for t in range(wide)
+        ])).alias("b"),
+    ).select("vec_id", "v", "b.table_id", "b.sig")
+    _write(sigs_w, f"{root}/srp_sigs_wide/ingest={ingest}", partition_by=["table_id"])
 
 
 def _scope_pred(scope, col: str):
@@ -349,7 +370,7 @@ def read_manifest(root: str) -> dict:
 
 
 _DOC_ARTIFACTS = ("shingle_sets", "minhash_bands", "simhash_fp", "bpe_vocab")
-_VEC_ARTIFACTS = ("ivf_cells", "pq_codes", "srp_sigs")
+_VEC_ARTIFACTS = ("ivf_cells", "pq_codes", "srp_sigs", "srp_sigs_wide")
 
 
 def _heal_uncommitted(root: str, m: dict) -> None:
@@ -578,6 +599,7 @@ _COMPACT_PARTS = {
     "ivf_cells": ["cell"],
     "pq_codes": ["cell"],
     "srp_sigs": ["table_id"],
+    "srp_sigs_wide": ["table_id"],
     "bpe_vocab": [],
 }
 
@@ -1027,6 +1049,26 @@ def embedding_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> Data
     return _srp_pairs_from_sigs(sigs)
 
 
+def embedding_neardup_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_multiprobe_wide over the PERSISTED wide
+    signature layout: the production serving shape of the r9 governor —
+    build srp_tables_for(width) tables once, every query thereafter is
+    a partition-pruned read + the hamming<=1 probe join. Same helper
+    (_multiprobe_pairs_from), same oracle as the in-session wide form —
+    the proof the persisted layout carries identical information."""
+    from .similarity import (
+        NEARDUP_COSINE, SRP_WIDE_RADIUS, _multiprobe_pairs_from, _srp_probe_masks,
+    )
+
+    root = ensure_index(spark, sf_dir)
+    m = read_manifest(root)
+    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    masks = _srp_probe_masks(m["srp_bits"], SRP_WIDE_RADIUS)
+    return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
+
+
 def incremental_neardup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-ingest screen AGAINST THE STORE: the reference corpus
     (even doc_ids) lives as a built index variant; the incoming batch
@@ -1146,6 +1188,7 @@ def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_cells", f"{root}/ivf_cells"),
         ("pq_codes", f"{root}/pq_codes"),
         ("srp_sigs", f"{root}/srp_sigs"),
+        ("srp_sigs_wide", f"{root}/srp_sigs_wide"),
         ("bpe_vocab", f"{root}/bpe_vocab"),
     ]
     dfs = [
@@ -1168,6 +1211,7 @@ QUERIES = {
     "ann_ivf_multiprobe_from_index": ann_ivf_multiprobe_from_index,
     "index_freshness": index_freshness,
     "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
+    "embedding_neardup_wide_from_index": embedding_neardup_wide_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
     "bpe_doc_tokens_from_index": bpe_doc_tokens_from_index,
     "index_stats": index_stats,
@@ -1198,6 +1242,7 @@ ORACLES = {
     FROM embeddings
     """,
     "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
+    "embedding_neardup_wide_from_index": _SIM_ORACLES["embedding_neardup_multiprobe_wide"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
     "bpe_doc_tokens_from_index": _TEXT_ORACLES["bpe_doc_tokens"],
     # closed-form artifact counts over the base tables (see docstring):
@@ -1215,6 +1260,14 @@ ORACLES = {
     SELECT 'pq_codes', CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id >= {N_QUERIES}
     UNION ALL
     SELECT 'srp_sigs', CAST({SRP_TABLES} * COUNT(*) AS BIGINT) FROM embeddings
+    UNION ALL
+    SELECT 'srp_sigs_wide', CAST(tables * n AS BIGINT) FROM (
+        SELECT {_srp_tables_case_sql()} AS tables, n FROM (
+            SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_BITS},
+                CAST(CEIL(LOG2(GREATEST(n, 2) / {SRP_TARGET_BUCKET}.0)) AS INTEGER))) AS bits, n
+            FROM (SELECT COUNT(*) AS n FROM embeddings)
+        )
+    )
     UNION ALL
     SELECT 'bpe_vocab', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -1234,8 +1234,18 @@ def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataF
     set at the exploration floor) legitimately differs from the radius
     form's — the oracle replays these exact tables and masks, and the
     planted-twin test pins the design-point contract."""
-    from ..io import load_table_spread
+    import os
 
+    from ..io import load_table_spread
+    from .index_store import persisted_root
+
+    root = persisted_root(spark, sf_dir, "vecs")
+    if root and os.path.isdir(f"{root}/srp_sigs_wide"):
+        # warm environment (and the store carries the r9 wide layout —
+        # an older store without it falls through to live derivation)
+        from .index_store import embedding_neardup_wide_from_index
+
+        return embedding_neardup_wide_from_index(spark, sf_dir)
     emb = load_table_spread(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
