@@ -1055,6 +1055,61 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph on the WIDE recall-governed layout (ADVICE r9: the last
+    home-bucket-only SRP consumers routed onto srp_tables_for-sized
+    signatures): candidates are bucket-mates within hamming<=1 in any of
+    srp_tables_for(bits) tables, so neighbor recall at the design cosine
+    holds >= SRP_TARGET_RECALL at EVERY corpus width instead of decaying
+    as p^bits per table (home-bucket agreement at the 100x probe's 13
+    bits is ~0.25/table — the 4-table base form finds a true 0.9-cosine
+    neighbor with p~0.68; this form is governed to 0.99).
+
+    Plan — the slim-key discipline of _multiprobe_pairs_from, adapted to
+    DIRECTED pairs: probes carry only (vec_id, table_id, probe_sig);
+    hamming<=r is symmetric so one-sided probing with src != dst
+    enumerates every directed candidate; dropDuplicates collapses
+    per-table repeats BEFORE any vector math; vectors join back once per
+    distinct edge for a single cosine; the per-source top-K window runs
+    over ~bucket-sized candidate sets. Shuffles: the probe join + the
+    src window — same count as the base form."""
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    slim = sigs.select("vec_id", "table_id", "sig")
+    probes = slim.select(
+        "vec_id", "table_id",
+        F.explode(
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe_sig"),
+    )
+    a, b = probes.alias("a"), slim.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.probe_sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cosine = F.round(
+        _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
+    )
+    scored = (
+        cand.join(va, cand.src == F.col("va.vec_id"))
+        .join(vb, cand.dst == F.col("vb.vec_id"))
+        .select("src", "dst", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "rank", "dst", "cosine")
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup family's
     embedding variant): candidate pairs share an SRP-LSH bucket in at
@@ -1217,6 +1272,50 @@ def embedding_neardup_multiprobe_band(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[int]]:
+    """(sigs, masks) for the WIDE governor layout — srp_tables_for(bits)
+    tables, hamming<=SRP_WIDE_RADIUS probe masks. Reads the persisted
+    partitionBy(table_id) `srp_sigs_wide` artifact when the index store
+    carries it (warm environment; width frozen in the manifest), else
+    derives live and localCheckpoints. ONE provider shared by every
+    wide-layout consumer (embedding_neardup_multiprobe_wide,
+    knn_graph_wide, semantic_decontaminate_wide) so the layout and the
+    probe masks can never drift between screens."""
+    import os
+
+    from ..io import load_table_spread
+    from .index_store import persisted_root
+
+    root = persisted_root(spark, sf_dir, "vecs")
+    if root and os.path.isdir(f"{root}/srp_sigs_wide"):
+        # warm environment (and the store carries the r9 wide layout —
+        # an older store without it falls through to live derivation)
+        from .index_store import _read_artifact, ensure_index, read_manifest
+
+        root = ensure_index(spark, sf_dir)
+        sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
+            "vec_id", "v", "table_id", "sig"
+        )
+        return sigs, _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    bits = srp_bits_for(corpus.count())
+    tables = srp_tables_for(bits)
+    sigs = corpus.select(
+        "vec_id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _srp_signature(F.col("v"), t, bits).alias("sig"),
+            )
+            for t in range(tables)
+        ])).alias("b"),
+    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    return sigs, _srp_probe_masks(bits, SRP_WIDE_RADIUS)
+
+
 def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production COMPUTE form of the governed near-dup screen: the
     same recall contract (SRP_TARGET_RECALL at SRP_DESIGN_COSINE) met
@@ -1234,35 +1333,7 @@ def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataF
     set at the exploration floor) legitimately differs from the radius
     form's — the oracle replays these exact tables and masks, and the
     planted-twin test pins the design-point contract."""
-    import os
-
-    from ..io import load_table_spread
-    from .index_store import persisted_root
-
-    root = persisted_root(spark, sf_dir, "vecs")
-    if root and os.path.isdir(f"{root}/srp_sigs_wide"):
-        # warm environment (and the store carries the r9 wide layout —
-        # an older store without it falls through to live derivation)
-        from .index_store import embedding_neardup_wide_from_index
-
-        return embedding_neardup_wide_from_index(spark, sf_dir)
-    emb = load_table_spread(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    )
-    bits = srp_bits_for(corpus.count())
-    tables = srp_tables_for(bits)
-    masks = _srp_probe_masks(bits, SRP_WIDE_RADIUS)
-    sigs = corpus.select(
-        "vec_id", "v",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                _srp_signature(F.col("v"), t, bits).alias("sig"),
-            )
-            for t in range(tables)
-        ])).alias("b"),
-    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
     return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
 
 
@@ -1451,6 +1522,76 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= SEM_DECON_REVIEW)
         .dropDuplicates(["vec_id", "bench_id"])
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    wc = Window.partitionBy("vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("hit_ct", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "hit_ct",
+            F.col("cosine").alias("max_cosine"),
+            F.col("bench_id").alias("nearest_bench"),
+            F.when(F.col("cosine") >= SEM_DECON_DROP, F.lit("drop"))
+            .otherwise(F.lit("review"))
+            .alias("decision"),
+        )
+    )
+
+
+def semantic_decontaminate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_decontaminate on the WIDE recall-governed layout — the
+    production form of the benchmark-leakage screen (a missed
+    contaminated document is the expensive failure mode here, so recall
+    is THE contract): same flag/decision semantics, candidates from
+    srp_tables_for(bits) tables with hamming<=1 probing instead of the
+    4-table home bucket.
+
+    Plan keeps the base form's asymmetry — the BENCH side is the tiny
+    side, so the probe explosion runs there (tables x (bits+1) keys per
+    benchmark vector, still MBs) and BROADCASTS; the corpus side never
+    explodes and never shuffles at candidate time. hamming<=r is
+    symmetric, so bench-side probing finds every qualifying
+    (corpus, bench) pair. Candidates are bare id pairs (slim-key
+    discipline); vectors join back once per distinct pair — corpus
+    vectors via one shuffle-free broadcast-probe join, bench vectors
+    broadcast again for the cosine confirm."""
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    slim = sigs.select("vec_id", "table_id", "sig")
+    corpus = slim.filter(F.col("vec_id") % 17 != 0)
+    bench_probes = (
+        slim.filter(F.col("vec_id") % 17 == 0)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            "table_id",
+            F.explode(
+                F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("probe_sig"),
+        )
+    )
+    cand_ids = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(bench_probes.alias("b")),
+            (F.col("c.table_id") == F.col("b.table_id"))
+            & (F.col("c.sig") == F.col("b.probe_sig")),
+        )
+        .select(F.col("c.vec_id").alias("vec_id"), "bench_id")
+        .dropDuplicates(["vec_id", "bench_id"])
+    )
+    vecs = sigs.filter(F.col("table_id") == 0).select(
+        F.col("vec_id").alias("v_id"), "v"
+    )
+    cosine = F.round(
+        _dot(F.col("cv.v"), F.col("bv.v")) / (_norm(F.col("cv.v")) * _norm(F.col("bv.v"))), 6
+    )
+    cand = (
+        cand_ids.join(vecs.alias("cv"), cand_ids.vec_id == F.col("cv.v_id"))
+        .join(F.broadcast(vecs.alias("bv")), cand_ids.bench_id == F.col("bv.v_id"))
+        .select("vec_id", "bench_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_DECON_REVIEW)
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
     wc = Window.partitionBy("vec_id")
@@ -2124,7 +2265,9 @@ QUERIES = {
     "embedding_neardup_multiprobe_band": embedding_neardup_multiprobe_band,
     "embedding_neardup_multiprobe_wide": embedding_neardup_multiprobe_wide,
     "knn_graph": knn_graph,
+    "knn_graph_wide": knn_graph_wide,
     "semantic_decontaminate": semantic_decontaminate,
+    "semantic_decontaminate_wide": semantic_decontaminate_wide,
     "ann_mmr_topk": ann_mmr_topk,
 }
 
@@ -2919,6 +3062,61 @@ ORACLES = {
     )
     SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
     FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+    """,
+    "knn_graph_wide": _DUCK_SRP_SIGS_WIDE + f"""
+    , probes AS (
+        SELECT vec_id, table_id,
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= {SRP_WIDE_RADIUS}),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM kept, bcfg
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM probes a JOIN kept b
+          ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id <> b.vec_id
+    ), scored AS (
+        SELECT c.src, c.dst, {_duck_cos('va.v', 'vb.v')} AS cosine
+        FROM cand c JOIN vecs va ON c.src = va.vec_id
+                    JOIN vecs vb ON c.dst = vb.vec_id
+    ), ranked AS (
+        SELECT src, dst, cosine,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+        FROM scored
+    )
+    SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
+    FROM ranked WHERE rnk <= {KNN_GRAPH_K}
+    """,
+    "semantic_decontaminate_wide": _DUCK_SRP_SIGS_WIDE + f"""
+    , bprobes AS (
+        SELECT vec_id AS bench_id, table_id,
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= {SRP_WIDE_RADIUS}),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM kept, bcfg
+        WHERE vec_id % 17 = 0
+    ), cand_ids AS (
+        SELECT DISTINCT c.vec_id AS vec_id, b.bench_id AS bench_id
+        FROM kept c JOIN bprobes b
+          ON c.table_id = b.table_id AND c.sig = b.probe_sig
+        WHERE c.vec_id % 17 <> 0
+    ), cand AS (
+        SELECT i.vec_id, i.bench_id, {_duck_cos('cv.v', 'bv.v')} AS cosine
+        FROM cand_ids i JOIN vecs cv ON i.vec_id = cv.vec_id
+                        JOIN vecs bv ON i.bench_id = bv.vec_id
+        WHERE {_duck_cos('cv.v', 'bv.v')} >= {SEM_DECON_REVIEW}
+    ), ranked AS (
+        SELECT vec_id, bench_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, bench_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY vec_id) AS hit_ct
+        FROM cand
+    )
+    SELECT vec_id, CAST(hit_ct AS BIGINT) AS hit_ct, cosine AS max_cosine,
+           bench_id AS nearest_bench,
+           CASE WHEN cosine >= {SEM_DECON_DROP} THEN 'drop' ELSE 'review' END AS decision
+    FROM ranked WHERE rn = 1
     """,
     "ann_mmr_topk": _mmr_oracle(),
     "semantic_decontaminate": _DUCK_SRP_SIGS + f"""

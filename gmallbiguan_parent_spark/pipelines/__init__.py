@@ -49,8 +49,10 @@ _GATE_PRIORITY = (
     # windowed aggregates (A1-A4, U1-U3, J4-J5)
     "visitor_stats_window", "province_stats", "product_stats",
     "keyword_stats", "keyword_stats_cjk", "keyword_c2r_stack",
-    # the 9 serving reads (S11, A5-A11 incl. the SPU twin, O1-O2, F7, F10)
-    "gmv_daily", "top_trademarks", "top_categories", "top_spus", "visitor_new_rollup",
+    # the serving reads (S11, A5-A11 incl. the SPU twin, O1-O2, F7, F10;
+    # top_categories rotated to the local gate — A6's three-query surface
+    # keeps two in-window covers, freeing a slot for the r9 wide layout)
+    "gmv_daily", "top_trademarks", "top_spus", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
     # CDC routing/pruning + SCD2 dim history + the round-8 closures:
     # auto-DDL (S9, TableProcessFunction.checkTable parity) and the
@@ -70,12 +72,14 @@ _GATE_PRIORITY = (
     # curate_corpus capstone below)
     "dedup_exact", "minhash_lsh_pairs_from_index", "simhash_neardup_pairs",
     # LLM-pipeline: similarity search — cold IVF, its persisted twin,
-    # the persisted SRP single-probe relation, and the governed
-    # multiprobe (VERDICT r8 #1); ann_cosine_topk (brute-force baseline)
-    # and in-session embedding_neardup_pairs are local-gated with
-    # identical oracles
+    # the persisted SRP single-probe relation, and the r9 WIDE governor
+    # machinery (the tables-for-radius multiprobe + the wide-routed k-NN
+    # graph — this round's new surface, rotated in per the r8 #1
+    # discipline); the radius-form multiprobe rotates to the local gate
+    # with its driver certification on record in CORRECTNESS_r08/r09
     "ann_ivf_topk", "ann_ivf_topk_from_index",
-    "embedding_neardup_pairs_from_index", "embedding_neardup_multiprobe",
+    "embedding_neardup_pairs_from_index",
+    "embedding_neardup_multiprobe_wide", "knn_graph_wide",
     # LLM-pipeline: text analysis (lang_id/quality_buckets local-gated
     # to make room for the batched BPE trainer, VERDICT r8 #1)
     "token_count", "text_quality", "bpe_train_merges_batched",
