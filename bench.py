@@ -137,8 +137,11 @@ EXTENDED = [
     "ann_ivf_topk_from_index",
     "embedding_neardup_multiprobe",
     # round-9: the tables-for-radius governor — same recall contract,
-    # ~3x fewer probe keys (SCALE_100X.md)
+    # ~3x fewer probe keys (SCALE_100X.md) — and the wide-routed k-NN
+    # graph + decontamination screens (the last home-bucket consumers)
     "embedding_neardup_multiprobe_wide",
+    "knn_graph_wide",
+    "semantic_decontaminate_wide",
     "bpe_doc_tokens_from_index",
     "stream_index_build",
     # round-6 continuation: semantic decontamination (batch + stream),

@@ -1069,6 +1069,41 @@ def embedding_neardup_wide_from_index(spark: SparkSession, sf_dir: str) -> DataF
     return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
 
 
+def knn_graph_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph_wide over the persisted wide signature layout — graph
+    construction as a store read: partition-pruned srp_sigs_wide scan +
+    the shared directed probe/confirm/rank plan (_knn_graph_from_sigs),
+    same oracle as the in-session form."""
+    from .similarity import SRP_WIDE_RADIUS, _knn_graph_from_sigs, _srp_probe_masks
+
+    root = ensure_index(spark, sf_dir)
+    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    masks = _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+    return _knn_graph_from_sigs(sigs, masks)
+
+
+def semantic_decontaminate_wide_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """semantic_decontaminate_wide over the persisted wide signature
+    layout: the daily-contamination-screen shape — benchmark probes
+    derive fresh from the store's own bench signatures and broadcast
+    against the stored corpus table; same oracle as the in-session
+    form."""
+    from .similarity import (
+        SRP_WIDE_RADIUS, _sem_decon_wide_from_sigs, _srp_probe_masks,
+    )
+
+    root = ensure_index(spark, sf_dir)
+    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    masks = _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+    return _sem_decon_wide_from_sigs(sigs, masks)
+
+
 def incremental_neardup_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily-ingest screen AGAINST THE STORE: the reference corpus
     (even doc_ids) lives as a built index variant; the incoming batch
@@ -1212,6 +1247,8 @@ QUERIES = {
     "index_freshness": index_freshness,
     "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
     "embedding_neardup_wide_from_index": embedding_neardup_wide_from_index,
+    "knn_graph_wide_from_index": knn_graph_wide_from_index,
+    "semantic_decontaminate_wide_from_index": semantic_decontaminate_wide_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
     "bpe_doc_tokens_from_index": bpe_doc_tokens_from_index,
     "index_stats": index_stats,
@@ -1243,6 +1280,8 @@ ORACLES = {
     """,
     "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
     "embedding_neardup_wide_from_index": _SIM_ORACLES["embedding_neardup_multiprobe_wide"],
+    "knn_graph_wide_from_index": _SIM_ORACLES["knn_graph_wide"],
+    "semantic_decontaminate_wide_from_index": _SIM_ORACLES["semantic_decontaminate_wide"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
     "bpe_doc_tokens_from_index": _TEXT_ORACLES["bpe_doc_tokens"],
     # closed-form artifact counts over the base tables (see docstring):

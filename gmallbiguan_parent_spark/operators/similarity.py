@@ -1074,6 +1074,13 @@ def knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ~bucket-sized candidate sets. Shuffles: the probe join + the
     src window — same count as the base form."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    return _knn_graph_from_sigs(sigs, masks)
+
+
+def _knn_graph_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
+    """The directed probe/confirm/rank plan shared by knn_graph_wide and
+    its persisted-index twin — one body, so the in-session and
+    read-back forms cannot drift."""
     slim = sigs.select("vec_id", "table_id", "sig")
     probes = slim.select(
         "vec_id", "table_id",
@@ -1559,6 +1566,12 @@ def semantic_decontaminate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors via one shuffle-free broadcast-probe join, bench vectors
     broadcast again for the cosine confirm."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    return _sem_decon_wide_from_sigs(sigs, masks)
+
+
+def _sem_decon_wide_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
+    """The bench-probe/broadcast/confirm plan shared by
+    semantic_decontaminate_wide and its persisted-index twin."""
     slim = sigs.select("vec_id", "table_id", "sig")
     corpus = slim.filter(F.col("vec_id") % 17 != 0)
     bench_probes = (

@@ -142,6 +142,10 @@ PROBE_QUERIES = [
     "length_batch_pad_stats",
     "dedup_method_agreement",
     "user_sequence_similarity",
+    # round-9 routing: the wide-layout k-NN graph and decontamination
+    # screens (recall-governed forms of the last home-bucket consumers)
+    "knn_graph_wide",
+    "semantic_decontaminate_wide",
 ]
 
 
