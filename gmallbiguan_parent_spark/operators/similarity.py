@@ -781,6 +781,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-per-epsilon-ball; the paper keeps a random point, we keep
     the lowest id so the oracle replays the choice).
 
+    Deliberately NOT routed onto the SRP layouts (ADVICE r9): SemDeDup's
+    semantics are CLUSTER-scoped by definition — the dedup decision is
+    "keep one representative per epsilon-ball *within a k-means
+    cluster*", so the IVF cells ARE the operator's contract, not an
+    acceleration choice. Recall doesn't decay with corpus growth here
+    the way home-bucket SRP agreement does: nlist grows to hold
+    ~IVF_TARGET_CELL members per cell, and every within-cell pair is
+    examined exactly (no hash agreement term at all).
+
     Scale: the pairwise pass is QUADRATIC ONLY WITHIN A CELL — cells are
     capped at ~IVF_TARGET_CELL members by construction (nlist grows with
     the corpus), so total pair work is n * IVF_TARGET_CELL, linear in
