@@ -1087,9 +1087,17 @@ def knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
-    """The directed probe/confirm/rank plan shared by knn_graph_wide and
-    its persisted-index twin — one body, so the in-session and
-    read-back forms cannot drift."""
+    """The probe/confirm/rank plan shared by knn_graph_wide and its
+    persisted-index twin — one body, so the in-session and read-back
+    forms cannot drift.
+
+    The edge relation is symmetric, so the heavy stages run UNDIRECTED
+    (src < dst): the probe join emits each candidate pair once, the
+    distinct dedups half the rows, and each cosine is evaluated ONCE
+    per pair instead of once per direction — measured 2x less
+    candidate-join/confirm work at the 100x probe. Only the final
+    (cheap) projection mirrors each confirmed pair into both
+    orientations before the per-source window."""
     slim = sigs.select("vec_id", "table_id", "sig")
     probes = slim.select(
         "vec_id", "table_id",
@@ -1103,21 +1111,30 @@ def _knn_graph_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.probe_sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        .select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
+        .dropDuplicates(["lo", "hi"])
     )
     vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
     va, vb = vecs.alias("va"), vecs.alias("vb")
     cosine = F.round(
         _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
     )
-    scored = (
-        cand.join(va, cand.src == F.col("va.vec_id"))
-        .join(vb, cand.dst == F.col("vb.vec_id"))
-        .select("src", "dst", cosine.alias("cosine"))
+    confirmed = (
+        cand.join(va, cand.lo == F.col("va.vec_id"))
+        .join(vb, cand.hi == F.col("vb.vec_id"))
+        .select("lo", "hi", cosine.alias("cosine"))
     )
+    scored = confirmed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+                F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst")),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select("e.src", "e.dst", "cosine")
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
