@@ -493,6 +493,25 @@ def refresh_index(
 _ROOT_CACHE: dict[tuple[str, str, str], str] = {}
 
 
+def _layout_current(root: str) -> bool:
+    """True iff the store at root carries a readable manifest AND every
+    artifact directory the CURRENT code derives for its families. A
+    manifest written by an older engine layout (pre-r9 stores have no
+    srp_sigs_wide) would otherwise short-circuit the build and break
+    the wide from_index readers with a missing-path error; instead,
+    ensure_index demotes such a store to the takeover path, which
+    rebuilds privately and swaps it out atomically — the same
+    discipline as a crashed manifest-less root."""
+    try:
+        m = read_manifest(root)
+    except Exception:
+        return False
+    fams = set(m.get("families", ("docs", "vecs", "bpe")))
+    if "vecs" in fams and not os.path.isdir(f"{root}/srp_sigs_wide"):
+        return False
+    return True
+
+
 def ensure_index(
     spark: SparkSession, sf_dir: str, variant: str = "full", **build_kwargs
 ) -> str:
@@ -528,7 +547,7 @@ def ensure_index(
         import atexit
 
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    if os.path.exists(f"{root}/{MANIFEST}"):
+    if _layout_current(root):
         _repair_compact(root)  # heal a crashed compaction swap, if any
         # NOTE: no _heal_uncommitted here — readers never see
         # above-watermark partitions (_read_artifact filters them), and
@@ -549,14 +568,18 @@ def ensure_index(
         try:
             os.rename(stage, root)  # atomic: manifest+artifacts together
         except OSError:
-            if os.path.exists(f"{root}/{MANIFEST}"):
+            if _layout_current(root):
                 # lost the race to a concurrent builder — adopt theirs
+                # (a mid-race winner runs CURRENT code, so its layout is
+                # complete; an old-layout store never passes this check
+                # and takes the aside path below)
                 shutil.rmtree(stage, ignore_errors=True)
             else:
-                # a manifest-less root (crashed in-place build from an
-                # older layout) blocks the rename. Take over WITHOUT
-                # deleting: move it aside atomically. Re-check for a
-                # winner's manifest IMMEDIATELY before the aside-rename
+                # a manifest-less root (crashed in-place build) or an
+                # OLD-LAYOUT store (readable manifest, missing a
+                # current-code artifact) blocks the rename. Take over
+                # WITHOUT deleting: move it aside atomically. Re-check
+                # for a winner IMMEDIATELY before the aside-rename
                 # (ADVICE r8: a winner publishing between the first
                 # check and here would get its COMPLETE store moved
                 # aside, leaving root briefly absent and the store
@@ -564,14 +587,14 @@ def ensure_index(
                 # and the post-rename sweep below closes even that.
                 aside = f"{root}.crashed.{os.getpid()}"
                 shutil.rmtree(aside, ignore_errors=True)
-                if os.path.exists(f"{root}/{MANIFEST}"):
+                if _layout_current(root):
                     shutil.rmtree(stage, ignore_errors=True)  # adopt winner
                 else:
                     try:
                         os.rename(root, aside)
                         os.rename(stage, root)
                     except OSError:
-                        if os.path.exists(f"{root}/{MANIFEST}"):
+                        if _layout_current(root):
                             shutil.rmtree(stage, ignore_errors=True)
                         else:
                             raise
@@ -1072,8 +1095,8 @@ def embedding_neardup_wide_from_index(spark: SparkSession, sf_dir: str) -> DataF
 def knn_graph_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_graph_wide over the persisted wide signature layout — graph
     construction as a store read: partition-pruned srp_sigs_wide scan +
-    the shared directed probe/confirm/rank plan (_knn_graph_from_sigs),
-    same oracle as the in-session form."""
+    the shared undirected probe/confirm + mirror/rank plan
+    (_knn_graph_from_sigs), same oracle as the in-session form."""
     from .similarity import SRP_WIDE_RADIUS, _knn_graph_from_sigs, _srp_probe_masks
 
     root = ensure_index(spark, sf_dir)

@@ -599,3 +599,43 @@ spark.stop()
     litter = [d for d in os.listdir(parent) if ".build." in d or ".crashed." in d]
     assert not litter, f"stage/aside litter after race: {litter}"
     assert os.path.exists(f"{root}/MANIFEST.json")
+
+
+def test_old_layout_store_upgraded_on_ensure(spark, tmp_path, monkeypatch):
+    """A FRESH store built by a pre-r9 engine (manifest present, no
+    srp_sigs_wide) must not short-circuit ensure_index into a root the
+    wide readers can't serve: _layout_current demotes it to the
+    takeover path, which rebuilds privately, republishes atomically,
+    and leaves the wide from_index twins answering — the engine-upgrade
+    contract of a long-lived shared index root."""
+    import os
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})
+    root = ix.ensure_index(spark, SF_DIR)
+    manifest_before = ix.read_manifest(root)
+
+    # simulate the pre-r9 layout: the manifest stays, the wide artifact
+    # doesn't exist yet
+    import shutil
+
+    shutil.rmtree(f"{root}/srp_sigs_wide")
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})  # new application
+    root2 = ix.ensure_index(spark, SF_DIR)
+    assert root2 == root
+    assert os.path.isdir(f"{root}/srp_sigs_wide"), "layout not upgraded"
+    m = ix.read_manifest(root)
+    assert m["srp_bits"] == manifest_before["srp_bits"]  # frozen params replayed
+    assert ix.knn_graph_wide_from_index(spark, SF_DIR).count() > 0
+
+    # and a CURRENT store still short-circuits (no rebuild storm)
+    calls = []
+    real_build = ix.build_index
+    monkeypatch.setattr(
+        ix, "build_index", lambda *a, **k: calls.append(1) or real_build(*a, **k)
+    )
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})
+    assert ix.ensure_index(spark, SF_DIR) == root
+    assert calls == []

@@ -14,6 +14,7 @@ Usage: python tools/scale_probe.py
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -200,7 +201,10 @@ def main() -> None:
     spark = get_spark("scale_probe")
     spark.range(1000).count()
     t0 = time.time()
-    build(spark)
+    if "--reuse" in sys.argv and os.path.isdir(f"{DST}/events.parquet"):
+        print("# reusing existing replicated dataset", file=sys.stderr)
+    else:
+        build(spark)
     build_s = round(time.time() - t0, 1)
 
     small = run(spark, SRC)
