@@ -144,6 +144,7 @@ EXTENDED = [
     "semantic_decontaminate_wide",
     "bpe_doc_tokens_from_index",
     "stream_index_build",
+    "stream_wide_sig_ingest",
     # round-6 continuation: semantic decontamination (batch + stream),
     # corpus diversity, online ANN serving, diversified retrieval
     "semantic_decontaminate",

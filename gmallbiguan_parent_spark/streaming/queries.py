@@ -764,6 +764,81 @@ def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_from_tables(bands, sets)
 
 
+def stream_wide_sig_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGESTION FOR THE WIDE VECTOR LAYOUT — the vecs twin
+    of stream_index_build (r9: the srp_sigs_wide artifact maintained by
+    a vector stream instead of a batch build): embeddings replay as a
+    multi-file stream, and each micro-batch writes ITS OWN vectors'
+    srp_tables_for(width) signature rows under idempotent batch_id
+    partitions. STATELESS by construction — a signature is a pure
+    per-row projection, so no cross-batch state exists in any arrival
+    order.
+
+    The signature WIDTH is frozen BEFORE the stream starts (from the
+    staged corpus count — exactly the manifest's frozen-parameter
+    contract: production fixes the layout at index creation and every
+    ingest batch applies it; re-deriving width per batch would shard
+    the table across incompatible layouts).
+
+    Proof obligation: the governed wide near-dup pair relation over the
+    STREAM-WRITTEN signature table must hash-match
+    embedding_neardup_multiprobe_wide's oracle verbatim — the
+    stream-built store carries the same information as the batch
+    build."""
+    from ..io import load_table
+    from ..operators.similarity import (
+        NEARDUP_COSINE, SRP_WIDE_RADIUS, _multiprobe_pairs_from,
+        _srp_probe_masks, _srp_signature, srp_bits_for, srp_tables_for,
+    )
+
+    stage = _scratch("swide_src_")
+    store = _scratch("swide_store_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus.repartition(4).write.mode("overwrite").parquet(f"{stage}/embeddings")
+    bits = srp_bits_for(corpus.count())   # frozen at ingest start
+    tables = srp_tables_for(bits)
+
+    schema = spark.read.parquet(f"{stage}/embeddings").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{stage}/embeddings")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = batch_df.repartition(n_part, "vec_id").select(
+            "vec_id", "v",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    _srp_signature(F.col("v"), t, bits).alias("sig"),
+                )
+                for t in range(tables)
+            ])).alias("b"),
+        ).select("vec_id", "v", "b.table_id", "b.sig")
+        sigs.write.mode("overwrite").parquet(
+            f"{store}/srp_sigs_wide/batch_id={batch_id}"
+        )
+
+    (
+        src.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{store}/_chk")
+        .start()
+        .awaitTermination()
+    )
+    sigs = spark.read.parquet(f"{store}/srp_sigs_wide").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    return _multiprobe_pairs_from(
+        sigs, _srp_probe_masks(bits, SRP_WIDE_RADIUS), NEARDUP_COSINE
+    )
+
+
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-stream model-based quality gating — the filter a crawl
     ingestion pipeline runs BEFORE anything lands: the linear quality
@@ -1140,6 +1215,7 @@ QUERIES = {
     "stream_incremental_neardup": stream_incremental_neardup_q,
     "stream_quality_gate": stream_quality_gate_q,
     "stream_index_build": stream_index_build_q,
+    "stream_wide_sig_ingest": stream_wide_sig_ingest_q,
     "stream_ngram_decontaminate": stream_ngram_decontaminate_q,
     "stream_rate_limit": stream_rate_limit_q,
     "stream_dedup_gate": stream_dedup_gate_q,
@@ -1204,6 +1280,7 @@ ORACLES = {
     # the stream-built index store must answer the batch dedup query
     # exactly — minhash_lsh_pairs' oracle verbatim
     "stream_index_build": _DEDUP_ORACLES["minhash_lsh_pairs"],
+    "stream_wide_sig_ingest": _SIM_ORACLES["embedding_neardup_multiprobe_wide"],
     # the streaming limiter must aggregate to EXACTLY the batch answer
     "stream_rate_limit": _QUALITY_ORACLES["rate_limited_events"],
     "stream_dedup_gate": _DEDUP_ORACLES["dedup_exact"],
