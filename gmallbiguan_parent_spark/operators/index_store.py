@@ -493,23 +493,36 @@ def refresh_index(
 _ROOT_CACHE: dict[tuple[str, str, str], str] = {}
 
 
+_FAMILY_ARTIFACTS = {
+    "docs": ("shingle_sets", "minhash_bands", "simhash_fp"),
+    "vecs": _VEC_ARTIFACTS,
+    "bpe": ("bpe_vocab",),
+}
+
+
 def _layout_current(root: str) -> bool:
     """True iff the store at root carries a readable manifest AND every
-    artifact directory the CURRENT code derives for its families. A
-    manifest written by an older engine layout (pre-r9 stores have no
-    srp_sigs_wide) would otherwise short-circuit the build and break
-    the wide from_index readers with a missing-path error; instead,
-    ensure_index demotes such a store to the takeover path, which
-    rebuilds privately and swaps it out atomically — the same
-    discipline as a crashed manifest-less root."""
+    artifact directory the CURRENT code derives for its families
+    (_FAMILY_ARTIFACTS — the general mechanism, so the NEXT
+    artifact-adding round inherits the upgrade path instead of
+    reproducing the missing-dir read failure). A manifest written by an
+    older engine layout (pre-r9 stores have no srp_sigs_wide) would
+    otherwise short-circuit the build and break the wide from_index
+    readers; instead, ensure_index demotes such a store to the takeover
+    path, which rebuilds privately and swaps it out atomically — the
+    same discipline as a crashed manifest-less root. Callers must run
+    _repair_compact FIRST: a crashed compaction swap leaves a healthy
+    artifact under _old_<name>, which must be healed, not rebuilt."""
     try:
         m = read_manifest(root)
     except Exception:
         return False
     fams = set(m.get("families", ("docs", "vecs", "bpe")))
-    if "vecs" in fams and not os.path.isdir(f"{root}/srp_sigs_wide"):
-        return False
-    return True
+    return all(
+        os.path.isdir(f"{root}/{art}")
+        for fam in fams
+        for art in _FAMILY_ARTIFACTS.get(fam, ())
+    )
 
 
 def ensure_index(
@@ -547,8 +560,15 @@ def ensure_index(
         import atexit
 
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-    if _layout_current(root):
-        _repair_compact(root)  # heal a crashed compaction swap, if any
+    has_manifest = os.path.exists(f"{root}/{MANIFEST}")
+    if has_manifest:
+        # heal a crashed compaction swap BEFORE judging the layout: a
+        # mid-swap artifact sits under _old_<name> and would otherwise
+        # read as a missing layout piece, demoting a healthy repairable
+        # store to a full rebuild (and a root takeover from a READER)
+        _repair_compact(root)
+    if has_manifest and _layout_current(root):
+        pass  # adopt as-is
         # NOTE: no _heal_uncommitted here — readers never see
         # above-watermark partitions (_read_artifact filters them), and
         # deleting them from a reader would race a concurrent
@@ -667,7 +687,13 @@ def compact_index(spark: SparkSession, root: str) -> dict[str, int]:
         src = f"{root}/{name}"
         if not os.path.isdir(src):
             continue
-        wm = m["vec_watermark"] if name in ("ivf_cells", "pq_codes", "srp_sigs") else m["doc_watermark"]
+        # family watermark by the SAME membership _read_artifact uses —
+        # a hand-listed tuple here once omitted srp_sigs_wide, folding
+        # it into ingest=<doc_watermark>, which the vec-watermark read
+        # filter then excluded ENTIRELY when doc_wm > vec_wm (silent
+        # empty reads after compaction; masked on test corpora where
+        # the two watermarks coincide)
+        wm = m["vec_watermark"] if name in _VEC_ARTIFACT_SET else m["doc_watermark"]
         stage = f"{root}/_compact_{name}"
         shutil.rmtree(stage, ignore_errors=True)
         # drop the discovered ingest column; the fold IS the new ingest
@@ -1072,6 +1098,21 @@ def embedding_neardup_pairs_from_index(spark: SparkSession, sf_dir: str) -> Data
     return _srp_pairs_from_sigs(sigs)
 
 
+def _wide_sigs_from_store(spark: SparkSession, sf_dir: str):
+    """(sigs, masks) from the persisted wide signature layout — THE
+    store-read path shared by every wide from_index twin and by
+    similarity._srp_wide_sigs' warm branch, so a change to the wide
+    artifact's columns or mask derivation happens in exactly one
+    place."""
+    from .similarity import SRP_WIDE_RADIUS, _srp_probe_masks
+
+    root = ensure_index(spark, sf_dir)
+    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    return sigs, _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+
+
 def embedding_neardup_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_neardup_multiprobe_wide over the PERSISTED wide
     signature layout: the production serving shape of the r9 governor —
@@ -1079,16 +1120,9 @@ def embedding_neardup_wide_from_index(spark: SparkSession, sf_dir: str) -> DataF
     a partition-pruned read + the hamming<=1 probe join. Same helper
     (_multiprobe_pairs_from), same oracle as the in-session wide form —
     the proof the persisted layout carries identical information."""
-    from .similarity import (
-        NEARDUP_COSINE, SRP_WIDE_RADIUS, _multiprobe_pairs_from, _srp_probe_masks,
-    )
+    from .similarity import NEARDUP_COSINE, _multiprobe_pairs_from
 
-    root = ensure_index(spark, sf_dir)
-    m = read_manifest(root)
-    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
-        "vec_id", "v", "table_id", "sig"
-    )
-    masks = _srp_probe_masks(m["srp_bits"], SRP_WIDE_RADIUS)
+    sigs, masks = _wide_sigs_from_store(spark, sf_dir)
     return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
 
 
@@ -1097,13 +1131,9 @@ def knn_graph_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as a store read: partition-pruned srp_sigs_wide scan +
     the shared undirected probe/confirm + mirror/rank plan
     (_knn_graph_from_sigs), same oracle as the in-session form."""
-    from .similarity import SRP_WIDE_RADIUS, _knn_graph_from_sigs, _srp_probe_masks
+    from .similarity import _knn_graph_from_sigs
 
-    root = ensure_index(spark, sf_dir)
-    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
-        "vec_id", "v", "table_id", "sig"
-    )
-    masks = _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+    sigs, masks = _wide_sigs_from_store(spark, sf_dir)
     return _knn_graph_from_sigs(sigs, masks)
 
 
@@ -1115,15 +1145,9 @@ def semantic_decontaminate_wide_from_index(
     derive fresh from the store's own bench signatures and broadcast
     against the stored corpus table; same oracle as the in-session
     form."""
-    from .similarity import (
-        SRP_WIDE_RADIUS, _sem_decon_wide_from_sigs, _srp_probe_masks,
-    )
+    from .similarity import _sem_decon_wide_from_sigs
 
-    root = ensure_index(spark, sf_dir)
-    sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
-        "vec_id", "v", "table_id", "sig"
-    )
-    masks = _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+    sigs, masks = _wide_sigs_from_store(spark, sf_dir)
     return _sem_decon_wide_from_sigs(sigs, masks)
 
 

@@ -1314,22 +1314,16 @@ def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[in
     wide-layout consumer (embedding_neardup_multiprobe_wide,
     knn_graph_wide, semantic_decontaminate_wide) so the layout and the
     probe masks can never drift between screens."""
-    import os
-
     from ..io import load_table_spread
     from .index_store import persisted_root
 
-    root = persisted_root(spark, sf_dir, "vecs")
-    if root and os.path.isdir(f"{root}/srp_sigs_wide"):
-        # warm environment (and the store carries the r9 wide layout —
-        # an older store without it falls through to live derivation)
-        from .index_store import _read_artifact, ensure_index, read_manifest
+    if persisted_root(spark, sf_dir, "vecs"):
+        # warm environment: persisted_root runs through ensure_index,
+        # whose layout guard rebuilds any pre-r9 store — a non-None
+        # root always carries the wide artifact
+        from .index_store import _wide_sigs_from_store
 
-        root = ensure_index(spark, sf_dir)
-        sigs = _read_artifact(spark, root, "srp_sigs_wide").select(
-            "vec_id", "v", "table_id", "sig"
-        )
-        return sigs, _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
+        return _wide_sigs_from_store(spark, sf_dir)
     emb = load_table_spread(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
@@ -1623,12 +1617,17 @@ def _sem_decon_wide_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
     vecs = sigs.filter(F.col("table_id") == 0).select(
         F.col("vec_id").alias("v_id"), "v"
     )
+    # only the BENCH vectors broadcast for the confirm (1/17 of the
+    # corpus — broadcasting the full vector table would ship 17x the
+    # bytes and blow the broadcast limit at the scale this screen is
+    # framed for; the join key is always a bench id)
+    bench_vecs = vecs.filter(F.col("v_id") % 17 == 0)
     cosine = F.round(
         _dot(F.col("cv.v"), F.col("bv.v")) / (_norm(F.col("cv.v")) * _norm(F.col("bv.v"))), 6
     )
     cand = (
         cand_ids.join(vecs.alias("cv"), cand_ids.vec_id == F.col("cv.v_id"))
-        .join(F.broadcast(vecs.alias("bv")), cand_ids.bench_id == F.col("bv.v_id"))
+        .join(F.broadcast(bench_vecs.alias("bv")), cand_ids.bench_id == F.col("bv.v_id"))
         .select("vec_id", "bench_id", cosine.alias("cosine"))
         .filter(F.col("cosine") >= SEM_DECON_REVIEW)
     )

@@ -639,3 +639,61 @@ def test_old_layout_store_upgraded_on_ensure(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ix, "_ROOT_CACHE", {})
     assert ix.ensure_index(spark, SF_DIR) == root
     assert calls == []
+
+
+def test_compact_preserves_wide_artifact_under_asymmetric_watermarks(
+    spark, tmp_path
+):
+    """compact_index folds each artifact into ingest=<family watermark>;
+    a hand-listed membership tuple once gave srp_sigs_wide the DOC
+    watermark, so on a corpus where doc_wm > vec_wm the compacted wide
+    partition sat ABOVE the vec watermark and _read_artifact filtered
+    the entire artifact out — silent empty reads after maintenance,
+    masked on corpora where the two watermarks coincide. Pin the fix:
+    membership comes from _VEC_ARTIFACT_SET, the same set the reader
+    uses."""
+    from gmallbiguan_parent_spark.operators import index_store as ix
+
+    root = str(tmp_path / "asym")
+    ix.build_index(spark, SF_DIR, root, vec_pred=F.col("vec_id") <= DOC_WM)
+    m = ix.read_manifest(root)
+    assert m["doc_watermark"] > m["vec_watermark"]  # the masking condition broken
+    before = {
+        name: ix._read_artifact(spark, root, name).count()
+        for name in ix._COMPACT_PARTS
+    }
+    ix.compact_index(spark, root)
+    after = {
+        name: ix._read_artifact(spark, root, name).count()
+        for name in ix._COMPACT_PARTS
+    }
+    assert after == before, f"compaction changed visible rows: {before} -> {after}"
+
+
+def test_crashed_wide_compaction_heals_without_rebuild(spark, tmp_path, monkeypatch):
+    """A compaction crash between the two renames leaves the healthy
+    artifact under _old_<name> — ensure_index must HEAL it (two renames)
+    before judging layout currency, never demote the store to a full
+    rebuild/takeover from a reader path."""
+    import os
+    import shutil
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})
+    root = ix.ensure_index(spark, SF_DIR)
+    # simulate the mid-swap crash: artifact moved aside, stage gone
+    os.replace(f"{root}/srp_sigs_wide", f"{root}/_old_srp_sigs_wide")
+
+    calls = []
+    real_build = ix.build_index
+    monkeypatch.setattr(
+        ix, "build_index", lambda *a, **k: calls.append(1) or real_build(*a, **k)
+    )
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})  # new application
+    assert ix.ensure_index(spark, SF_DIR) == root
+    assert calls == [], "crashed compaction must heal, not rebuild"
+    assert os.path.isdir(f"{root}/srp_sigs_wide")
+    assert not os.path.isdir(f"{root}/_old_srp_sigs_wide")
+    assert ix.embedding_neardup_wide_from_index(spark, SF_DIR).count() >= 0

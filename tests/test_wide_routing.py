@@ -85,14 +85,16 @@ def test_semantic_decontaminate_wide_flags_planted_leakage(spark, tmp_path):
     hits = 0
     for twin_id, bench_id in planted.items():
         r = flagged.get(twin_id)
-        if r is None:
-            continue
-        assert r.decision == "drop"
-        assert float(r.max_cosine) >= SEM_DECON_DROP
-        assert int(r.nearest_bench) == bench_id, (
-            f"twin {twin_id}: nearest_bench {r.nearest_bench} != planted {bench_id}"
-        )
-        hits += 1
+        # an LSH miss can still leave the twin flagged by a DIFFERENT
+        # bench vector at background cosine — that is the tolerated
+        # miss, not a failure, so count a hit only on the full contract
+        if (
+            r is not None
+            and r.decision == "drop"
+            and float(r.max_cosine) >= SEM_DECON_DROP
+            and int(r.nearest_bench) == bench_id
+        ):
+            hits += 1
     assert hits >= len(planted) - 1, (
-        f"only {hits}/{len(planted)} planted leaks flagged"
+        f"only {hits}/{len(planted)} planted leaks flagged with the right witness"
     )

@@ -201,7 +201,11 @@ def main() -> None:
     spark = get_spark("scale_probe")
     spark.range(1000).count()
     t0 = time.time()
-    if "--reuse" in sys.argv and os.path.isdir(f"{DST}/events.parquet"):
+    from gmallbiguan_parent_spark.io import TABLES
+
+    if "--reuse" in sys.argv and all(
+        os.path.isdir(f"{DST}/{t}.parquet") for t in TABLES
+    ):
         print("# reusing existing replicated dataset", file=sys.stderr)
     else:
         build(spark)

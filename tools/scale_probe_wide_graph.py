@@ -47,7 +47,7 @@ COPY_STRIDE = 1_000_000
 def build(spark) -> None:
     from pyspark.sql import functions as F
 
-    from gmallbiguan_parent_spark.io import TABLES, load_table
+    from gmallbiguan_parent_spark.io import load_table
     from tools.scale_probe_100x import _sign_pattern
 
     full = "/tmp/scale_100x/embeddings.parquet"
@@ -77,12 +77,7 @@ def build(spark) -> None:
         out.repartition(64).write.mode("overwrite").parquet(
             f"{DST}/embeddings.parquet"
         )
-    for name in TABLES:
-        if name == "embeddings":
-            continue
-        load_table(spark, SRC, name).write.mode("overwrite").parquet(
-            f"{DST}/{name}.parquet"
-        )
+    # the probed queries read ONLY embeddings — no other table copies
 
 
 def main() -> None:
