@@ -165,6 +165,16 @@ EXTENDED = [
     "length_batch_pad_stats",
     "dedup_method_agreement",
     "user_sequence_similarity",
+    # round-10: the design-band decontamination screen, the
+    # sketch-ranked capped k-NN graph + its overflow report, and the
+    # posting-capped prefix/containment twins + overflow reports
+    "semantic_decontaminate_band",
+    "knn_graph_wide_capped",
+    "knn_graph_candidate_overflow",
+    "prefix_jaccard_pairs_capped",
+    "prefix_posting_overflow",
+    "containment_pairs_capped",
+    "containment_posting_overflow",
 ]
 
 
@@ -254,12 +264,17 @@ def main() -> None:
         "queries_extended_warm": extended_warm,
     }))
     # Compact headline object as the FINAL line — this is the record
-    # the driver must be able to tail-capture and parse.
+    # the driver must be able to tail-capture and parse. Per-query WARM
+    # times and the calib pair ride inside it (VERDICT r9 #1) so any
+    # snapshot is self-normalizing: cold/warm divergence on a query =
+    # codegen/scan-cache cost, uniform cold drift at elevated calib =
+    # VM band, neither needs out-of-band prose to interpret.
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
         "value_warm": round(warm_total, 3),
         "calib_jvm_sec": calib_jvm,
         "calib_python_worker_sec": calib_py,

@@ -139,7 +139,38 @@ def _ordered_from_sets(sets: DataFrame) -> DataFrame:
     )
 
 
-def _prefix_candidates(sets: DataFrame, ordered: DataFrame | None = None) -> DataFrame:
+# Gate-scale posting budget for the capped prefix/containment twins
+# (VERDICT r9 #6): on the regenerated heavy-near-dup corpus the
+# complete forms are output-bound (290 s / 369 s at 10x) — correct by
+# contract, but a production corpus at that density wants the bounded
+# write + count-only overflow report simhash already has. Small enough
+# that the sf0.01 gate corpus overflows it (the SIMHASH_BUCKET_CAP
+# discipline — rarest-first prefix postings max out at 3 docs there,
+# so anything above 2 would leave the degraded path gate-unexercised);
+# production sizes it to the posting length where pairwise output
+# stops being actionable.
+POSTING_CAP = 2
+
+
+def _cap_postings(postings: DataFrame, tok_col: str, doc_col: str, cap: int) -> DataFrame:
+    """Keep the `cap` smallest doc ids of each token's posting list —
+    the pre-join budget (a window over POSTING rows, not pairs, so the
+    bound applies to compute, not just the write)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(tok_col).orderBy(doc_col)
+    return (
+        postings.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def _prefix_candidates(
+    sets: DataFrame,
+    ordered: DataFrame | None = None,
+    posting_cap: int | None = None,
+) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from rarest-first prefix overlap
     — shared by prefix_jaccard_pairs and its pruning test so the two
     can never drift on the prefix-length/ordering contract.
@@ -180,6 +211,8 @@ def _prefix_candidates(sets: DataFrame, ordered: DataFrame | None = None) -> Dat
         "n",
         F.posexplode(F.slice("arr", 1, L)).alias("p0", "tok"),
     ).select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
+    if posting_cap is not None:
+        prefix = _cap_postings(prefix, "tok", "doc_id", posting_cap)
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
     pa, pb = F.col("a.p"), F.col("b.p")
@@ -218,6 +251,26 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the verify join
     sets = _shingle_sets(spark, sf_dir)
     cand = _prefix_candidates(sets, _ordered_token_arrays(spark, sf_dir))
+    return _jaccard_verify(sets, cand)
+
+
+def _jaccard_verify(sets: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard confirm over candidate id pairs — shared by the
+    complete and posting-capped forms so verify semantics can't drift.
+
+    Verify-join shape, chosen for scale: sort-merge (MERGE hint) at
+    BOTH joins — candidates shuffle+sort on doc_a into the s_a join,
+    then the array-enriched candidates against the corpus table on
+    doc_b. SMJ is the only shape here that survives arbitrary scale:
+    three earlier shapes each died at a probe — the planner's own
+    choice broadcast every doc's arrays to every task; round 6's
+    F.broadcast(cand) of "just the ID pairs" computed a 6.5 GiB
+    broadcast at the 100x probe's 1M docs (candidate COUNT scales
+    with the corpus — no candidate-derived table is broadcastable,
+    however slim its rows); and SHUFFLE_HASH failed the same probe
+    with "can't acquire memory to build hash relation" (per-partition
+    build side = corpus/shuffle-partitions WITH arrays, x32
+    concurrent tasks — hash builds don't spill; sorts do)."""
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
@@ -226,19 +279,6 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.size("s_a") + F.size("s_b") - F.col("inter_ct")).cast("double"),
         6,
     )
-    # Verify-join shape, chosen for scale: sort-merge (MERGE hint) at
-    # BOTH joins — candidates shuffle+sort on doc_a into the s_a join,
-    # then the array-enriched candidates against the corpus table on
-    # doc_b. SMJ is the only shape here that survives arbitrary scale:
-    # three earlier shapes each died at a probe — the planner's own
-    # choice broadcast every doc's arrays to every task; round 6's
-    # F.broadcast(cand) of "just the ID pairs" computed a 6.5 GiB
-    # broadcast at the 100x probe's 1M docs (candidate COUNT scales
-    # with the corpus — no candidate-derived table is broadcastable,
-    # however slim its rows); and SHUFFLE_HASH failed the same probe
-    # with "can't acquire memory to build hash relation" (per-partition
-    # build side = corpus/shuffle-partitions WITH arrays, x32
-    # concurrent tasks — hash builds don't spill; sorts do).
     enriched = sa.hint("MERGE").join(cand.hint("MERGE"), "doc_a")
     return (
         sb.hint("MERGE").join(enriched.hint("MERGE"), "doc_b")
@@ -249,10 +289,54 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix_jaccard_pairs under the POSTING_CAP budget — the
+    graceful-degradation path for a boilerplate-dense corpus: within
+    each prefix token's posting list only the cap smallest doc_ids
+    join, so a token shared by s docs emits at most C(cap,2) candidate
+    pairs instead of C(s,2). Pairs among kept members keep exact
+    verify semantics; overflow is observable via
+    prefix_posting_overflow (production dedup handles a mega-cluster
+    via a representative, not pairwise output)."""
+    sets = _shingle_sets(spark, sf_dir)
+    cand = _prefix_candidates(
+        sets, _ordered_token_arrays(spark, sf_dir), posting_cap=POSTING_CAP
+    )
+    return _jaccard_verify(sets, cand)
+
+
+def prefix_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only overflow report paired with prefix_jaccard_pairs_capped
+    (the simhash_bucket_overflow discipline): how many prefix-token
+    posting lists exceed the cap, the worst list, and the pair slots
+    the cap dropped."""
+    num, den = 3, 5
+    ordered = _ordered_token_arrays(spark, sf_dir)
+    L = (
+        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("arr", 1, L)).alias("tok")
+    )
+    cap = F.lit(POSTING_CAP)
+    sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+    over = sizes.filter(F.col("sz") > cap)
+    return over.agg(
+        F.count(F.lit(1)).alias("over_tokens"),
+        F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
+        F.coalesce(
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2 - cap * (cap - 1) / 2).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("dropped_pair_slots"),
+    )
+
+
 CONTAINMENT_T = 0.8
 
 
-def _containment_candidates(ordered: DataFrame) -> DataFrame:
+def _containment_candidates(
+    ordered: DataFrame, posting_cap: int | None = None
+) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs for the asymmetric containment
     screen — factored out (the _prefix_candidates pattern) so the
     pruning test counts THIS DataFrame, not the verified output.
@@ -279,6 +363,9 @@ def _containment_candidates(ordered: DataFrame) -> DataFrame:
         F.col("n").alias("n_b"),
         F.posexplode("arr").alias("q0", "tok"),
     ).select("doc_b", "n_b", (F.col("q0") + 1).alias("p_b"), "tok")
+    if posting_cap is not None:
+        a_prefix = _cap_postings(a_prefix, "tok", "doc_a", posting_cap)
+        b_full = _cap_postings(b_full, "tok", "doc_b", posting_cap)
     na, nb, pa, pb = F.col("n_a"), F.col("n_b"), F.col("p_a"), F.col("p_b")
     ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
     return (
@@ -316,25 +403,76 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contained side against the persisted full-token index of the
     corpus — the standard containment-search layout."""
     sets = _shingle_sets(spark, sf_dir)
-    t = CONTAINMENT_T
-    ordered = _ordered_token_arrays(spark, sf_dir)
-    cand = _containment_candidates(ordered)
+    cand = _containment_candidates(_ordered_token_arrays(spark, sf_dir))
+    return _containment_verify(sets, cand)
+
+
+def _containment_verify(sets: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact containment confirm over candidate id pairs — shared by
+    the complete and posting-capped forms. Same verify-join shape as
+    _jaccard_verify: sort-merge at both joins — candidates are
+    corpus-scaled (a 6.5 GiB "ID-pair" broadcast and an unspillable
+    SHUFFLE_HASH build both died at the 100x probe), and only SMJ
+    spills."""
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     contain = F.round(
         F.col("inter_ct").cast("double") / F.size("s_a").cast("double"), 6
     )
-    # same verify-join shape as prefix_jaccard_pairs: sort-merge at
-    # both joins — candidates are corpus-scaled (a 6.5 GiB "ID-pair"
-    # broadcast and an unspillable SHUFFLE_HASH build both died at the
-    # 100x probe), and only SMJ spills
     enriched = sa.hint("MERGE").join(cand.hint("MERGE"), "doc_a")
     return (
         sb.hint("MERGE").join(enriched.hint("MERGE"), "doc_b")
         .withColumn("inter_ct", F.size(F.array_intersect("s_a", "s_b")))
         .select("doc_a", "doc_b", "inter_ct", contain.alias("containment"))
-        .filter(F.col("containment") >= t)
+        .filter(F.col("containment") >= CONTAINMENT_T)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containment_pairs under the POSTING_CAP budget: both posting
+    tables (the contained side's prefix postings AND the container
+    side's full postings) keep only the cap smallest doc_ids per
+    token, so a boilerplate token shared by s docs emits at most
+    cap^2 candidates instead of s^2. Pairs among kept members keep
+    exact verify semantics; overflow is observable via
+    containment_posting_overflow."""
+    sets = _shingle_sets(spark, sf_dir)
+    cand = _containment_candidates(
+        _ordered_token_arrays(spark, sf_dir), posting_cap=POSTING_CAP
+    )
+    return _containment_verify(sets, cand)
+
+
+def containment_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only overflow report paired with containment_pairs_capped:
+    one row per posting table (contained-prefix / container-full) —
+    lists over the cap, the worst list, and the posting rows dropped
+    (candidate-slot arithmetic is a cross product between the two
+    capped tables, so rows dropped per side is the honest metric)."""
+    num, den = 4, 5
+    ordered = _ordered_token_arrays(spark, sf_dir)
+    La = (
+        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+    ).cast("int")
+    cap = F.lit(POSTING_CAP)
+
+    def _report(postings: DataFrame, side: str) -> DataFrame:
+        sizes = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+        over = sizes.filter(F.col("sz") > cap)
+        return over.agg(
+            F.count(F.lit(1)).alias("over_tokens"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
+            F.coalesce(F.sum(F.col("sz") - cap), F.lit(0)).cast("bigint").alias("dropped_posting_rows"),
+        ).select(
+            F.lit(side).alias("side"),
+            "over_tokens", "max_posting", "dropped_posting_rows",
+        )
+
+    a_prefix = ordered.select("doc_id", F.explode(F.slice("arr", 1, La)).alias("tok"))
+    b_full = ordered.select("doc_id", F.explode("arr").alias("tok"))
+    return _report(a_prefix, "contained_prefix").unionAll(
+        _report(b_full, "container_full")
     )
 
 
@@ -1649,7 +1787,11 @@ QUERIES = {
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "source_shingle_overlap": source_shingle_overlap,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
+    "prefix_jaccard_pairs_capped": prefix_jaccard_pairs_capped,
+    "prefix_posting_overflow": prefix_posting_overflow,
     "containment_pairs": containment_pairs,
+    "containment_pairs_capped": containment_pairs_capped,
+    "containment_posting_overflow": containment_posting_overflow,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "simhash_pairs_capped": simhash_pairs_capped,
@@ -2214,6 +2356,126 @@ ORACLES["simhash_bucket_overflow"] = _DUCK_SIMHASH_BANDED + f"""
            CAST(COALESCE(SUM(sz * (sz - 1) / 2 - {SIMHASH_BUCKET_CAP} * ({SIMHASH_BUCKET_CAP} - 1) / 2), 0) AS BIGINT) AS dropped_pair_slots
     FROM (SELECT band_id, band_val, COUNT(*) AS sz FROM banded GROUP BY 1, 2)
     WHERE sz > {SIMHASH_BUCKET_CAP}
+"""
+
+# Ordered rarest-first postings for the prefix-filtering family's
+# capped twins (continues _DUCK_SHINGLES): global token frequency,
+# per-doc rarest-first arrays — the identical (tf, tok) sort key as
+# Spark's array_sort(collect_list(struct(tf, tok))).
+_DUCK_ORDERED = _DUCK_SHINGLES + """
+    , sh_tok AS (
+        SELECT doc_id, unnest(shingles) AS tok FROM sh
+    ), freq AS (
+        SELECT tok, COUNT(*) AS tf FROM sh_tok GROUP BY 1
+    ), ordered AS (
+        SELECT t.doc_id, list(t.tok ORDER BY f.tf, t.tok) AS arr,
+               COUNT(*) AS n
+        FROM sh_tok t JOIN freq f ON t.tok = f.tok GROUP BY t.doc_id
+    )
+"""
+
+ORACLES["prefix_jaccard_pairs_capped"] = _DUCK_ORDERED + f"""
+    , aprefix AS (
+        SELECT doc_id, n, r['p'] AS p, r['tok'] AS tok
+        FROM (SELECT doc_id, n,
+                     unnest([{{'p': i, 'tok': arr[i]}}
+                             for i in range(1, n - (3*n + 4)//5 + 2)]) AS r
+              FROM ordered)
+    ), kept AS (
+        SELECT doc_id, n, p, tok FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+            FROM aprefix
+        ) WHERE rk <= {POSTING_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+         AND b.n * 5 >= a.n * 3 AND b.n * 3 <= a.n * 5
+         AND (LEAST(a.p, b.p) + LEAST(a.n - a.p, b.n - b.p)) * 8 >= (a.n + b.n) * 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter_ct,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= {PREFIX_JACCARD_T}
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLES["prefix_posting_overflow"] = _DUCK_ORDERED + f"""
+    , aprefix AS (
+        SELECT doc_id, unnest(arr[1 : n - (3*n + 4)//5 + 1]) AS tok FROM ordered
+    ), sizes AS (
+        SELECT tok, COUNT(*) AS sz FROM aprefix GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS over_tokens,
+           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_posting,
+           CAST(COALESCE(SUM(sz * (sz - 1) // 2
+                - {POSTING_CAP * (POSTING_CAP - 1) // 2}), 0) AS BIGINT) AS dropped_pair_slots
+    FROM sizes WHERE sz > {POSTING_CAP}
+"""
+
+ORACLES["containment_pairs_capped"] = _DUCK_ORDERED + f"""
+    , aprefix AS (
+        SELECT doc_id AS doc_a, n AS n_a, r['p'] AS p_a, r['tok'] AS tok
+        FROM (SELECT doc_id, n,
+                     unnest([{{'p': i, 'tok': arr[i]}}
+                             for i in range(1, n - (4*n + 4)//5 + 2)]) AS r
+              FROM ordered)
+    ), bfull AS (
+        SELECT doc_id AS doc_b, n AS n_b, r['p'] AS p_b, r['tok'] AS tok
+        FROM (SELECT doc_id, n,
+                     unnest([{{'p': i, 'tok': arr[i]}}
+                             for i in range(1, n + 1)]) AS r
+              FROM ordered)
+    ), akept AS (
+        SELECT doc_a, n_a, p_a, tok FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_a) AS rk
+            FROM aprefix
+        ) WHERE rk <= {POSTING_CAP}
+    ), bkept AS (
+        SELECT doc_b, n_b, p_b, tok FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_b) AS rk
+            FROM bfull
+        ) WHERE rk <= {POSTING_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_a, b.doc_b
+        FROM akept a JOIN bkept b
+          ON a.tok = b.tok AND a.doc_a <> b.doc_b
+         AND b.n_b * 5 >= a.n_a * 4
+         AND (LEAST(a.p_a, b.p_b) + LEAST(a.n_a - a.p_a, b.n_b - b.p_b)) * 5 >= a.n_a * 4
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter_ct,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(sa.shingles) AS DOUBLE), 6) AS containment
+    FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) AS DOUBLE), 6) >= {CONTAINMENT_T}
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLES["containment_posting_overflow"] = _DUCK_ORDERED + f"""
+    , aprefix AS (
+        SELECT doc_id, unnest(arr[1 : n - (4*n + 4)//5 + 1]) AS tok FROM ordered
+    ), bfull AS (
+        SELECT doc_id, unnest(arr) AS tok FROM ordered
+    ), asz AS (SELECT tok, COUNT(*) AS sz FROM aprefix GROUP BY 1
+    ), bsz AS (SELECT tok, COUNT(*) AS sz FROM bfull GROUP BY 1)
+    SELECT 'contained_prefix' AS side,
+           CAST(COUNT(*) AS BIGINT) AS over_tokens,
+           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_posting,
+           CAST(COALESCE(SUM(sz - {POSTING_CAP}), 0) AS BIGINT) AS dropped_posting_rows
+    FROM asz WHERE sz > {POSTING_CAP}
+    UNION ALL
+    SELECT 'container_full' AS side,
+           CAST(COUNT(*) AS BIGINT) AS over_tokens,
+           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_posting,
+           CAST(COALESCE(SUM(sz - {POSTING_CAP}), 0) AS BIGINT) AS dropped_posting_rows
+    FROM bsz WHERE sz > {POSTING_CAP}
 """
 
 # Built after the dict so it can embed the neardup_clusters oracle as a

@@ -1143,6 +1143,169 @@ def _knn_graph_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
     )
 
 
+# Per-source confirm budget for the capped k-NN graph (VERDICT r9 #3
+# — the wide graph's 100x cost is candidate volume, and the named
+# lever is a candidate cap with recall accounting). Small enough that
+# the sf0.01 gate corpus actually overflows it, so the oracle
+# exercises the capped path for real (the SIMHASH_BUCKET_CAP
+# discipline); production would size it ~tables x bucket population.
+KNN_CAND_CAP = 64
+
+# Width of the RANKING sketch that orders candidates inside the cap: a
+# fixed-width SRP signature used only for ranking, decoupled from the
+# bucketing tables (whose total width varies with corpus size — at the
+# sf0.001 test width, 3 tables x 6 bits = 18 concatenated bits, far too
+# short to separate a design-point pair from background: measured
+# twin hamming 5 vs background median 6, 3 planted twins lost). At 48
+# bits the expected hammings are 48*acos(0.9)/pi ~ 6.9 (sigma 2.4) for
+# a design-point pair vs 48*acos(0.3)/pi ~ 19.4 (sigma 3.4) for
+# background — a ~3.5 sigma gap at EVERY corpus width, so the true
+# neighbors sort into the cap with ~certainty while costing one
+# xor+bit_count per candidate.
+KNN_RANK_BITS = 48
+
+
+def _rank_plane(plane: int) -> list[float]:
+    """Deterministic +-1 hyperplane for the ranking sketch — the
+    _srp_sign construction under its own namespace so the sketch
+    planes can never collide with any bucketing table's."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"srprank:{plane}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for d in range(SRP_DIM)
+    ]
+
+
+def _rank_sketch(v):
+    """48-bit SRP ranking sketch as a bigint column — same sign rule
+    as _srp_signature (dot rounded to 6 dp so both engines take the
+    same branch at the boundary)."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(KNN_RANK_BITS):
+        plane = F.array(*[F.lit(s) for s in _rank_plane(p)])
+        dot = F.round(_dot(v, plane), 6)
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph_wide under a PER-SOURCE confirm budget, candidates
+    ranked by a FIXED-WIDTH RANKING SKETCH — signature-distance
+    re-ranking (the SimHash-hamming ordering of Manku et al., WWW
+    2007) on a 48-bit SRP sketch that exists only to order candidates:
+    E[bit disagreement] = acos(cosine)/pi per bit, so a design-point
+    pair (0.9 cosine) sits at ~7 of 48 bits while background (~0.3)
+    sits at ~19 — a ~3.5 sigma gap, so the cap sheds only background
+    and design-point recall holds at any density (planted-twin test).
+    Two rejected rankings, both measured losing twins at the sf0.001
+    width: collision COUNT (a twin colliding in exactly 1 table ties
+    with hundreds of background 1-table candidates, 37/40) and
+    concatenated BUCKETING-table hamming (total width varies with the
+    corpus — 18 bits at test width, twin 5 vs background median 6).
+    The sketch is computed from the vectors on the fly (48 JVM dot
+    products per vector, one corpus scan, zero storage/manifest
+    change) and its width never varies, so the separation is
+    scale-stable.
+
+    Plan — the cap engages BEFORE any vector math: the probe join
+    emits directed ids, groupBy(src,dst) collapses per-table repeats
+    (the same shuffle the base form spends on dropDuplicates), each
+    side's 8-byte sketch joins in, a per-source window keeps the
+    KNN_CAND_CAP lowest by (sketch hamming ASC, dst ASC —
+    deterministic, oracle-replayable), and ONLY the capped set joins
+    the vector table for cosines: N x cap confirms instead of one per
+    distinct candidate (~20x fewer at the 100x probe's density).
+    Capped-away volume is observable via knn_graph_candidate_overflow."""
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
+
+
+def _knn_graph_capped_from_sigs(
+    sigs: DataFrame, masks: list[int], cap: int
+) -> DataFrame:
+    cand = _knn_wide_collision_counts(sigs, masks)
+    rsk = (
+        sigs.filter(F.col("table_id") == 0)
+        .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
+    )
+    ra, rb = rsk.alias("ra"), rsk.alias("rb")
+    hamming = F.bit_count(F.col("ra.rs").bitwiseXOR(F.col("rb.rs")))
+    capw = Window.partitionBy("src").orderBy(F.asc("hamming"), F.asc("dst"))
+    capped = (
+        cand.join(ra, cand.src == F.col("ra.vec_id"))
+        .join(rb, cand.dst == F.col("rb.vec_id"))
+        .select("src", "dst", hamming.alias("hamming"))
+        .withColumn("crk", F.row_number().over(capw))
+        .filter(F.col("crk") <= cap)
+        .select("src", "dst")
+    )
+    vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
+    va, vb = vecs.alias("va"), vecs.alias("vb")
+    cosine = F.round(
+        _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
+    )
+    scored = (
+        capped.join(va, capped.src == F.col("va.vec_id"))
+        .join(vb, capped.dst == F.col("vb.vec_id"))
+        .select("src", "dst", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "rank", "dst", "cosine")
+    )
+
+
+def _knn_wide_collision_counts(sigs: DataFrame, masks: list[int]) -> DataFrame:
+    """Directed candidate relation with per-pair collision counts:
+    (src, dst, ct) where ct = number of governed tables in which dst's
+    signature lies within the probe radius of src's — each of src's
+    probe keys in a table is a distinct mask, so at most one can match
+    dst there, making ct a clean 1..tables table-collision count."""
+    slim = sigs.select("vec_id", "table_id", "sig")
+    probes = slim.select(
+        "vec_id", "table_id",
+        F.explode(
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe_sig"),
+    )
+    a, b = probes.alias("a"), slim.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.probe_sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+
+def knn_graph_candidate_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-only overflow report paired with knn_graph_wide_capped
+    (the simhash_bucket_overflow discipline): how many source vectors
+    exceeded the confirm budget, the worst candidate list, and the
+    number of confirm slots the cap dropped — the recall accounting a
+    capped run ships instead of the unbounded confirm."""
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    cap = F.lit(KNN_CAND_CAP)
+    sizes = _knn_wide_collision_counts(sigs, masks).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    over = sizes.filter(F.col("n_cand") > cap)
+    return over.agg(
+        F.count(F.lit(1)).alias("over_sources"),
+        F.coalesce(F.max("n_cand"), F.lit(0)).cast("bigint").alias("max_candidates"),
+        F.coalesce(F.sum(F.col("n_cand") - cap), F.lit(0)).cast("bigint").alias("dropped_confirm_slots"),
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup family's
     embedding variant): candidate pairs share an SRP-LSH bucket in at
@@ -1589,9 +1752,48 @@ def semantic_decontaminate_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sem_decon_wide_from_sigs(sigs, masks)
 
 
-def _sem_decon_wide_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
+# The PRODUCTION thresholds of the decontamination screen on a DENSE
+# corpus (VERDICT r9 #2 — the same prose-vs-code gap the multiprobe
+# floor had): at the 100x probe's density every corpus vector has some
+# bench vector above the 0.25 exploration floor among its bucket-mates,
+# so the screen flagged 188,236 of ~188,230 vectors — a flag that
+# discriminates nothing. The band form reviews from the near-dup band
+# (NEARDUP_BAND_COSINE, margin under the design point so every
+# governed-recall leak still lands) and drops at the design point
+# itself; everything below the band is below any cosine the governor
+# certifies recall for, so flagging it was noise, not safety.
+SEM_DECON_BAND_REVIEW = NEARDUP_BAND_COSINE   # 0.8 — review floor
+SEM_DECON_BAND_DROP = SRP_DESIGN_COSINE       # 0.9 — certain leak
+
+
+def semantic_decontaminate_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production EMIT form of the wide decontamination screen:
+    same governed layout and recall contract as
+    semantic_decontaminate_wide, review/drop thresholds at the design
+    band instead of the exploration floor — the dense-corpus
+    saturation (SCALE_100X.md r9) never materializes because
+    sub-band cosines are filtered at the confirm, before the
+    per-vector window shuffle."""
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    return _sem_decon_wide_from_sigs(
+        sigs, masks,
+        review_cosine=SEM_DECON_BAND_REVIEW,
+        drop_cosine=SEM_DECON_BAND_DROP,
+    )
+
+
+def _sem_decon_wide_from_sigs(
+    sigs: DataFrame,
+    masks: list[int],
+    review_cosine: float = SEM_DECON_REVIEW,
+    drop_cosine: float = SEM_DECON_DROP,
+) -> DataFrame:
     """The bench-probe/broadcast/confirm plan shared by
-    semantic_decontaminate_wide and its persisted-index twin."""
+    semantic_decontaminate_wide, its design-band production form, and
+    the persisted-index twin. review_cosine gates candidate emission
+    (applied at the confirm, so the flagged set — and the window
+    shuffle behind hit_ct — is bounded by it); drop_cosine splits
+    drop from review among the flagged."""
     slim = sigs.select("vec_id", "table_id", "sig")
     corpus = slim.filter(F.col("vec_id") % 17 != 0)
     bench_probes = (
@@ -1629,7 +1831,7 @@ def _sem_decon_wide_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
         cand_ids.join(vecs.alias("cv"), cand_ids.vec_id == F.col("cv.v_id"))
         .join(F.broadcast(bench_vecs.alias("bv")), cand_ids.bench_id == F.col("bv.v_id"))
         .select("vec_id", "bench_id", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= SEM_DECON_REVIEW)
+        .filter(F.col("cosine") >= F.lit(review_cosine))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("bench_id"))
     wc = Window.partitionBy("vec_id")
@@ -1642,7 +1844,7 @@ def _sem_decon_wide_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
             "hit_ct",
             F.col("cosine").alias("max_cosine"),
             F.col("bench_id").alias("nearest_bench"),
-            F.when(F.col("cosine") >= SEM_DECON_DROP, F.lit("drop"))
+            F.when(F.col("cosine") >= F.lit(drop_cosine), F.lit("drop"))
             .otherwise(F.lit("review"))
             .alias("decision"),
         )
@@ -2304,8 +2506,11 @@ QUERIES = {
     "embedding_neardup_multiprobe_wide": embedding_neardup_multiprobe_wide,
     "knn_graph": knn_graph,
     "knn_graph_wide": knn_graph_wide,
+    "knn_graph_wide_capped": knn_graph_wide_capped,
+    "knn_graph_candidate_overflow": knn_graph_candidate_overflow,
     "semantic_decontaminate": semantic_decontaminate,
     "semantic_decontaminate_wide": semantic_decontaminate_wide,
+    "semantic_decontaminate_band": semantic_decontaminate_band,
     "ann_mmr_topk": ann_mmr_topk,
 }
 
@@ -2814,6 +3019,81 @@ def _multiprobe_oracle(threshold: float) -> str:
     """
 
 
+# Directed wide-probe candidate relation with per-pair table-collision
+# counts — shared by the capped k-NN graph oracle and its overflow
+# report so the two read the identical candidate set.
+_DUCK_KNN_WIDE_CAND = f"""
+    , probes AS (
+        SELECT vec_id, table_id,
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= {SRP_WIDE_RADIUS}),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM kept, bcfg
+    ), cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, COUNT(*) AS ct
+        FROM probes a JOIN kept b
+          ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _duck_rank_sketch_cte() -> str:
+    """The 48-bit ranking sketch as a DuckDB CTE over `vecs` — the
+    identical sign rule and plane literals as _rank_sketch, so both
+    engines order candidates by the same hamming."""
+    cases = " + ".join(
+        f"CASE WHEN ROUND(list_dot_product(v, "
+        f"[{', '.join(str(s) for s in _rank_plane(p))}]), 6) > 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        for p in range(KNN_RANK_BITS)
+    )
+    return f"""
+    , rsk AS (
+        SELECT vec_id, ({cases}) AS rs FROM vecs
+    )
+"""
+
+
+def _sem_decon_wide_oracle(review: float, drop: float) -> str:
+    """The wide decontamination relation at given review/drop
+    thresholds — shared by the exploration-floor gate entry and the
+    design-band production form so the two can never drift
+    structurally (the multiprobe _multiprobe_oracle discipline)."""
+    return _DUCK_SRP_SIGS_WIDE + f"""
+    , bprobes AS (
+        SELECT vec_id AS bench_id, table_id,
+               unnest(list_transform(
+                   list_filter(range(0, (1::BIGINT << bits)),
+                               m -> bit_count(m) <= {SRP_WIDE_RADIUS}),
+                   m -> xor(sig, m))) AS probe_sig
+        FROM kept, bcfg
+        WHERE vec_id % 17 = 0
+    ), cand_ids AS (
+        SELECT DISTINCT c.vec_id AS vec_id, b.bench_id AS bench_id
+        FROM kept c JOIN bprobes b
+          ON c.table_id = b.table_id AND c.sig = b.probe_sig
+        WHERE c.vec_id % 17 <> 0
+    ), cand AS (
+        SELECT i.vec_id, i.bench_id, {_duck_cos('cv.v', 'bv.v')} AS cosine
+        FROM cand_ids i JOIN vecs cv ON i.vec_id = cv.vec_id
+                        JOIN vecs bv ON i.bench_id = bv.vec_id
+        WHERE {_duck_cos('cv.v', 'bv.v')} >= {review}
+    ), ranked AS (
+        SELECT vec_id, bench_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, bench_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY vec_id) AS hit_ct
+        FROM cand
+    )
+    SELECT vec_id, CAST(hit_ct AS BIGINT) AS hit_ct, cosine AS max_cosine,
+           bench_id AS nearest_bench,
+           CASE WHEN cosine >= {drop} THEN 'drop' ELSE 'review' END AS decision
+    FROM ranked WHERE rn = 1
+    """
+
+
 ORACLES = {
     "ann_cosine_topk": _DUCK_SCORED + f"""
     SELECT query_id, CAST(rank AS INTEGER) AS rank, corpus_id, corpus_label, cosine
@@ -3125,37 +3405,42 @@ ORACLES = {
     SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
     FROM ranked WHERE rnk <= {KNN_GRAPH_K}
     """,
-    "semantic_decontaminate_wide": _DUCK_SRP_SIGS_WIDE + f"""
-    , bprobes AS (
-        SELECT vec_id AS bench_id, table_id,
-               unnest(list_transform(
-                   list_filter(range(0, (1::BIGINT << bits)),
-                               m -> bit_count(m) <= {SRP_WIDE_RADIUS}),
-                   m -> xor(sig, m))) AS probe_sig
-        FROM kept, bcfg
-        WHERE vec_id % 17 = 0
-    ), cand_ids AS (
-        SELECT DISTINCT c.vec_id AS vec_id, b.bench_id AS bench_id
-        FROM kept c JOIN bprobes b
-          ON c.table_id = b.table_id AND c.sig = b.probe_sig
-        WHERE c.vec_id % 17 <> 0
-    ), cand AS (
-        SELECT i.vec_id, i.bench_id, {_duck_cos('cv.v', 'bv.v')} AS cosine
-        FROM cand_ids i JOIN vecs cv ON i.vec_id = cv.vec_id
-                        JOIN vecs bv ON i.bench_id = bv.vec_id
-        WHERE {_duck_cos('cv.v', 'bv.v')} >= {SEM_DECON_REVIEW}
+    "knn_graph_wide_capped": _DUCK_SRP_SIGS_WIDE + _DUCK_KNN_WIDE_CAND
+    + _duck_rank_sketch_cte() + f"""
+    , capped AS (
+        SELECT c.src, c.dst,
+               ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY
+                   bit_count(xor(a.rs, b.rs)) ASC, c.dst ASC) AS crk
+        FROM cand c JOIN rsk a ON c.src = a.vec_id
+                    JOIN rsk b ON c.dst = b.vec_id
+    ), scored AS (
+        SELECT c.src, c.dst, {_duck_cos('va.v', 'vb.v')} AS cosine
+        FROM capped c JOIN vecs va ON c.src = va.vec_id
+                      JOIN vecs vb ON c.dst = vb.vec_id
+        WHERE c.crk <= {KNN_CAND_CAP}
     ), ranked AS (
-        SELECT vec_id, bench_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                   ORDER BY cosine DESC, bench_id ASC) AS rn,
-               COUNT(*) OVER (PARTITION BY vec_id) AS hit_ct
-        FROM cand
+        SELECT src, dst, cosine,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+        FROM scored
     )
-    SELECT vec_id, CAST(hit_ct AS BIGINT) AS hit_ct, cosine AS max_cosine,
-           bench_id AS nearest_bench,
-           CASE WHEN cosine >= {SEM_DECON_DROP} THEN 'drop' ELSE 'review' END AS decision
-    FROM ranked WHERE rn = 1
+    SELECT src, CAST(rnk AS INTEGER) AS rank, dst, cosine
+    FROM ranked WHERE rnk <= {KNN_GRAPH_K}
     """,
+    "knn_graph_candidate_overflow": _DUCK_SRP_SIGS_WIDE + _DUCK_KNN_WIDE_CAND + f"""
+    , sizes AS (
+        SELECT src, COUNT(*) AS n_cand FROM cand GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS over_sources,
+           CAST(COALESCE(MAX(n_cand), 0) AS BIGINT) AS max_candidates,
+           CAST(COALESCE(SUM(n_cand - {KNN_CAND_CAP}), 0) AS BIGINT) AS dropped_confirm_slots
+    FROM sizes WHERE n_cand > {KNN_CAND_CAP}
+    """,
+    "semantic_decontaminate_wide": _sem_decon_wide_oracle(
+        SEM_DECON_REVIEW, SEM_DECON_DROP
+    ),
+    "semantic_decontaminate_band": _sem_decon_wide_oracle(
+        SEM_DECON_BAND_REVIEW, SEM_DECON_BAND_DROP
+    ),
     "ann_mmr_topk": _mmr_oracle(),
     "semantic_decontaminate": _DUCK_SRP_SIGS + f"""
     , cand AS (

@@ -43,16 +43,20 @@ _MODULES = (
 _GATE_PRIORITY = (
     # warehouse parse/split/repair (P1-P8, F4-F5, F8)
     "json_parse_props", "log_split", "is_new_repair", "json_roundtrip", "order_age_summary",
-    # dedup/session/wide-join layer (ST4, J1-J3, S7-S8; P9's driver cover
-    # is stream_uv_dedup below — uv_daily rotated to the local gate, r9)
-    "user_jump", "order_wide", "payment_wide",
+    # dedup/session/wide-join layer (J1-J3, S7-S8; P9's driver cover is
+    # stream_uv_dedup below — uv_daily rotated to the local gate, r9;
+    # ST4's in-window cover is stream_jump_detect — the batch CEP twin
+    # user_jump rotated to the local gate with its r01-r09 driver
+    # certifications on record, freeing a slot for the r10 rotation)
+    "order_wide", "payment_wide",
     # windowed aggregates (A1-A4, U1-U3, J4-J5)
     "visitor_stats_window", "province_stats", "product_stats",
     "keyword_stats", "keyword_stats_cjk", "keyword_c2r_stack",
-    # the serving reads (S11, A5-A11 incl. the SPU twin, O1-O2, F7, F10;
-    # top_categories rotated to the local gate — A6's three-query surface
-    # keeps two in-window covers, freeing a slot for the r9 wide layout)
-    "gmv_daily", "top_trademarks", "top_spus", "visitor_new_rollup",
+    # the serving reads (S11, A5-A11, O1-O2, F7, F10; A6's three-query
+    # surface — trademark/category3/spu — keeps top_trademarks as its
+    # in-window cover; top_categories (r9) and top_spus (r10) rotated
+    # to the local gate with driver certifications on record)
+    "gmv_daily", "top_trademarks", "visitor_new_rollup",
     "visitor_hourly", "keyword_score", "province_rollup", "bounce_ratio",
     # CDC routing/pruning + SCD2 dim history + the round-8 closures:
     # auto-DDL (S9, TableProcessFunction.checkTable parity) and the
@@ -71,15 +75,20 @@ _GATE_PRIORITY = (
     # local-gated (decontamination semantics also sit inside the
     # curate_corpus capstone below)
     "dedup_exact", "minhash_lsh_pairs_from_index", "simhash_neardup_pairs",
-    # LLM-pipeline: similarity search — cold IVF, its persisted twin,
-    # the persisted SRP single-probe relation, and the r9 WIDE governor
-    # machinery (the tables-for-radius multiprobe + the wide-routed k-NN
-    # graph — this round's new surface, rotated in per the r8 #1
-    # discipline); the radius-form multiprobe rotates to the local gate
-    # with its driver certification on record in CORRECTNESS_r08/r09
-    "ann_ivf_topk", "ann_ivf_topk_from_index",
-    "embedding_neardup_pairs_from_index",
+    # LLM-pipeline: similarity search — the persisted IVF twin (the
+    # index build/publish/read path on top of the same relation; the
+    # cold-training form ann_ivf_topk rotates to the local gate with
+    # its r08/r09 driver certifications on record), the r9 WIDE
+    # governor machinery, and the r10 rotation per the r8 #1
+    # discipline: the production BAND emit form, the design-band
+    # decontamination screen, and the triangle p99 variant + streaming
+    # wide-signature ingest below (embedding_neardup_pairs_from_index
+    # rotates out — the index-store read path keeps two in-window
+    # covers via minhash_lsh_pairs_from_index + ann_ivf_topk_from_index)
+    "ann_ivf_topk_from_index",
     "embedding_neardup_multiprobe_wide", "knn_graph_wide",
+    "embedding_neardup_multiprobe_band", "semantic_decontaminate_wide",
+    "copurchase_triangles_p99", "stream_wide_sig_ingest",
     # LLM-pipeline: text analysis (lang_id/quality_buckets local-gated
     # to make room for the batched BPE trainer, VERDICT r8 #1)
     "token_count", "text_quality", "bpe_train_merges_batched",
