@@ -171,6 +171,8 @@ EXTENDED = [
     "semantic_decontaminate_band",
     "knn_graph_wide_capped",
     "knn_graph_candidate_overflow",
+    "knn_graph_capped_from_index",
+    "semantic_decontaminate_band_from_index",
     "prefix_jaccard_pairs_capped",
     "prefix_posting_overflow",
     "containment_pairs_capped",

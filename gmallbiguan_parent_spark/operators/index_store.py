@@ -1137,6 +1137,36 @@ def knn_graph_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_graph_from_sigs(sigs, masks)
 
 
+def knn_graph_capped_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph_wide_capped over the persisted wide signature layout:
+    the r10 sketch-ranked confirm budget as a store read — the ranking
+    sketch derives from the stored vectors on the fly (fixed-width,
+    zero manifest change), so the capped graph needs no new artifact;
+    same oracle as the in-session form."""
+    from .similarity import KNN_CAND_CAP, _knn_graph_capped_from_sigs
+
+    sigs, masks = _wide_sigs_from_store(spark, sf_dir)
+    return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
+
+
+def semantic_decontaminate_band_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """semantic_decontaminate_band over the persisted wide signature
+    layout: the design-band production screen as a store read; same
+    oracle as the in-session band form."""
+    from .similarity import (
+        SEM_DECON_BAND_DROP, SEM_DECON_BAND_REVIEW, _sem_decon_wide_from_sigs,
+    )
+
+    sigs, masks = _wide_sigs_from_store(spark, sf_dir)
+    return _sem_decon_wide_from_sigs(
+        sigs, masks,
+        review_cosine=SEM_DECON_BAND_REVIEW,
+        drop_cosine=SEM_DECON_BAND_DROP,
+    )
+
+
 def semantic_decontaminate_wide_from_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1295,7 +1325,9 @@ QUERIES = {
     "embedding_neardup_pairs_from_index": embedding_neardup_pairs_from_index,
     "embedding_neardup_wide_from_index": embedding_neardup_wide_from_index,
     "knn_graph_wide_from_index": knn_graph_wide_from_index,
+    "knn_graph_capped_from_index": knn_graph_capped_from_index,
     "semantic_decontaminate_wide_from_index": semantic_decontaminate_wide_from_index,
+    "semantic_decontaminate_band_from_index": semantic_decontaminate_band_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
     "bpe_doc_tokens_from_index": bpe_doc_tokens_from_index,
     "index_stats": index_stats,
@@ -1328,7 +1360,9 @@ ORACLES = {
     "embedding_neardup_pairs_from_index": _SIM_ORACLES["embedding_neardup_pairs"],
     "embedding_neardup_wide_from_index": _SIM_ORACLES["embedding_neardup_multiprobe_wide"],
     "knn_graph_wide_from_index": _SIM_ORACLES["knn_graph_wide"],
+    "knn_graph_capped_from_index": _SIM_ORACLES["knn_graph_wide_capped"],
     "semantic_decontaminate_wide_from_index": _SIM_ORACLES["semantic_decontaminate_wide"],
+    "semantic_decontaminate_band_from_index": _SIM_ORACLES["semantic_decontaminate_band"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],
     "bpe_doc_tokens_from_index": _TEXT_ORACLES["bpe_doc_tokens"],
     # closed-form artifact counts over the base tables (see docstring):

@@ -695,34 +695,21 @@ def stream_ngram_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).drop("batch_id")
 
 
-def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING INDEX INGESTION — the index_store maintained by a
-    document stream instead of a batch job: documents replay as a
-    multi-file stream (4 staged files at maxFilesPerTrigger=2 → two
-    micro-batches: still a real multi-batch ingest exercising the
-    idempotent per-batch partitions, at half the ~1-1.5 s/batch
-    micro-batch floor the r8 bench measured — VERDICT r8 #7),
-    and each micro-batch writes ITS OWN docs' shingle-set and
-    LSH-band artifact rows under idempotent batch_id partitions
-    (overwrite — an at-least-once retry replaces its own prior write).
-    STATELESS by construction: both artifacts are per-document, so no
-    cross-batch state exists at all, in any arrival order — the
-    property that makes index maintenance the easy half of streaming
-    ingest (the admission DECISIONS are the ledger problem;
-    stream_dedup_gate handles those).
-
-    The proof obligation: the stream-built store must carry the same
-    information as the batch build, so this query runs the banded LSH
-    near-dup pair generation (shared helper _lsh_pairs_from_tables)
-    over the STREAM-WRITTEN tables and must hash-match
-    minhash_lsh_pairs' oracle verbatim."""
-    from ..operators.dedup import _lsh_pairs_from_tables, _minhash_banded_from_sets, _shingles
+def _doc_index_ingest(
+    spark: SparkSession, sf_dir: str, stage: str, store: str, n_files: int = 4
+) -> None:
+    """The stage-then-stream ingest loop of stream_index_build: stage
+    documents as n_files parquet files, replay them as a
+    maxFilesPerTrigger=2 stream (n_files/2 micro-batches), each batch
+    writing its own docs' shingle-set and LSH-band rows under
+    idempotent batch_id partitions. Factored out so the 100x ingest
+    probe (tools/scale_probe_stream_ingest.py) times the IDENTICAL
+    loop the gate query runs, at a higher batch count."""
     from ..io import load_table
+    from ..operators.dedup import _minhash_banded_from_sets, _shingles
 
-    stage = _scratch("six_src_")
-    store = _scratch("six_store_")
     docs = load_table(spark, sf_dir, "documents")
-    docs.repartition(4).write.mode("overwrite").parquet(f"{stage}/documents")
+    docs.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/documents")
 
     schema = spark.read.parquet(f"{stage}/documents").schema
     src = (
@@ -757,6 +744,34 @@ def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
+
+
+def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INDEX INGESTION — the index_store maintained by a
+    document stream instead of a batch job: documents replay as a
+    multi-file stream (4 staged files at maxFilesPerTrigger=2 → two
+    micro-batches: still a real multi-batch ingest exercising the
+    idempotent per-batch partitions, at half the ~1-1.5 s/batch
+    micro-batch floor the r8 bench measured — VERDICT r8 #7),
+    and each micro-batch writes ITS OWN docs' shingle-set and
+    LSH-band artifact rows under idempotent batch_id partitions
+    (overwrite — an at-least-once retry replaces its own prior write).
+    STATELESS by construction: both artifacts are per-document, so no
+    cross-batch state exists at all, in any arrival order — the
+    property that makes index maintenance the easy half of streaming
+    ingest (the admission DECISIONS are the ledger problem;
+    stream_dedup_gate handles those).
+
+    The proof obligation: the stream-built store must carry the same
+    information as the batch build, so this query runs the banded LSH
+    near-dup pair generation (shared helper _lsh_pairs_from_tables)
+    over the STREAM-WRITTEN tables and must hash-match
+    minhash_lsh_pairs' oracle verbatim."""
+    from ..operators.dedup import _lsh_pairs_from_tables
+
+    stage = _scratch("six_src_")
+    store = _scratch("six_store_")
+    _doc_index_ingest(spark, sf_dir, stage, store)
     sets = spark.read.parquet(f"{store}/shingle_sets").select("doc_id", "s")
     bands = spark.read.parquet(f"{store}/minhash_bands").select(
         "doc_id", "band_id", "band_key"
@@ -785,19 +800,40 @@ def stream_wide_sig_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_neardup_multiprobe_wide's oracle verbatim — the
     stream-built store carries the same information as the batch
     build."""
-    from ..io import load_table
     from ..operators.similarity import (
         NEARDUP_COSINE, SRP_WIDE_RADIUS, _multiprobe_pairs_from,
-        _srp_probe_masks, _srp_signature, srp_bits_for, srp_tables_for,
+        _srp_probe_masks,
     )
 
     stage = _scratch("swide_src_")
     store = _scratch("swide_store_")
+    bits = _wide_sig_ingest(spark, sf_dir, stage, store)
+    sigs = spark.read.parquet(f"{store}/srp_sigs_wide").select(
+        "vec_id", "v", "table_id", "sig"
+    )
+    return _multiprobe_pairs_from(
+        sigs, _srp_probe_masks(bits, SRP_WIDE_RADIUS), NEARDUP_COSINE
+    )
+
+
+def _wide_sig_ingest(
+    spark: SparkSession, sf_dir: str, stage: str, store: str, n_files: int = 4
+) -> int:
+    """The stage-then-stream ingest loop of stream_wide_sig_ingest
+    (width frozen BEFORE the stream starts per the manifest contract;
+    stateless per-batch signature projection; idempotent batch_id
+    partitions). Factored out so the 100x ingest probe times the
+    IDENTICAL loop at a higher batch count. Returns the frozen bits."""
+    from ..io import load_table
+    from ..operators.similarity import (
+        _srp_signature, srp_bits_for, srp_tables_for,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    corpus.repartition(4).write.mode("overwrite").parquet(f"{stage}/embeddings")
+    corpus.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/embeddings")
     bits = srp_bits_for(corpus.count())   # frozen at ingest start
     tables = srp_tables_for(bits)
 
@@ -831,12 +867,7 @@ def stream_wide_sig_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    sigs = spark.read.parquet(f"{store}/srp_sigs_wide").select(
-        "vec_id", "v", "table_id", "sig"
-    )
-    return _multiprobe_pairs_from(
-        sigs, _srp_probe_masks(bits, SRP_WIDE_RADIUS), NEARDUP_COSINE
-    )
+    return bits
 
 
 def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
