@@ -525,6 +525,12 @@ def _layout_current(root: str) -> bool:
     )
 
 
+def _shared_root_path(base: str, sf_dir: str, variant: str) -> str:
+    """The stable shared-store path under SPARK_GRAFT_INDEX_DIR — one
+    derivation shared by ensure_index and persisted_root's pre-check."""
+    return os.path.join(base, sf_dir.strip("/").replace("/", "_"), variant)
+
+
 def ensure_index(
     spark: SparkSession, sf_dir: str, variant: str = "full", **build_kwargs
 ) -> str:
@@ -551,9 +557,7 @@ def ensure_index(
         del _ROOT_CACHE[k]
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     if base:
-        root = os.path.join(
-            base, sf_dir.strip("/").replace("/", "_"), variant
-        )
+        root = _shared_root_path(base, sf_dir, variant)
         os.makedirs(os.path.dirname(root), exist_ok=True)
     else:
         root = tempfile.mkdtemp(prefix=f"idx_{variant}_")
@@ -830,8 +834,23 @@ def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
     the maintenance owner (read paths never mutate shared state). The
     freshness check is one max() scan per (session, store, family,
     corpus-file signature) — a corpus mutation invalidates the memo, so
-    mid-session growth is seen by the very next query."""
-    if not os.environ.get("SPARK_GRAFT_INDEX_DIR"):
+    mid-session growth is seen by the very next query.
+
+    OLD-LAYOUT stores are likewise left alone (ADVICE r9): a published
+    manifest that fails _layout_current means a PREVIOUS engine version
+    owns this root — ensure_index would rebuild and atomically swap it,
+    which from a pure read path could race that version's maintenance
+    jobs (refresh/compact) mid-write during a mixed-version rollout.
+    The reader returns None (live derivation, correct at any layout)
+    and the upgrade happens on the first explicit index access
+    (ensure_index via a from_index query or the maintenance job) —
+    i.e. the takeover is an owner/index-path decision, never a side
+    effect of a serving query going warm."""
+    base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if not base:
+        return None
+    shared = _shared_root_path(base, sf_dir, "full")
+    if os.path.exists(f"{shared}/{MANIFEST}") and not _layout_current(shared):
         return None
     root = ensure_index(spark, sf_dir)
     m = read_manifest(root)

@@ -697,3 +697,32 @@ def test_crashed_wide_compaction_heals_without_rebuild(spark, tmp_path, monkeypa
     assert os.path.isdir(f"{root}/srp_sigs_wide")
     assert not os.path.isdir(f"{root}/_old_srp_sigs_wide")
     assert ix.embedding_neardup_wide_from_index(spark, SF_DIR).count() >= 0
+
+
+def test_persisted_root_never_takes_over_old_layout(spark, tmp_path, monkeypatch):
+    """ADVICE r9: the warm-path switch is a pure READ path — when the
+    shared root carries a PREVIOUS engine version's layout (published
+    manifest, missing a current-code artifact), persisted_root must
+    return None (live derivation) and leave the store byte-untouched,
+    instead of letting ensure_index rebuild and atomically swap a root
+    that version's maintenance jobs may be working on. The upgrade
+    remains an explicit-index-path decision (ensure_index — previous
+    test)."""
+    import os
+    import shutil
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})
+    root = ix.ensure_index(spark, SF_DIR)
+    shutil.rmtree(f"{root}/srp_sigs_wide")  # simulate the pre-r9 layout
+    manifest_mtime = os.path.getmtime(f"{root}/{ix.MANIFEST}")
+
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})  # new application
+    ix._FRESH_CACHE.clear()
+    assert ix.persisted_root(spark, SF_DIR, "vecs") is None
+    assert ix.persisted_root(spark, SF_DIR, "docs") is None
+    # the reader neither rebuilt the missing artifact nor republished
+    assert not os.path.isdir(f"{root}/srp_sigs_wide")
+    assert os.path.getmtime(f"{root}/{ix.MANIFEST}") == manifest_mtime
