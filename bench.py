@@ -173,6 +173,7 @@ EXTENDED = [
     "knn_graph_candidate_overflow",
     "knn_graph_capped_from_index",
     "semantic_decontaminate_band_from_index",
+    "embedding_neardup_wide_band",
     "prefix_jaccard_pairs_capped",
     "prefix_posting_overflow",
     "containment_pairs_capped",

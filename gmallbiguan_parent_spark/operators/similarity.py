@@ -1527,6 +1527,19 @@ def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataF
     return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
 
 
+def embedding_neardup_wide_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB DEFAULT of the governed near-dup screen: the wide
+    layout's compute lever (tables-for-radius — 408 s vs 1047 s at the
+    100x probe) COMPOSED with the band emit cut (the low-cosine tail
+    never materializes — the r9 band measurement showed the cut bounds
+    output, not wall time, so it costs nothing to stack on the cheaper
+    layout). Same candidates as embedding_neardup_multiprobe_wide,
+    emitted at NEARDUP_BAND_COSINE; every governed-recall pair still
+    lands (planted-twin tables in SCALE_100X.md)."""
+    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    return _multiprobe_pairs_from(sigs, masks, NEARDUP_BAND_COSINE)
+
+
 MMR_LAMBDA = "0.7"   # relevance weight — EXACT decimal strings, never
 MMR_OM = "0.3"       # floats: lambda*rel with rel at 6 dp lands on
                      # 7th-digit halves systematically, where Spark's
@@ -2504,6 +2517,7 @@ QUERIES = {
     "embedding_neardup_multiprobe": embedding_neardup_multiprobe,
     "embedding_neardup_multiprobe_band": embedding_neardup_multiprobe_band,
     "embedding_neardup_multiprobe_wide": embedding_neardup_multiprobe_wide,
+    "embedding_neardup_wide_band": embedding_neardup_wide_band,
     "knn_graph": knn_graph,
     "knn_graph_wide": knn_graph_wide,
     "knn_graph_wide_capped": knn_graph_wide_capped,
@@ -3366,6 +3380,7 @@ ORACLES = {
     "embedding_neardup_multiprobe": _multiprobe_oracle(NEARDUP_COSINE),
     "embedding_neardup_multiprobe_band": _multiprobe_oracle(NEARDUP_BAND_COSINE),
     "embedding_neardup_multiprobe_wide": _multiprobe_wide_oracle(NEARDUP_COSINE),
+    "embedding_neardup_wide_band": _multiprobe_wide_oracle(NEARDUP_BAND_COSINE),
     "knn_graph": _DUCK_SRP_SIGS + f"""
     , cand AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
