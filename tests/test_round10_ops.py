@@ -58,3 +58,36 @@ def test_containment_capped_is_engaged_subset(spark):
     )
     for k, v in capped.items():
         assert complete[k] == v
+
+
+def test_wide_band_is_wide_filtered_at_band_and_keeps_design_pairs(spark, tmp_path):
+    """embedding_neardup_wide_band is EXACTLY the wide form filtered at
+    NEARDUP_BAND_COSINE (the composition exists in code, not prose),
+    and every planted design-point twin pair survives it — the wide
+    governor's recall contract carries through the band cut."""
+    from tests.test_round9_ops import _planted_dir
+
+    from gmallbiguan_parent_spark.operators.similarity import (
+        NEARDUP_BAND_COSINE,
+        SRP_DESIGN_COSINE,
+        embedding_neardup_multiprobe_wide,
+        embedding_neardup_wide_band,
+    )
+
+    sf, planted = _planted_dir(spark, tmp_path, SRP_DESIGN_COSINE)
+    wide_rows = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_multiprobe_wide(spark, sf).collect()
+    }
+    band_rows = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_wide_band(spark, sf).collect()
+    }
+    assert band_rows == {
+        k: c for k, c in wide_rows.items() if c >= NEARDUP_BAND_COSINE
+    }
+    assert any(c < NEARDUP_BAND_COSINE for c in wide_rows.values())
+    recovered = planted & set(band_rows)
+    assert len(recovered) >= len(planted) - 1, (
+        f"only {len(recovered)}/{len(planted)} planted twins in the band output"
+    )
