@@ -152,6 +152,34 @@ def _ordered_from_sets(sets: DataFrame) -> DataFrame:
 POSTING_CAP = 2
 
 
+def _prefix_posting(ordered: DataFrame, num: int, den: int) -> DataFrame:
+    """(doc_id, n, p, tok) rarest-first PREFIX postings at threshold
+    t = num/den: prefix length n - ceil(t*n) + 1, computed as
+    n - (num*n + den-1) div den + 1 — pure integer arithmetic, and ONE
+    definition shared by the candidate joins, the capped twins, and
+    the posting-overflow reports so the recall accounting can never
+    drift from the postings the cap actually budgets."""
+    L = (
+        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
+    ).cast("int")
+    return ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("arr", 1, L)).alias("p0", "tok"),
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
+
+
+def _full_posting(ordered: DataFrame) -> DataFrame:
+    """(doc_id, n, p, tok) FULL postings (every token, 1-based
+    position) — the container side's index; one definition shared by
+    the containment candidate join and its overflow report."""
+    return ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode("arr").alias("q0", "tok"),
+    ).select("doc_id", "n", (F.col("q0") + 1).alias("p"), "tok")
+
+
 def _cap_postings(postings: DataFrame, tok_col: str, doc_col: str, cap: int) -> DataFrame:
     """Keep the `cap` smallest doc ids of each token's posting list —
     the pre-join budget (a window over POSTING rows, not pairs, so the
@@ -198,19 +226,11 @@ def _prefix_candidates(
     if ordered is None:
         ordered = _ordered_from_sets(sets)
     # t = 3/5 exactly; all bounds below are integer arithmetic:
-    #   prefix length  n - ceil(3n/5) + 1          -> n - (3n+4) div 5 + 1
     #   length filter  ceil(t*na) <= nb <= na/t    -> 5*nb >= 3*na AND 3*nb <= 5*na
     #   overlap bound  ceil(t/(1+t)*(na+nb))       -> 8*ubound >= 3*(na+nb)
     # (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)
     num, den = 3, 5
-    L = (
-        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
-    ).cast("int")
-    prefix = ordered.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.slice("arr", 1, L)).alias("p0", "tok"),
-    ).select("doc_id", "n", (F.col("p0") + 1).alias("p"), "tok")
+    prefix = _prefix_posting(ordered, num, den)
     if posting_cap is not None:
         prefix = _cap_postings(prefix, "tok", "doc_id", posting_cap)
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -310,14 +330,7 @@ def prefix_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the simhash_bucket_overflow discipline): how many prefix-token
     posting lists exceed the cap, the worst list, and the pair slots
     the cap dropped."""
-    num, den = 3, 5
-    ordered = _ordered_token_arrays(spark, sf_dir)
-    L = (
-        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
-    ).cast("int")
-    prefix = ordered.select(
-        "doc_id", F.explode(F.slice("arr", 1, L)).alias("tok")
-    )
+    prefix = _prefix_posting(_ordered_token_arrays(spark, sf_dir), 3, 5)
     cap = F.lit(POSTING_CAP)
     sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
     over = sizes.filter(F.col("sz") > cap)
@@ -350,19 +363,18 @@ def _containment_candidates(
       overlap bound  ubound >= ceil(4na/5)-> 5*ubound >= 4*na
     (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)."""
     num, den = 4, 5
-    La = (
-        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
-    ).cast("int")
-    a_prefix = ordered.select(
+    a_prefix = _prefix_posting(ordered, num, den).select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n_a"),
-        F.posexplode(F.slice("arr", 1, La)).alias("p0", "tok"),
-    ).select("doc_a", "n_a", (F.col("p0") + 1).alias("p_a"), "tok")
-    b_full = ordered.select(
+        F.col("p").alias("p_a"),
+        "tok",
+    )
+    b_full = _full_posting(ordered).select(
         F.col("doc_id").alias("doc_b"),
         F.col("n").alias("n_b"),
-        F.posexplode("arr").alias("q0", "tok"),
-    ).select("doc_b", "n_b", (F.col("q0") + 1).alias("p_b"), "tok")
+        F.col("p").alias("p_b"),
+        "tok",
+    )
     if posting_cap is not None:
         a_prefix = _cap_postings(a_prefix, "tok", "doc_a", posting_cap)
         b_full = _cap_postings(b_full, "tok", "doc_b", posting_cap)
@@ -450,11 +462,7 @@ def containment_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists over the cap, the worst list, and the posting rows dropped
     (candidate-slot arithmetic is a cross product between the two
     capped tables, so rows dropped per side is the honest metric)."""
-    num, den = 4, 5
     ordered = _ordered_token_arrays(spark, sf_dir)
-    La = (
-        F.col("n") - F.expr(f"({num} * n + {den - 1}) div {den}") + 1
-    ).cast("int")
     cap = F.lit(POSTING_CAP)
 
     def _report(postings: DataFrame, side: str) -> DataFrame:
@@ -469,10 +477,9 @@ def containment_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_tokens", "max_posting", "dropped_posting_rows",
         )
 
-    a_prefix = ordered.select("doc_id", F.explode(F.slice("arr", 1, La)).alias("tok"))
-    b_full = ordered.select("doc_id", F.explode("arr").alias("tok"))
-    return _report(a_prefix, "contained_prefix").unionAll(
-        _report(b_full, "container_full")
+    # the SAME posting projections the capped candidate join budgets
+    return _report(_prefix_posting(ordered, 4, 5), "contained_prefix").unionAll(
+        _report(_full_posting(ordered), "container_full")
     )
 
 

@@ -845,7 +845,11 @@ def persisted_root(spark: SparkSession, sf_dir: str, family: str) -> str | None:
     and the upgrade happens on the first explicit index access
     (ensure_index via a from_index query or the maintenance job) —
     i.e. the takeover is an owner/index-path decision, never a side
-    effect of a serving query going warm."""
+    effect of a serving query going warm. A mid-swap crashed
+    compaction reads the same way from here (artifact dir absent →
+    not layout-current → None): the reader serves live instead of
+    running _repair_compact, which is also a shared-state mutation —
+    the heal, like the upgrade, belongs to the explicit index path."""
     base = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     if not base:
         return None

@@ -1210,14 +1210,14 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-stable.
 
     Plan — the cap engages BEFORE any vector math: the probe join
-    emits directed ids, groupBy(src,dst) collapses per-table repeats
-    (the same shuffle the base form spends on dropDuplicates), each
-    side's 8-byte sketch joins in, a per-source window keeps the
-    KNN_CAND_CAP lowest by (sketch hamming ASC, dst ASC —
-    deterministic, oracle-replayable), and ONLY the capped set joins
-    the vector table for cosines: N x cap confirms instead of one per
-    distinct candidate (~20x fewer at the 100x probe's density).
-    Capped-away volume is observable via knn_graph_candidate_overflow."""
+    emits directed ids, dropDuplicates collapses per-table repeats
+    (the same shuffle the base form pays), each side's 8-byte sketch
+    joins in, a per-source window keeps the KNN_CAND_CAP lowest by
+    (sketch hamming ASC, dst ASC — deterministic, oracle-replayable),
+    and ONLY the capped set joins the vector table for cosines:
+    N x cap confirms instead of one per distinct candidate (~20x
+    fewer at the 100x probe's density). Capped-away volume is
+    observable via knn_graph_candidate_overflow."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
     return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
 
@@ -1225,10 +1225,14 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_graph_capped_from_sigs(
     sigs: DataFrame, masks: list[int], cap: int
 ) -> DataFrame:
-    cand = _knn_wide_collision_counts(sigs, masks)
+    cand = _knn_wide_candidates(sigs, masks)
+    # materialized once: the 48-plane projection feeds BOTH join
+    # branches (ra/rb) — without the checkpoint Spark evaluates the
+    # subplan once per branch, doubling the sketch cost
     rsk = (
         sigs.filter(F.col("table_id") == 0)
         .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
+        .localCheckpoint()
     )
     ra, rb = rsk.alias("ra"), rsk.alias("rb")
     hamming = F.bit_count(F.col("ra.rs").bitwiseXOR(F.col("rb.rs")))
@@ -1259,12 +1263,13 @@ def _knn_graph_capped_from_sigs(
     )
 
 
-def _knn_wide_collision_counts(sigs: DataFrame, masks: list[int]) -> DataFrame:
-    """Directed candidate relation with per-pair collision counts:
-    (src, dst, ct) where ct = number of governed tables in which dst's
-    signature lies within the probe radius of src's — each of src's
-    probe keys in a table is a distinct mask, so at most one can match
-    dst there, making ct a clean 1..tables table-collision count."""
+def _knn_wide_candidates(sigs: DataFrame, masks: list[int]) -> DataFrame:
+    """Distinct DIRECTED candidate relation (src, dst): dst's signature
+    lies within the probe radius of src's in at least one governed
+    table. Shared by the capped graph (which ranks candidates by the
+    ranking sketch, NOT by collision statistics) and its overflow
+    report, so the recall accounting counts exactly the candidates the
+    cap budgets."""
     slim = sigs.select("vec_id", "table_id", "sig")
     probes = slim.select(
         "vec_id", "table_id",
@@ -1280,10 +1285,8 @@ def _knn_wide_collision_counts(sigs: DataFrame, masks: list[int]) -> DataFrame:
             & (F.col("a.probe_sig") == F.col("b.sig"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
-        .groupBy(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -1295,7 +1298,7 @@ def knn_graph_candidate_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped run ships instead of the unbounded confirm."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
     cap = F.lit(KNN_CAND_CAP)
-    sizes = _knn_wide_collision_counts(sigs, masks).groupBy("src").agg(
+    sizes = _knn_wide_candidates(sigs, masks).groupBy("src").agg(
         F.count(F.lit(1)).alias("n_cand")
     )
     over = sizes.filter(F.col("n_cand") > cap)
@@ -3033,9 +3036,9 @@ def _multiprobe_oracle(threshold: float) -> str:
     """
 
 
-# Directed wide-probe candidate relation with per-pair table-collision
-# counts — shared by the capped k-NN graph oracle and its overflow
-# report so the two read the identical candidate set.
+# Distinct directed wide-probe candidate relation — shared by the
+# capped k-NN graph oracle and its overflow report so the two read the
+# identical candidate set (the _knn_wide_candidates mirror).
 _DUCK_KNN_WIDE_CAND = f"""
     , probes AS (
         SELECT vec_id, table_id,
@@ -3045,10 +3048,9 @@ _DUCK_KNN_WIDE_CAND = f"""
                    m -> xor(sig, m))) AS probe_sig
         FROM kept, bcfg
     ), cand AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst, COUNT(*) AS ct
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
         FROM probes a JOIN kept b
           ON a.table_id = b.table_id AND a.probe_sig = b.sig AND a.vec_id <> b.vec_id
-        GROUP BY 1, 2
     )
 """
 

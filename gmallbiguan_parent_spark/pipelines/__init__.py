@@ -80,9 +80,13 @@ _GATE_PRIORITY = (
     # cold-training form ann_ivf_topk rotates to the local gate with
     # its r08/r09 driver certifications on record), the r9 WIDE
     # governor machinery, and the r10 rotation per the r8 #1
-    # discipline: the production BAND emit form, the design-band
-    # decontamination screen, and the triangle p99 variant + streaming
-    # wide-signature ingest below (embedding_neardup_pairs_from_index
+    # discipline: the production BAND emit form, the WIDE
+    # decontamination screen (semantic_decontaminate_band — the
+    # design-band form — stays LOCAL-gated with its planted-leak test;
+    # it has NO driver certification on record, so do not rotate it
+    # out on the strength of this window), and the triangle p99
+    # variant + streaming wide-signature ingest below
+    # (embedding_neardup_pairs_from_index
     # rotates out — the index-store read path keeps two in-window
     # covers via minhash_lsh_pairs_from_index + ann_ivf_topk_from_index)
     "ann_ivf_topk_from_index",

@@ -103,10 +103,13 @@ def test_semantic_decontaminate_wide_flags_planted_leakage(spark, tmp_path):
 def test_knn_graph_wide_capped_keeps_design_point_recall(spark, tmp_path):
     """VERDICT r9 #3: the confirm-budget form must hold the SAME
     planted-twin mutual-rank-1 contract as the uncapped graph — the
-    collision-count ranking (a design-point pair collides in ~4 of the
-    9 governed tables vs ~0-1 for background) must sort every twin
-    into its source's capped candidate list even though the sf0.001
-    corpus overflows KNN_CAND_CAP for real."""
+    48-bit RANKING-SKETCH hamming (a design-point pair sits at ~7/48
+    differing bits vs ~19/48 for background, at every corpus width)
+    must sort every twin into its source's capped candidate list even
+    though the sf0.001 corpus overflows KNN_CAND_CAP for real.
+    (Collision-count ranking was measured FAILING this test at 37/40 —
+    see knn_graph_wide_capped's docstring — so do not 'simplify' the
+    ranking back to collision statistics.)"""
     from gmallbiguan_parent_spark.operators.similarity import (
         KNN_CAND_CAP,
         KNN_GRAPH_K,
