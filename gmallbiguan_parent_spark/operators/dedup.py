@@ -103,6 +103,15 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_JACCARD_T = 0.6
 
+# The EXACT rational of PREFIX_JACCARD_T — the single source for every
+# integer-arithmetic prefix/length/positional bound (ADVICE r10: the
+# candidate join and the posting-overflow report each carried a local
+# num,den=3,5; a one-sided change would silently budget different
+# postings than the capped join prunes). Consumed by _prefix_candidates,
+# prefix_posting_overflow, and the capped-twin DuckDB oracles.
+PREFIX_NUM, PREFIX_DEN = 3, 5
+assert PREFIX_NUM / PREFIX_DEN == PREFIX_JACCARD_T
+
 
 _ORDERED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -225,11 +234,12 @@ def _prefix_candidates(
     """
     if ordered is None:
         ordered = _ordered_from_sets(sets)
-    # t = 3/5 exactly; all bounds below are integer arithmetic:
+    # t = PREFIX_NUM/PREFIX_DEN exactly; all bounds below are integer
+    # arithmetic:
     #   length filter  ceil(t*na) <= nb <= na/t    -> 5*nb >= 3*na AND 3*nb <= 5*na
     #   overlap bound  ceil(t/(1+t)*(na+nb))       -> 8*ubound >= 3*(na+nb)
     # (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)
-    num, den = 3, 5
+    num, den = PREFIX_NUM, PREFIX_DEN
     prefix = _prefix_posting(ordered, num, den)
     if posting_cap is not None:
         prefix = _cap_postings(prefix, "tok", "doc_id", posting_cap)
@@ -330,21 +340,36 @@ def prefix_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the simhash_bucket_overflow discipline): how many prefix-token
     posting lists exceed the cap, the worst list, and the pair slots
     the cap dropped."""
-    prefix = _prefix_posting(_ordered_token_arrays(spark, sf_dir), 3, 5)
-    cap = F.lit(POSTING_CAP)
+    prefix = _prefix_posting(
+        _ordered_token_arrays(spark, sf_dir), PREFIX_NUM, PREFIX_DEN
+    )
+    return _posting_pair_overflow(prefix, POSTING_CAP)
+
+
+def _posting_pair_overflow(prefix: DataFrame, cap: int) -> DataFrame:
+    """(over_tokens, max_posting, dropped_pair_slots) for a posting
+    table under a pair-emitting cap — shared by the pinned and
+    quantile-derived overflow reports. dropped_pair_slots stays in
+    INTEGER arithmetic end to end (ADVICE r10: sz*(sz-1)/2 via double
+    division loses exactness past 2^53 — i.e. once a posting list
+    exceeds ~9.5e7 docs, the boilerplate density the cap exists for)."""
     sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
-    over = sizes.filter(F.col("sz") > cap)
+    over = sizes.filter(F.col("sz") > F.lit(cap))
+    dropped = F.expr(f"sz * (sz - 1) div 2 - {cap * (cap - 1) // 2}")
     return over.agg(
         F.count(F.lit(1)).alias("over_tokens"),
         F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
-        F.coalesce(
-            F.sum(F.col("sz") * (F.col("sz") - 1) / 2 - cap * (cap - 1) / 2).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("dropped_pair_slots"),
+        F.coalesce(F.sum(dropped), F.lit(0)).cast("bigint").alias("dropped_pair_slots"),
     )
 
 
 CONTAINMENT_T = 0.8
+
+# Exact rational of CONTAINMENT_T — same single-source discipline as
+# PREFIX_NUM/PREFIX_DEN (the candidate join, the overflow report, and
+# the DuckDB oracles all consume these).
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+assert CONTAIN_NUM / CONTAIN_DEN == CONTAINMENT_T
 
 
 def _containment_candidates(
@@ -362,7 +387,7 @@ def _containment_candidates(
       length filter  nb >= ceil(4*na/5)   -> 5*nb >= 4*na
       overlap bound  ubound >= ceil(4na/5)-> 5*ubound >= 4*na
     (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)."""
-    num, den = 4, 5
+    num, den = CONTAIN_NUM, CONTAIN_DEN
     a_prefix = _prefix_posting(ordered, num, den).select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n_a"),
@@ -478,9 +503,9 @@ def containment_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the SAME posting projections the capped candidate join budgets
-    return _report(_prefix_posting(ordered, 4, 5), "contained_prefix").unionAll(
-        _report(_full_posting(ordered), "container_full")
-    )
+    return _report(
+        _prefix_posting(ordered, CONTAIN_NUM, CONTAIN_DEN), "contained_prefix"
+    ).unionAll(_report(_full_posting(ordered), "container_full"))
 
 
 SRC_OVERLAP_TOP = 20
@@ -1372,16 +1397,17 @@ def simhash_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     run ships instead of the unbounded pair write."""
     sim, wide = _simhash_cached_fp(spark, sf_dir)
     banded = _simhash_banded(sim, wide)
-    cap = F.lit(SIMHASH_BUCKET_CAP)
     sizes = banded.groupBy("band_id", "band_val").agg(F.count("*").alias("sz"))
-    over = sizes.filter(F.col("sz") > cap)
+    over = sizes.filter(F.col("sz") > F.lit(SIMHASH_BUCKET_CAP))
+    # integer div end to end — the double-division form loses exactness
+    # past 2^53 pair slots (ADVICE r10, same fix as the posting reports)
+    dropped = F.expr(
+        f"sz * (sz - 1) div 2 - {SIMHASH_BUCKET_CAP * (SIMHASH_BUCKET_CAP - 1) // 2}"
+    )
     return over.agg(
         F.count("*").alias("over_buckets"),
         F.coalesce(F.max("sz"), F.lit(0)).alias("max_bucket"),
-        F.coalesce(
-            F.sum(F.col("sz") * (F.col("sz") - 1) / 2 - cap * (cap - 1) / 2).cast("long"),
-            F.lit(0),
-        ).alias("dropped_pair_slots"),
+        F.coalesce(F.sum(dropped), F.lit(0)).cast("long").alias("dropped_pair_slots"),
     )
 
 
@@ -2360,7 +2386,7 @@ ORACLES["simhash_pairs_capped"] = _DUCK_SIMHASH_BANDED + f"""
 ORACLES["simhash_bucket_overflow"] = _DUCK_SIMHASH_BANDED + f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS over_buckets,
            CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_bucket,
-           CAST(COALESCE(SUM(sz * (sz - 1) / 2 - {SIMHASH_BUCKET_CAP} * ({SIMHASH_BUCKET_CAP} - 1) / 2), 0) AS BIGINT) AS dropped_pair_slots
+           CAST(COALESCE(SUM(sz * (sz - 1) // 2 - {SIMHASH_BUCKET_CAP * (SIMHASH_BUCKET_CAP - 1) // 2}), 0) AS BIGINT) AS dropped_pair_slots
     FROM (SELECT band_id, band_val, COUNT(*) AS sz FROM banded GROUP BY 1, 2)
     WHERE sz > {SIMHASH_BUCKET_CAP}
 """
@@ -2386,7 +2412,7 @@ ORACLES["prefix_jaccard_pairs_capped"] = _DUCK_ORDERED + f"""
         SELECT doc_id, n, r['p'] AS p, r['tok'] AS tok
         FROM (SELECT doc_id, n,
                      unnest([{{'p': i, 'tok': arr[i]}}
-                             for i in range(1, n - (3*n + 4)//5 + 2)]) AS r
+                             for i in range(1, n - ({PREFIX_NUM}*n + {PREFIX_DEN - 1})//{PREFIX_DEN} + 2)]) AS r
               FROM ordered)
     ), kept AS (
         SELECT doc_id, n, p, tok FROM (
@@ -2397,8 +2423,8 @@ ORACLES["prefix_jaccard_pairs_capped"] = _DUCK_ORDERED + f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM kept a JOIN kept b
           ON a.tok = b.tok AND a.doc_id < b.doc_id
-         AND b.n * 5 >= a.n * 3 AND b.n * 3 <= a.n * 5
-         AND (LEAST(a.p, b.p) + LEAST(a.n - a.p, b.n - b.p)) * 8 >= (a.n + b.n) * 3
+         AND b.n * {PREFIX_DEN} >= a.n * {PREFIX_NUM} AND b.n * {PREFIX_NUM} <= a.n * {PREFIX_DEN}
+         AND (LEAST(a.p, b.p) + LEAST(a.n - a.p, b.n - b.p)) * {PREFIX_NUM + PREFIX_DEN} >= (a.n + b.n) * {PREFIX_NUM}
     )
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter_ct,
@@ -2414,7 +2440,7 @@ ORACLES["prefix_jaccard_pairs_capped"] = _DUCK_ORDERED + f"""
 
 ORACLES["prefix_posting_overflow"] = _DUCK_ORDERED + f"""
     , aprefix AS (
-        SELECT doc_id, unnest(arr[1 : n - (3*n + 4)//5 + 1]) AS tok FROM ordered
+        SELECT doc_id, unnest(arr[1 : n - ({PREFIX_NUM}*n + {PREFIX_DEN - 1})//{PREFIX_DEN} + 1]) AS tok FROM ordered
     ), sizes AS (
         SELECT tok, COUNT(*) AS sz FROM aprefix GROUP BY 1
     )
@@ -2430,7 +2456,7 @@ ORACLES["containment_pairs_capped"] = _DUCK_ORDERED + f"""
         SELECT doc_id AS doc_a, n AS n_a, r['p'] AS p_a, r['tok'] AS tok
         FROM (SELECT doc_id, n,
                      unnest([{{'p': i, 'tok': arr[i]}}
-                             for i in range(1, n - (4*n + 4)//5 + 2)]) AS r
+                             for i in range(1, n - ({CONTAIN_NUM}*n + {CONTAIN_DEN - 1})//{CONTAIN_DEN} + 2)]) AS r
               FROM ordered)
     ), bfull AS (
         SELECT doc_id AS doc_b, n AS n_b, r['p'] AS p_b, r['tok'] AS tok
@@ -2452,8 +2478,8 @@ ORACLES["containment_pairs_capped"] = _DUCK_ORDERED + f"""
         SELECT DISTINCT a.doc_a, b.doc_b
         FROM akept a JOIN bkept b
           ON a.tok = b.tok AND a.doc_a <> b.doc_b
-         AND b.n_b * 5 >= a.n_a * 4
-         AND (LEAST(a.p_a, b.p_b) + LEAST(a.n_a - a.p_a, b.n_b - b.p_b)) * 5 >= a.n_a * 4
+         AND b.n_b * {CONTAIN_DEN} >= a.n_a * {CONTAIN_NUM}
+         AND (LEAST(a.p_a, b.p_b) + LEAST(a.n_a - a.p_a, b.n_b - b.p_b)) * {CONTAIN_DEN} >= a.n_a * {CONTAIN_NUM}
     )
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter_ct,
@@ -2467,7 +2493,7 @@ ORACLES["containment_pairs_capped"] = _DUCK_ORDERED + f"""
 
 ORACLES["containment_posting_overflow"] = _DUCK_ORDERED + f"""
     , aprefix AS (
-        SELECT doc_id, unnest(arr[1 : n - (4*n + 4)//5 + 1]) AS tok FROM ordered
+        SELECT doc_id, unnest(arr[1 : n - ({CONTAIN_NUM}*n + {CONTAIN_DEN - 1})//{CONTAIN_DEN} + 1]) AS tok FROM ordered
     ), bfull AS (
         SELECT doc_id, unnest(arr) AS tok FROM ordered
     ), asz AS (SELECT tok, COUNT(*) AS sz FROM aprefix GROUP BY 1

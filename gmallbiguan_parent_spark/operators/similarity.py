@@ -1228,11 +1228,14 @@ def _knn_graph_capped_from_sigs(
     cand = _knn_wide_candidates(sigs, masks)
     # materialized once: the 48-plane projection feeds BOTH join
     # branches (ra/rb) — without the checkpoint Spark evaluates the
-    # subplan once per branch, doubling the sketch cost
+    # subplan once per branch, doubling the sketch cost. eager=False
+    # (ADVICE r10): the checkpoint job fires on first materialization,
+    # not at DataFrame construction, so merely building the capped
+    # graph's plan launches no Spark job.
     rsk = (
         sigs.filter(F.col("table_id") == 0)
         .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ra, rb = rsk.alias("ra"), rsk.alias("rb")
     hamming = F.bit_count(F.col("ra.rs").bitwiseXOR(F.col("rb.rs")))

@@ -39,6 +39,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from gmallbiguan_parent_spark.operators.similarity import (
+        KNN_CAND_CAP,
         knn_graph_wide,
         knn_graph_wide_capped,
         semantic_decontaminate_band,
@@ -122,7 +123,7 @@ def main() -> None:
         "",
         f"- knn_graph_wide_capped runs the 100x graph "
         f"{speedup:.1f}x faster than the uncapped form in the same "
-        f"session (confirm volume N x {64} instead of one cosine per "
+        f"session (confirm volume N x {KNN_CAND_CAP} instead of one cosine per "
         f"distinct candidate). Within-copy rank-1 recovery: uncapped "
         f"{recov['knn_graph_wide'][2]:.3f}, capped "
         f"{recov['knn_graph_wide_capped'][2]:.3f} — at this replication "
