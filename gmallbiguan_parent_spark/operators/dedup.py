@@ -18,7 +18,7 @@ to use it (oracle then checks rows-only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, load_table_spread
@@ -243,6 +243,14 @@ def _prefix_candidates(
     prefix = _prefix_posting(ordered, num, den)
     if posting_cap is not None:
         prefix = _cap_postings(prefix, "tok", "doc_id", posting_cap)
+    return _prefix_candidate_join(prefix)
+
+
+def _prefix_candidate_join(prefix: DataFrame) -> DataFrame:
+    """The length/positional-filtered posting self-join — shared by the
+    complete, pinned-cap, and quantile-cap candidate forms so the
+    pruning contract can never drift between them."""
+    num, den = PREFIX_NUM, PREFIX_DEN
     a, b = prefix.alias("a"), prefix.alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
     pa, pb = F.col("a.p"), F.col("b.p")
@@ -361,6 +369,102 @@ def _posting_pair_overflow(prefix: DataFrame, cap: int) -> DataFrame:
         F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
         F.coalesce(F.sum(dropped), F.lit(0)).cast("bigint").alias("dropped_pair_slots"),
     )
+
+
+# The PRODUCTION sizing of the posting budget (VERDICT r10 #2): instead
+# of the pinned gate-scale POSTING_CAP, derive the cap from the corpus's
+# OWN posting-length distribution — the copurchase_triangles_p99
+# discipline (graph.py): a 100 TB boilerplate-dense corpus sheds exactly
+# its top-(1-q) boilerplate tokens' excess postings, while an ordinary
+# corpus (whose p99 posting is short) keeps near-complete pairwise
+# output. The floor exists because a pair join under cap < 2 emits
+# nothing: 2 is the smallest budget that still produces pairs, and it
+# doubles as the gate-scale behavior (sf0.01 posting lengths are almost
+# all 1, so the raw p99 would be 1).
+POSTING_CAP_QUANTILE = 0.99
+POSTING_CAP_FLOOR = 2
+
+
+def _posting_cap_quantile(prefix: DataFrame) -> DataFrame:
+    """One-row (cap BIGINT) DataFrame: the POSTING_CAP_QUANTILE-th
+    posting length, floored at POSTING_CAP_FLOOR. The quantile is EXACT
+    but never funnels the token table through one task: posting lengths
+    histogram into at most max-length distinct values, the cumulative
+    sum windows over THAT bounded table, and the cap joins back as a
+    broadcast scalar (the copurchase_triangles_p99 plan). ceil(q*n) on
+    the shared float64 product keeps Spark and DuckDB on the same side
+    of any boundary (IEEE multiplication is deterministic)."""
+    sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("ct"))
+    wd = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("ct").over(wd))
+    n = sizes.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.ceil(F.lit(POSTING_CAP_QUANTILE) * F.col("n")))
+        .agg(
+            F.greatest(
+                F.coalesce(F.min("sz"), F.lit(POSTING_CAP_FLOOR).cast("bigint")),
+                F.lit(POSTING_CAP_FLOOR).cast("bigint"),
+            ).alias("cap")
+        )
+    )
+
+
+def _cap_postings_dyn(postings: DataFrame, tok_col: str, doc_col: str, cap_df: DataFrame) -> DataFrame:
+    """_cap_postings with the budget as a one-row broadcast scalar
+    instead of a Python literal — the data-derived cap path."""
+    w = Window.partitionBy(tok_col).orderBy(doc_col)
+    return (
+        postings.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap_df))
+        .filter(F.col("_rk") <= F.col("cap"))
+        .drop("_rk", "cap")
+    )
+
+
+def prefix_jaccard_pairs_capped_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix_jaccard_pairs under the QUANTILE-DERIVED posting budget —
+    the production form of the cap (VERDICT r10 #2): each prefix
+    token's posting list keeps its cap smallest doc_ids where cap is
+    the corpus's own p99 posting length (floored at 2), so the budget
+    adapts to the corpus the way copurchase_triangles_p99's hub
+    threshold adapts to the degree distribution — a densifying corpus
+    sheds exactly its boilerplate-token excess instead of (with a
+    pinned tiny cap) shedding nearly all true pairs. Verify semantics
+    are exact among kept members; the shed volume is observable via
+    prefix_posting_overflow_p99."""
+    sets = _shingle_sets(spark, sf_dir)
+    prefix = _prefix_posting(
+        _ordered_token_arrays(spark, sf_dir), PREFIX_NUM, PREFIX_DEN
+    )
+    cand = _prefix_candidate_join(
+        _cap_postings_dyn(prefix, "tok", "doc_id", _posting_cap_quantile(prefix))
+    )
+    return _jaccard_verify(sets, cand)
+
+
+def prefix_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-only overflow report paired with
+    prefix_jaccard_pairs_capped_p99 — same accounting as
+    prefix_posting_overflow, PLUS the derived cap itself so the report
+    is self-describing: a production operator reads (cap, dropped pair
+    slots) together to decide whether the shed volume warrants a
+    representative-based mega-cluster pass."""
+    prefix = _prefix_posting(
+        _ordered_token_arrays(spark, sf_dir), PREFIX_NUM, PREFIX_DEN
+    )
+    cap_df = _posting_cap_quantile(prefix)
+    sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+    over = sizes.crossJoin(F.broadcast(cap_df)).filter(F.col("sz") > F.col("cap"))
+    report = over.agg(
+        F.count(F.lit(1)).alias("over_tokens"),
+        F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
+        F.coalesce(
+            F.sum(F.expr("sz * (sz - 1) div 2 - cap * (cap - 1) div 2")), F.lit(0)
+        ).cast("bigint").alias("dropped_pair_slots"),
+    )
+    return cap_df.select(F.col("cap").cast("bigint").alias("cap")).crossJoin(report)
 
 
 CONTAINMENT_T = 0.8
@@ -1822,6 +1926,8 @@ QUERIES = {
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "prefix_jaccard_pairs_capped": prefix_jaccard_pairs_capped,
     "prefix_posting_overflow": prefix_posting_overflow,
+    "prefix_jaccard_pairs_capped_p99": prefix_jaccard_pairs_capped_p99,
+    "prefix_posting_overflow_p99": prefix_posting_overflow_p99,
     "containment_pairs": containment_pairs,
     "containment_pairs_capped": containment_pairs_capped,
     "containment_posting_overflow": containment_posting_overflow,
@@ -2449,6 +2555,65 @@ ORACLES["prefix_posting_overflow"] = _DUCK_ORDERED + f"""
            CAST(COALESCE(SUM(sz * (sz - 1) // 2
                 - {POSTING_CAP * (POSTING_CAP - 1) // 2}), 0) AS BIGINT) AS dropped_pair_slots
     FROM sizes WHERE sz > {POSTING_CAP}
+"""
+
+# Derived-cap CTE chain shared by the p99 twins: posting sizes, length
+# histogram, cumulative count, and the floored p99 cap — the exact
+# Spark plan (_posting_cap_quantile) replayed in SQL.
+_DUCK_PREFIX_CAP_P99 = f"""
+    , aprefix AS (
+        SELECT doc_id, n, r['p'] AS p, r['tok'] AS tok
+        FROM (SELECT doc_id, n,
+                     unnest([{{'p': i, 'tok': arr[i]}}
+                             for i in range(1, n - ({PREFIX_NUM}*n + {PREFIX_DEN - 1})//{PREFIX_DEN} + 2)]) AS r
+              FROM ordered)
+    ), sizes AS (
+        SELECT tok, COUNT(*) AS sz FROM aprefix GROUP BY 1
+    ), hist AS (
+        SELECT sz, COUNT(*) AS ct FROM sizes GROUP BY 1
+    ), cum AS (
+        SELECT sz, SUM(ct) OVER (ORDER BY sz) AS cum FROM hist
+    ), ncte AS (
+        SELECT COUNT(*) AS n FROM sizes
+    ), capq AS (
+        SELECT GREATEST(COALESCE(MIN(sz), {POSTING_CAP_FLOOR}), {POSTING_CAP_FLOOR}) AS cap
+        FROM cum, ncte WHERE cum >= CEIL({POSTING_CAP_QUANTILE} * n)
+    )
+"""
+
+ORACLES["prefix_jaccard_pairs_capped_p99"] = _DUCK_ORDERED + _DUCK_PREFIX_CAP_P99 + f"""
+    , kept AS (
+        SELECT doc_id, n, p, tok FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+            FROM aprefix
+        ) WHERE rk <= (SELECT cap FROM capq)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+         AND b.n * {PREFIX_DEN} >= a.n * {PREFIX_NUM} AND b.n * {PREFIX_NUM} <= a.n * {PREFIX_DEN}
+         AND (LEAST(a.p, b.p) + LEAST(a.n - a.p, b.n - b.p)) * {PREFIX_NUM + PREFIX_DEN} >= (a.n + b.n) * {PREFIX_NUM}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter_ct,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6) >= {PREFIX_JACCARD_T}
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLES["prefix_posting_overflow_p99"] = _DUCK_ORDERED + _DUCK_PREFIX_CAP_P99 + """
+    SELECT CAST(c.cap AS BIGINT) AS cap,
+           o.over_tokens, o.max_posting, o.dropped_pair_slots
+    FROM capq c CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS over_tokens,
+               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_posting,
+               CAST(COALESCE(SUM(sz * (sz - 1) // 2 - cap * (cap - 1) // 2), 0) AS BIGINT) AS dropped_pair_slots
+        FROM sizes, capq WHERE sz > cap) o
 """
 
 ORACLES["containment_pairs_capped"] = _DUCK_ORDERED + f"""

@@ -1497,6 +1497,13 @@ def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[in
     corpus = emb.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
+    return _wide_sigs_live(corpus)
+
+
+def _wide_sigs_live(corpus: DataFrame) -> tuple[DataFrame, list[int]]:
+    """(sigs, masks) derived live from a (vec_id, v) relation — the
+    cold path of _srp_wide_sigs, factored out so the planted-leak gate
+    variant computes the identical layout over its augmented corpus."""
     bits = srp_bits_for(corpus.count())
     tables = srp_tables_for(bits)
     sigs = corpus.select(
@@ -1794,6 +1801,67 @@ def semantic_decontaminate_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-band cosines are filtered at the confirm, before the
     per-vector window shuffle."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    return _sem_decon_wide_from_sigs(
+        sigs, masks,
+        review_cosine=SEM_DECON_BAND_REVIEW,
+        drop_cosine=SEM_DECON_BAND_DROP,
+    )
+
+
+# Planted-leak certification fixture for the band screen (VERDICT r10
+# #1): at gate scale the corpus contains no pair above the 0.8 band, so
+# semantic_decontaminate_band's oracle row hash-matched on 0 rows — a
+# vacuous certification. The testdata is read-only, so the plant is
+# DERIVED inside the query (and replayed verbatim by the oracle): for
+# every DECON_PLANT_EVERY-th benchmark vector the corpus gains
+#   - an EXACT COPY (cosine 1.0 — must flag at the drop point), and
+#   - a ZERO-PREFIX twin (first DECON_PLANT_ZERO_DIMS coords zeroed —
+#     cosine = sqrt(tail mass/total mass) ~ sqrt(1 - 20/64) ~ 0.83,
+#     the review band; zeroing is EXACT float arithmetic, so no
+#     cross-engine rounding argument is needed for the vector values).
+# Plant ids sit at huge offsets whose residue mod 17 is nonzero, so
+# they land corpus-side and never collide with real ids.
+DECON_PLANT_EVERY = 5                    # plant from every 5th bench vector
+DECON_PLANT_COPY_OFFSET = 1_000_000_001  # ≡ 8 (mod 17)
+DECON_PLANT_ZERO_OFFSET = 2_000_000_002  # ≡ 16 (mod 17)
+DECON_PLANT_ZERO_DIMS = 20
+
+assert DECON_PLANT_COPY_OFFSET % 17 != 0 and DECON_PLANT_ZERO_OFFSET % 17 != 0
+
+
+def _decon_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) of the corpus plus the derived plants."""
+    emb = load_table_spread(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    src = base.filter(F.col("vec_id") % (17 * DECON_PLANT_EVERY) == 0)
+    copies = src.select(
+        (F.col("vec_id") + F.lit(DECON_PLANT_COPY_OFFSET)).alias("vec_id"), "v"
+    )
+    zeroed = src.select(
+        (F.col("vec_id") + F.lit(DECON_PLANT_ZERO_OFFSET)).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.when(i < F.lit(DECON_PLANT_ZERO_DIMS), F.lit(0.0)).otherwise(x),
+        ).alias("v"),
+    )
+    return base.unionByName(copies).unionByName(zeroed)
+
+
+def semantic_decontaminate_band_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_decontaminate_band over the plant-augmented corpus —
+    the gate-certifiable form of the production decontamination
+    contract: identical screen (same _sem_decon_wide_from_sigs helper,
+    same band thresholds, same governed wide layout — bits/tables
+    re-derived from the augmented count), non-empty at sf0.01 because
+    the exact-copy plants are guaranteed drop-point hits (identical
+    SRP signatures → home-bucket collision in every table). On
+    unplanted ids the output must equal the unplanted screen's
+    (tests/test_round11_ops.py pins this), so the certification reads
+    onto semantic_decontaminate_band directly."""
+    sigs, masks = _wide_sigs_live(_decon_planted_corpus(spark, sf_dir))
     return _sem_decon_wide_from_sigs(
         sigs, masks,
         review_cosine=SEM_DECON_BAND_REVIEW,
@@ -2531,6 +2599,7 @@ QUERIES = {
     "semantic_decontaminate": semantic_decontaminate,
     "semantic_decontaminate_wide": semantic_decontaminate_wide,
     "semantic_decontaminate_band": semantic_decontaminate_band,
+    "semantic_decontaminate_band_planted": semantic_decontaminate_band_planted,
     "ann_mmr_topk": ann_mmr_topk,
 }
 
@@ -2956,9 +3025,33 @@ _DUCK_SRP_SIGS = (
 # governor could need (SRP_WIDE_TABLES_MAX), then `kept` filters to the
 # corpus-derived table count from tcfg — the table-count twin of the
 # width-adaptive bits CASE.
-_DUCK_SRP_SIGS_WIDE = (
+_DUCK_VECS_BASE = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+# The plant-augmented vecs relation (semantic_decontaminate_band_planted):
+# base corpus + exact copies + zero-prefix twins of every
+# DECON_PLANT_EVERY-th benchmark vector, ids at the plant offsets.
+# range(1, len+1) is 1-based like DuckDB array indexing; Spark's
+# transform zeroes the same first DECON_PLANT_ZERO_DIMS elements.
+_DUCK_VECS_PLANTED = f"""SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT CAST(vec_id + {DECON_PLANT_COPY_OFFSET} AS BIGINT), embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id % {17 * DECON_PLANT_EVERY} = 0
+        UNION ALL
+        SELECT CAST(vec_id + {DECON_PLANT_ZERO_OFFSET} AS BIGINT),
+               list_transform(range(1, len(embedding) + 1),
+                              i -> CASE WHEN i <= {DECON_PLANT_ZERO_DIMS}
+                                        THEN 0.0::DOUBLE
+                                        ELSE embedding[i]::DOUBLE END)
+        FROM embeddings WHERE vec_id % {17 * DECON_PLANT_EVERY} = 0"""
+
+
+def _duck_srp_sigs_wide(vecs_sql: str = _DUCK_VECS_BASE) -> str:
+    """The wide-governor signature CTE chain over an arbitrary vecs
+    relation — the default keeps every existing oracle byte-identical;
+    the planted gate variant passes its augmented relation."""
+    return (
     "\n    WITH vecs AS (\n"
-    "        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings\n"
+    "        " + vecs_sql + "\n"
     "    ), bcfg AS (\n"
     f"        SELECT LEAST({SRP_MAX_BITS}, GREATEST({SRP_BITS},\n"
     f"            CAST(CEIL(LOG2(GREATEST(COUNT(*), 2) / {SRP_TARGET_BUCKET}.0)) AS INTEGER))) AS bits\n"
@@ -2981,7 +3074,10 @@ _DUCK_SRP_SIGS_WIDE = (
     "        SELECT s.vec_id, s.v, s.table_id, s.sig FROM sigs s, tcfg\n"
     "        WHERE s.table_id < tcfg.tables\n"
     "    )\n"
-)
+    )
+
+
+_DUCK_SRP_SIGS_WIDE = _duck_srp_sigs_wide()
 
 
 def _multiprobe_wide_oracle(threshold: float) -> str:
@@ -3075,12 +3171,15 @@ def _duck_rank_sketch_cte() -> str:
 """
 
 
-def _sem_decon_wide_oracle(review: float, drop: float) -> str:
+def _sem_decon_wide_oracle(
+    review: float, drop: float, vecs_sql: str = _DUCK_VECS_BASE
+) -> str:
     """The wide decontamination relation at given review/drop
-    thresholds — shared by the exploration-floor gate entry and the
-    design-band production form so the two can never drift
-    structurally (the multiprobe _multiprobe_oracle discipline)."""
-    return _DUCK_SRP_SIGS_WIDE + f"""
+    thresholds — shared by the exploration-floor gate entry, the
+    design-band production form, and the planted certification fixture
+    so the three can never drift structurally (the multiprobe
+    _multiprobe_oracle discipline)."""
+    return _duck_srp_sigs_wide(vecs_sql) + f"""
     , bprobes AS (
         SELECT vec_id AS bench_id, table_id,
                unnest(list_transform(
@@ -3460,6 +3559,9 @@ ORACLES = {
     ),
     "semantic_decontaminate_band": _sem_decon_wide_oracle(
         SEM_DECON_BAND_REVIEW, SEM_DECON_BAND_DROP
+    ),
+    "semantic_decontaminate_band_planted": _sem_decon_wide_oracle(
+        SEM_DECON_BAND_REVIEW, SEM_DECON_BAND_DROP, _DUCK_VECS_PLANTED
     ),
     "ann_mmr_topk": _mmr_oracle(),
     "semantic_decontaminate": _DUCK_SRP_SIGS + f"""

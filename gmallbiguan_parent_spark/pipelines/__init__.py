@@ -79,19 +79,22 @@ _GATE_PRIORITY = (
     # index build/publish/read path on top of the same relation; the
     # cold-training form ann_ivf_topk rotates to the local gate with
     # its r08/r09 driver certifications on record), the r9 WIDE
-    # governor machinery, and the r10 rotation per the r8 #1
-    # discipline: the production BAND emit form, the WIDE
-    # decontamination screen (semantic_decontaminate_band — the
-    # design-band form — stays LOCAL-gated with its planted-leak test;
-    # it has NO driver certification on record, so do not rotate it
-    # out on the strength of this window), and the triangle p99
-    # variant + streaming wide-signature ingest below
-    # (embedding_neardup_pairs_from_index
-    # rotates out — the index-store read path keeps two in-window
-    # covers via minhash_lsh_pairs_from_index + ann_ivf_topk_from_index)
+    # governor machinery, and the r11 rotation per VERDICT r10 #1/#5:
+    # semantic_decontaminate_band_planted rotates IN — the band
+    # screen's certification fixture (exact-copy + zero-prefix plants
+    # derived inside the query make the oracle row NON-empty at
+    # sf0.01, and test_round11_ops pins that unplanted ids match
+    # semantic_decontaminate_band exactly, so the certification reads
+    # onto the production band contract); semantic_decontaminate_wide
+    # rotates to the local gate with its r10 driver certification on
+    # record. prefix_posting_overflow rotates IN (the recall-accounting
+    # family's first driver certification — the report a production
+    # capped dedup acts on); knn_graph_wide rotates to the local gate
+    # with its r9/r10 driver certifications (the wide-graph family
+    # keeps in-window cover via embedding_neardup_multiprobe_wide/band).
     "ann_ivf_topk_from_index",
-    "embedding_neardup_multiprobe_wide", "knn_graph_wide",
-    "embedding_neardup_multiprobe_band", "semantic_decontaminate_wide",
+    "embedding_neardup_multiprobe_wide", "prefix_posting_overflow",
+    "embedding_neardup_multiprobe_band", "semantic_decontaminate_band_planted",
     "copurchase_triangles_p99", "stream_wide_sig_ingest",
     # LLM-pipeline: text analysis (lang_id/quality_buckets local-gated
     # to make room for the batched BPE trainer, VERDICT r8 #1)

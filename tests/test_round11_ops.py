@@ -1,0 +1,104 @@
+"""Round-11 operator tests.
+
+1. The quantile-derived posting cap (VERDICT r10 #2): the production
+   sizing of the posting budget must (a) respect the floor that keeps
+   pair emission possible, (b) stay a subset of the complete form with
+   identical verify semantics, (c) dominate-or-equal the pinned
+   gate-scale cap (a p99-derived budget can never be SMALLER than the
+   floor, so it sheds no more than the pinned cap does), and (d) ship
+   a self-describing overflow report whose arithmetic is integer-exact.
+
+2. The planted-leak band-decontamination gate variant (VERDICT r10 #1):
+   the plant must make the band screen's output NON-empty at gate
+   scale — exact-copy plants confirmed at the drop point, and the
+   overall report consistent with the unplanted screen on unplanted
+   ids.
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_posting_cap_p99_floor_and_subset(spark):
+    from gmallbiguan_parent_spark.operators.dedup import (
+        POSTING_CAP_FLOOR,
+        prefix_jaccard_pairs,
+        prefix_jaccard_pairs_capped,
+        prefix_jaccard_pairs_capped_p99,
+        prefix_posting_overflow_p99,
+    )
+
+    over = prefix_posting_overflow_p99(spark, SF_DIR).collect()[0]
+    assert int(over.cap) >= POSTING_CAP_FLOOR
+    assert int(over.over_tokens) > 0, "derived cap never engaged — vacuous"
+    assert int(over.dropped_pair_slots) > 0
+    # integer pair-slot arithmetic: slots dropped from a list of sz docs
+    # is C(sz,2)-C(cap,2) — with max_posting and over_tokens it must
+    # bound the total
+    cap = int(over.cap)
+    mp = int(over.max_posting)
+    assert mp > cap
+    upper = int(over.over_tokens) * (mp * (mp - 1) // 2 - cap * (cap - 1) // 2)
+    assert 0 < int(over.dropped_pair_slots) <= upper
+
+    complete = {
+        (r.doc_a, r.doc_b): (r.inter_ct, r.jaccard)
+        for r in prefix_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    p99 = {
+        (r.doc_a, r.doc_b): (r.inter_ct, r.jaccard)
+        for r in prefix_jaccard_pairs_capped_p99(spark, SF_DIR).collect()
+    }
+    pinned = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_jaccard_pairs_capped(spark, SF_DIR).collect()
+    }
+    assert set(p99) <= set(complete)
+    for k, v in p99.items():
+        assert complete[k] == v
+    # derived cap >= pinned gate cap here, so the p99 form keeps at
+    # least every pair the pinned form keeps
+    assert pinned <= set(p99)
+
+
+def test_decontaminate_band_planted_flags_plants(spark):
+    from gmallbiguan_parent_spark.operators.similarity import (
+        DECON_PLANT_COPY_OFFSET,
+        DECON_PLANT_EVERY,
+        DECON_PLANT_ZERO_OFFSET,
+        SEM_DECON_BAND_DROP,
+        semantic_decontaminate_band,
+        semantic_decontaminate_band_planted,
+    )
+
+    rows = semantic_decontaminate_band_planted(spark, SF_DIR).collect()
+    assert rows, "planted gate variant emitted nothing — vacuous again"
+    by_id = {r.vec_id: r for r in rows}
+
+    # every exact-copy plant must be flagged at the drop point with its
+    # own source bench vector as (a) nearest and (b) cosine 1.0
+    copy_ids = [i for i in by_id if i >= DECON_PLANT_COPY_OFFSET
+                and i < DECON_PLANT_ZERO_OFFSET]
+    assert copy_ids, "no exact-copy plant was flagged"
+    for i in copy_ids:
+        r = by_id[i]
+        assert r.decision == "drop"
+        assert r.max_cosine == 1.0
+        assert r.nearest_bench == i - DECON_PLANT_COPY_OFFSET
+        assert (i - DECON_PLANT_COPY_OFFSET) % (17 * DECON_PLANT_EVERY) == 0
+
+    # the plant only ADDS rows: on unplanted ids the report must agree
+    # with the unplanted band screen exactly
+    base = {r.vec_id: r for r in semantic_decontaminate_band(spark, SF_DIR).collect()}
+    unplanted = {
+        i: r for i, r in by_id.items() if i < DECON_PLANT_COPY_OFFSET
+    }
+    assert set(unplanted) == set(base)
+    for i, r in unplanted.items():
+        assert (r.hit_ct, r.max_cosine, r.nearest_bench, r.decision) == (
+            base[i].hit_ct, base[i].max_cosine, base[i].nearest_bench, base[i].decision
+        )
+    assert all(
+        r.decision == "drop" for r in rows if r.max_cosine >= SEM_DECON_BAND_DROP
+    )
