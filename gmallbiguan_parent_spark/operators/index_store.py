@@ -1172,6 +1172,78 @@ def knn_graph_capped_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
 
 
+# The capped k-NN graph as a DERIVED TABLE of the store (VERDICT r10
+# #3): the r11 100x probe measured that re-deriving the graph from the
+# persisted signatures costs 420-563 s fresh at 200k vectors — only
+# ~1.1-1.5x under the 637 s no-store build, because the candidate
+# probe join + per-source budget window dominate and the store can
+# only remove the signature pass. A graph is not a query a warehouse
+# re-runs per session; it is a table it MATERIALIZES once per corpus
+# watermark and re-reads for pennies — the same build-once argument
+# that created the index store, applied one level up. _GRAPH_META.json
+# (leading underscore: invisible to parquet readers) is written LAST
+# and doubles as the commit marker; it pins the corpus watermark and
+# the (cap, k) contract, so a grown corpus or retuned budget makes the
+# artifact invisible and the reader falls back to live derivation
+# (readers never mutate shared state — republish is an explicit
+# maintenance call, like refresh_index).
+_GRAPH_META = "_GRAPH_META.json"
+
+
+def _graph_meta_current(root: str) -> bool:
+    from .similarity import KNN_CAND_CAP, KNN_GRAPH_K
+
+    p = f"{root}/knn_graph_capped/{_GRAPH_META}"
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        meta = json.load(f)
+    m = read_manifest(root)
+    return (
+        meta.get("vec_watermark") == m.get("vec_watermark")
+        and meta.get("cap") == KNN_CAND_CAP
+        and meta.get("k") == KNN_GRAPH_K
+    )
+
+
+def publish_knn_graph(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the capped k-NN graph into the store (single-owner
+    maintenance path, like refresh_index/compact_index): derive from
+    the persisted signatures, overwrite-write (retry-idempotent: a
+    crashed publish leaves no meta, so readers never see it), stamp
+    the watermark+budget meta last. No-op when the published graph is
+    already current."""
+    from .similarity import KNN_CAND_CAP, KNN_GRAPH_K
+
+    root = ensure_index(spark, sf_dir)
+    if _graph_meta_current(root):
+        return f"{root}/knn_graph_capped"
+    path = f"{root}/knn_graph_capped"
+    knn_graph_capped_from_index(spark, sf_dir).write.mode("overwrite").parquet(path)
+    m = read_manifest(root)
+    with open(f"{path}/{_GRAPH_META}", "w") as f:
+        json.dump(
+            {"vec_watermark": m.get("vec_watermark"),
+             "cap": KNN_CAND_CAP, "k": KNN_GRAPH_K}, f,
+        )
+    return path
+
+
+def knn_graph_capped_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-table lifecycle of the capped graph in one query:
+    publish once per corpus watermark (no-op when current), then READ
+    the materialized edges — the shape every later session under
+    SPARK_GRAFT_INDEX_DIR gets for the cost of a 4-column parquet scan
+    (the r11 100x probe: 420-563 s re-derivation -> seconds). Same
+    oracle as knn_graph_wide_capped: the artifact provably carries the
+    identical graph."""
+    publish_knn_graph(spark, sf_dir)
+    root = ensure_index(spark, sf_dir)
+    return spark.read.parquet(f"{root}/knn_graph_capped").select(
+        "src", "rank", "dst", "cosine"
+    )
+
+
 def semantic_decontaminate_band_from_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1349,6 +1421,7 @@ QUERIES = {
     "embedding_neardup_wide_from_index": embedding_neardup_wide_from_index,
     "knn_graph_wide_from_index": knn_graph_wide_from_index,
     "knn_graph_capped_from_index": knn_graph_capped_from_index,
+    "knn_graph_capped_published": knn_graph_capped_published,
     "semantic_decontaminate_wide_from_index": semantic_decontaminate_wide_from_index,
     "semantic_decontaminate_band_from_index": semantic_decontaminate_band_from_index,
     "incremental_neardup_from_index": incremental_neardup_from_index,
@@ -1384,6 +1457,7 @@ ORACLES = {
     "embedding_neardup_wide_from_index": _SIM_ORACLES["embedding_neardup_multiprobe_wide"],
     "knn_graph_wide_from_index": _SIM_ORACLES["knn_graph_wide"],
     "knn_graph_capped_from_index": _SIM_ORACLES["knn_graph_wide_capped"],
+    "knn_graph_capped_published": _SIM_ORACLES["knn_graph_wide_capped"],
     "semantic_decontaminate_wide_from_index": _SIM_ORACLES["semantic_decontaminate_wide"],
     "semantic_decontaminate_band_from_index": _SIM_ORACLES["semantic_decontaminate_band"],
     "incremental_neardup_from_index": _DEDUP_ORACLES["incremental_neardup"],

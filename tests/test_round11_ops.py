@@ -102,3 +102,52 @@ def test_decontaminate_band_planted_flags_plants(spark):
     assert all(
         r.decision == "drop" for r in rows if r.max_cosine >= SEM_DECON_BAND_DROP
     )
+
+
+def test_knn_graph_published_lifecycle(spark, tmp_path, monkeypatch):
+    """The capped graph as a derived store table (VERDICT r10 #3):
+    publish writes the artifact + commit meta, the read returns the
+    IDENTICAL graph, a re-publish is a no-op, and a stale meta
+    (corpus-watermark or budget drift) makes the artifact invisible so
+    the query re-derives and republishes instead of serving stale
+    edges."""
+    import json
+    import os
+
+    import gmallbiguan_parent_spark.operators.index_store as ix
+    from gmallbiguan_parent_spark.operators.similarity import knn_graph_wide_capped
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(ix, "_ROOT_CACHE", {})
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+
+    live = {
+        (r.src, r.rank, r.dst, r.cosine)
+        for r in knn_graph_wide_capped(spark, sf).collect()
+    }
+    pub = {
+        (r.src, r.rank, r.dst, r.cosine)
+        for r in ix.knn_graph_capped_published(spark, sf).collect()
+    }
+    assert pub == live and pub
+
+    root = ix.ensure_index(spark, sf)
+    meta_p = f"{root}/knn_graph_capped/{ix._GRAPH_META}"
+    assert ix._graph_meta_current(root)
+    mtime = os.path.getmtime(meta_p)
+    ix.publish_knn_graph(spark, sf)  # current → no-op, no rewrite
+    assert os.path.getmtime(meta_p) == mtime
+
+    # stale meta (pretend the corpus grew past the published watermark)
+    with open(meta_p) as f:
+        meta = json.load(f)
+    meta["vec_watermark"] = -1
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+    assert not ix._graph_meta_current(root)
+    again = {
+        (r.src, r.rank, r.dst, r.cosine)
+        for r in ix.knn_graph_capped_published(spark, sf).collect()
+    }
+    assert again == live
+    assert ix._graph_meta_current(root)  # republished + re-stamped
