@@ -491,8 +491,18 @@ def _containment_candidates(
       length filter  nb >= ceil(4*na/5)   -> 5*nb >= 4*na
       overlap bound  ubound >= ceil(4na/5)-> 5*ubound >= 4*na
     (k >= ceil(x/y) <=> y*k >= x for integer k and positive y)."""
-    num, den = CONTAIN_NUM, CONTAIN_DEN
-    a_prefix = _prefix_posting(ordered, num, den).select(
+    a_prefix, b_full = _containment_postings(ordered)
+    if posting_cap is not None:
+        a_prefix = _cap_postings(a_prefix, "tok", "doc_a", posting_cap)
+        b_full = _cap_postings(b_full, "tok", "doc_b", posting_cap)
+    return _containment_candidate_join(a_prefix, b_full)
+
+
+def _containment_postings(ordered: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(contained-prefix, container-full) posting projections — ONE
+    definition shared by the complete/pinned/quantile candidate forms
+    and the overflow reports."""
+    a_prefix = _prefix_posting(ordered, CONTAIN_NUM, CONTAIN_DEN).select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n_a"),
         F.col("p").alias("p_a"),
@@ -504,9 +514,13 @@ def _containment_candidates(
         F.col("p").alias("p_b"),
         "tok",
     )
-    if posting_cap is not None:
-        a_prefix = _cap_postings(a_prefix, "tok", "doc_a", posting_cap)
-        b_full = _cap_postings(b_full, "tok", "doc_b", posting_cap)
+    return a_prefix, b_full
+
+
+def _containment_candidate_join(a_prefix: DataFrame, b_full: DataFrame) -> DataFrame:
+    """The asymmetric length/positional-filtered posting join — shared
+    by the complete, pinned-cap, and quantile-cap candidate forms."""
+    num, den = CONTAIN_NUM, CONTAIN_DEN
     na, nb, pa, pb = F.col("n_a"), F.col("n_b"), F.col("p_a"), F.col("p_b")
     ubound = F.least(pa, pb) - 1 + F.lit(1) + F.least(na - pa, nb - pb)
     return (
@@ -610,6 +624,56 @@ def containment_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _report(
         _prefix_posting(ordered, CONTAIN_NUM, CONTAIN_DEN), "contained_prefix"
     ).unionAll(_report(_full_posting(ordered), "container_full"))
+
+
+def containment_pairs_capped_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """containment_pairs under PER-SIDE quantile-derived posting
+    budgets — the production sizing of the containment cap (the
+    prefix_jaccard_pairs_capped_p99 discipline applied to the
+    asymmetric screen): the contained-prefix and container-full posting
+    tables have different length distributions, so each side's cap is
+    ITS OWN p99 posting length (floored at 2). A boilerplate-dense
+    corpus sheds exactly its top-1% tokens' excess postings per side;
+    an ordinary corpus keeps near-complete output (at 1x the derived
+    caps keep every true pair — SCALE.md r11)."""
+    sets = _shingle_sets(spark, sf_dir)
+    a_prefix, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+    cand = _containment_candidate_join(
+        _cap_postings_dyn(a_prefix, "tok", "doc_a", _posting_cap_quantile(a_prefix)),
+        _cap_postings_dyn(b_full, "tok", "doc_b", _posting_cap_quantile(b_full)),
+    )
+    return _containment_verify(sets, cand)
+
+
+def containment_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-describing overflow report paired with
+    containment_pairs_capped_p99: one row per posting side, carrying
+    that side's derived cap, over-cap token count, worst list, and
+    dropped posting rows (the honest per-side metric — candidate slots
+    are a cross product between the two capped tables)."""
+    a_prefix, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+
+    def _report(postings: DataFrame, doc_col: str, side: str) -> DataFrame:
+        cap_df = _posting_cap_quantile(postings)
+        sizes = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+        j = sizes.crossJoin(F.broadcast(cap_df))
+        over = j.filter(F.col("sz") > F.col("cap"))
+        stats = over.agg(
+            F.count(F.lit(1)).alias("over_tokens"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
+            F.coalesce(F.sum(F.col("sz") - F.col("cap")), F.lit(0))
+            .cast("bigint").alias("dropped_posting_rows"),
+        )
+        return (
+            cap_df.select(F.col("cap").cast("bigint").alias("cap"))
+            .crossJoin(stats)
+            .select(F.lit(side).alias("side"), "cap", "over_tokens",
+                    "max_posting", "dropped_posting_rows")
+        )
+
+    return _report(a_prefix, "doc_a", "contained_prefix").unionAll(
+        _report(b_full, "doc_b", "container_full")
+    )
 
 
 SRC_OVERLAP_TOP = 20
@@ -1931,6 +1995,8 @@ QUERIES = {
     "containment_pairs": containment_pairs,
     "containment_pairs_capped": containment_pairs_capped,
     "containment_posting_overflow": containment_posting_overflow,
+    "containment_pairs_capped_p99": containment_pairs_capped_p99,
+    "containment_posting_overflow_p99": containment_posting_overflow_p99,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "simhash_pairs_capped": simhash_pairs_capped,
@@ -2654,6 +2720,88 @@ ORACLES["containment_pairs_capped"] = _DUCK_ORDERED + f"""
     WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                 / CAST(len(sa.shingles) AS DOUBLE), 6) >= {CONTAINMENT_T}
     ORDER BY doc_a, doc_b
+"""
+
+def _duck_side_cap(tag: str, sizes_rel: str) -> str:
+    """hist/cum/count/cap CTE chain deriving one posting side's
+    p99-floored cap — the _posting_cap_quantile plan in SQL, emitted
+    once per side under a unique tag."""
+    return f"""
+    , {tag}hist AS (
+        SELECT sz, COUNT(*) AS ct FROM {sizes_rel} GROUP BY 1
+    ), {tag}cum AS (
+        SELECT sz, SUM(ct) OVER (ORDER BY sz) AS cum FROM {tag}hist
+    ), {tag}n AS (
+        SELECT COUNT(*) AS n FROM {sizes_rel}
+    ), {tag}cap AS (
+        SELECT GREATEST(COALESCE(MIN(sz), {POSTING_CAP_FLOOR}), {POSTING_CAP_FLOOR}) AS cap
+        FROM {tag}cum, {tag}n WHERE cum >= CEIL({POSTING_CAP_QUANTILE} * n)
+    )"""
+
+
+# Shared posting projections + per-side sizes for the containment p99
+# twins (same aprefix/bfull shapes as the pinned-cap oracles).
+_DUCK_CONTAIN_P99_BASE = _DUCK_ORDERED + f"""
+    , aprefix AS (
+        SELECT doc_id AS doc_a, n AS n_a, r['p'] AS p_a, r['tok'] AS tok
+        FROM (SELECT doc_id, n,
+                     unnest([{{'p': i, 'tok': arr[i]}}
+                             for i in range(1, n - ({CONTAIN_NUM}*n + {CONTAIN_DEN - 1})//{CONTAIN_DEN} + 2)]) AS r
+              FROM ordered)
+    ), bfull AS (
+        SELECT doc_id AS doc_b, n AS n_b, r['p'] AS p_b, r['tok'] AS tok
+        FROM (SELECT doc_id, n,
+                     unnest([{{'p': i, 'tok': arr[i]}}
+                             for i in range(1, n + 1)]) AS r
+              FROM ordered)
+    ), asz AS (SELECT tok, COUNT(*) AS sz FROM aprefix GROUP BY 1
+    ), bsz AS (SELECT tok, COUNT(*) AS sz FROM bfull GROUP BY 1)
+""" + _duck_side_cap("a", "asz") + _duck_side_cap("b", "bsz")
+
+ORACLES["containment_pairs_capped_p99"] = _DUCK_CONTAIN_P99_BASE + f"""
+    , akept AS (
+        SELECT doc_a, n_a, p_a, tok FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_a) AS rk
+            FROM aprefix
+        ) WHERE rk <= (SELECT cap FROM acap)
+    ), bkept AS (
+        SELECT doc_b, n_b, p_b, tok FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_b) AS rk
+            FROM bfull
+        ) WHERE rk <= (SELECT cap FROM bcap)
+    ), cand AS (
+        SELECT DISTINCT a.doc_a, b.doc_b
+        FROM akept a JOIN bkept b
+          ON a.tok = b.tok AND a.doc_a <> b.doc_b
+         AND b.n_b * {CONTAIN_DEN} >= a.n_a * {CONTAIN_NUM}
+         AND (LEAST(a.p_a, b.p_b) + LEAST(a.n_a - a.p_a, b.n_b - b.p_b)) * {CONTAIN_DEN} >= a.n_a * {CONTAIN_NUM}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter_ct,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(sa.shingles) AS DOUBLE), 6) AS containment
+    FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+    WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(sa.shingles) AS DOUBLE), 6) >= {CONTAINMENT_T}
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLES["containment_posting_overflow_p99"] = _DUCK_CONTAIN_P99_BASE + """
+    SELECT 'contained_prefix' AS side, CAST(c.cap AS BIGINT) AS cap,
+           o.over_tokens, o.max_posting, o.dropped_posting_rows
+    FROM acap c CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS over_tokens,
+               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_posting,
+               CAST(COALESCE(SUM(sz - cap), 0) AS BIGINT) AS dropped_posting_rows
+        FROM asz, acap WHERE sz > cap) o
+    UNION ALL
+    SELECT 'container_full', CAST(c.cap AS BIGINT),
+           o.over_tokens, o.max_posting, o.dropped_posting_rows
+    FROM bcap c CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS over_tokens,
+               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_posting,
+               CAST(COALESCE(SUM(sz - cap), 0) AS BIGINT) AS dropped_posting_rows
+        FROM bsz, bcap WHERE sz > cap) o
 """
 
 ORACLES["containment_posting_overflow"] = _DUCK_ORDERED + f"""

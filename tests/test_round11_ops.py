@@ -62,6 +62,35 @@ def test_posting_cap_p99_floor_and_subset(spark):
     assert pinned <= set(p99)
 
 
+def test_containment_cap_p99_per_side_and_subset(spark):
+    from gmallbiguan_parent_spark.operators.dedup import (
+        POSTING_CAP_FLOOR,
+        containment_pairs,
+        containment_pairs_capped_p99,
+        containment_posting_overflow_p99,
+    )
+
+    over = {r.side: r for r in containment_posting_overflow_p99(spark, SF_DIR).collect()}
+    assert set(over) == {"contained_prefix", "container_full"}
+    for side, r in over.items():
+        assert int(r.cap) >= POSTING_CAP_FLOOR
+    # the container-full side is the denser table: its cap must engage
+    assert int(over["container_full"].over_tokens) > 0
+    assert int(over["container_full"].dropped_posting_rows) > 0
+
+    complete = {
+        (r.doc_a, r.doc_b): (r.inter_ct, r.containment)
+        for r in containment_pairs(spark, SF_DIR).collect()
+    }
+    p99 = {
+        (r.doc_a, r.doc_b): (r.inter_ct, r.containment)
+        for r in containment_pairs_capped_p99(spark, SF_DIR).collect()
+    }
+    assert set(p99) <= set(complete)
+    for k, v in p99.items():
+        assert complete[k] == v
+
+
 def test_decontaminate_band_planted_flags_plants(spark):
     from gmallbiguan_parent_spark.operators.similarity import (
         DECON_PLANT_COPY_OFFSET,
