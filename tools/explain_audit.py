@@ -64,6 +64,14 @@ GLOBAL_WINDOW_OK: set[str] = {
     "copurchase_triangles_p99",  # cumulative sum over the DEGREE
                             # HISTOGRAM (<= max-degree distinct values,
                             # bounded by basket overlap not the corpus)
+    # r11 derived posting caps: cumulative sum over the POSTING-LENGTH
+    # HISTOGRAM (<= max-posting-length distinct values — the same
+    # bounded-table argument as the triangle p99 cap, see
+    # _posting_cap_quantile's docstring)
+    "prefix_jaccard_pairs_capped_p99",
+    "prefix_posting_overflow_p99",
+    "containment_pairs_capped_p99",
+    "containment_posting_overflow_p99",
 }
 
 
