@@ -1209,15 +1209,17 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     change) and its width never varies, so the separation is
     scale-stable.
 
-    Plan — the cap engages BEFORE any vector math: the probe join
-    emits directed ids, dropDuplicates collapses per-table repeats
-    (the same shuffle the base form pays), each side's 8-byte sketch
-    joins in, a per-source window keeps the KNN_CAND_CAP lowest by
-    (sketch hamming ASC, dst ASC — deterministic, oracle-replayable),
-    and ONLY the capped set joins the vector table for cosines:
-    N x cap confirms instead of one per distinct candidate (~20x
-    fewer at the 100x probe's density). Capped-away volume is
-    observable via knn_graph_candidate_overflow."""
+    Plan — the cap engages BEFORE any vector math: each side's 8-byte
+    sketch rides INTO the bucket join (r11 — hamming computed in the
+    join projection; the r10 shape paid two sort-merge joins over the
+    ~860M-row candidate relation to attach sketches afterwards),
+    dropDuplicates collapses per-table repeats (the same shuffle the
+    base form pays, 8 bytes/row wider), a per-source window keeps the
+    KNN_CAND_CAP lowest by (sketch hamming ASC, dst ASC —
+    deterministic, oracle-replayable), and ONLY the capped set joins
+    the vector table for cosines: N x cap confirms instead of one per
+    distinct candidate (~20x fewer at the 100x probe's density).
+    Capped-away volume is observable via knn_graph_candidate_overflow."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
     return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
 
@@ -1225,26 +1227,37 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_graph_capped_from_sigs(
     sigs: DataFrame, masks: list[int], cap: int
 ) -> DataFrame:
-    cand = _knn_wide_candidates(sigs, masks)
-    # materialized once: the 48-plane projection feeds BOTH join
-    # branches (ra/rb) — without the checkpoint Spark evaluates the
-    # subplan once per branch, doubling the sketch cost. eager=False
-    # (ADVICE r10): the checkpoint job fires on first materialization,
-    # not at DataFrame construction, so merely building the capped
-    # graph's plan launches no Spark job.
+    # The 8-byte ranking sketch rides INTO the bucket join instead of
+    # joining onto the candidate relation afterwards (r11): the r10
+    # shape attached ra/rb to the DISTINCT candidates — at the 100x
+    # probe that is two extra sort-merge joins over an ~860M-row
+    # relation (the static plan showed 5 SMJ / 0 broadcast; the sketch
+    # table is corpus-sized, so broadcasting it is not a scale-safe
+    # fix — the dedup.py:277 tombstone discipline). Attaching rs to the
+    # slim signature rows first costs one tiny join (corpus-row-sized)
+    # plus 8 bytes/row through the bucket-join shuffle, and hamming is
+    # computed inside the join projection — every (src,dst) duplicate
+    # carries the identical hamming, so the dropDuplicates result is
+    # unchanged and the per-source budget window reads the same
+    # ordering. Measured fresh at the 100x probe: 562.7 s -> see
+    # SCALE_100X.md r11 re-measure.
+    #
+    # materialized once (localCheckpoint, eager=False per ADVICE r10 —
+    # no job until first materialization): the 48-plane projection and
+    # the rs-attachment join feed BOTH sides of the bucket join.
     rsk = (
         sigs.filter(F.col("table_id") == 0)
         .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
+    )
+    slim = (
+        sigs.select("vec_id", "table_id", "sig")
+        .join(rsk, "vec_id")
         .localCheckpoint(eager=False)
     )
-    ra, rb = rsk.alias("ra"), rsk.alias("rb")
-    hamming = F.bit_count(F.col("ra.rs").bitwiseXOR(F.col("rb.rs")))
+    cand = _knn_wide_candidates(slim, masks, with_hamming=True)
     capw = Window.partitionBy("src").orderBy(F.asc("hamming"), F.asc("dst"))
     capped = (
-        cand.join(ra, cand.src == F.col("ra.vec_id"))
-        .join(rb, cand.dst == F.col("rb.vec_id"))
-        .select("src", "dst", hamming.alias("hamming"))
-        .withColumn("crk", F.row_number().over(capw))
+        cand.withColumn("crk", F.row_number().over(capw))
         .filter(F.col("crk") <= cap)
         .select("src", "dst")
     )
@@ -1266,21 +1279,39 @@ def _knn_graph_capped_from_sigs(
     )
 
 
-def _knn_wide_candidates(sigs: DataFrame, masks: list[int]) -> DataFrame:
+def _knn_wide_candidates(
+    sigs: DataFrame, masks: list[int], with_hamming: bool = False
+) -> DataFrame:
     """Distinct DIRECTED candidate relation (src, dst): dst's signature
     lies within the probe radius of src's in at least one governed
-    table. Shared by the capped graph (which ranks candidates by the
-    ranking sketch, NOT by collision statistics) and its overflow
-    report, so the recall accounting counts exactly the candidates the
-    cap budgets."""
-    slim = sigs.select("vec_id", "table_id", "sig")
+    table. ONE join definition shared by the capped graph and its
+    overflow report, so the recall accounting counts exactly the
+    candidates the cap budgets.
+
+    with_hamming=True (the capped graph, r11): the caller's sigs rows
+    carry an `rs` ranking-sketch column, which rides through the probe
+    explode and the bucket join so the 48-bit hamming is computed IN
+    the join projection — at the 100x probe this removes two
+    sort-merge joins over the ~860M-row candidate relation that the
+    r10 shape paid to attach sketches afterwards (the sketch table is
+    corpus-sized, so broadcasting it instead was not a scale-safe
+    answer). Every duplicate of a (src, dst) pair carries the
+    identical hamming (sketches are per-vector constants), so
+    dropDuplicates returns the same relation the r10 shape ranked."""
+    cols = ["vec_id", "table_id"] + (["rs"] if with_hamming else [])
+    slim = sigs.select(*cols, "sig")
     probes = slim.select(
-        "vec_id", "table_id",
+        *cols,
         F.explode(
             F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("probe_sig"),
     )
     a, b = probes.alias("a"), slim.alias("b")
+    out = [F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")]
+    if with_hamming:
+        out.append(
+            F.bit_count(F.col("a.rs").bitwiseXOR(F.col("b.rs"))).alias("hamming")
+        )
     return (
         a.join(
             b,
@@ -1288,7 +1319,7 @@ def _knn_wide_candidates(sigs: DataFrame, masks: list[int]) -> DataFrame:
             & (F.col("a.probe_sig") == F.col("b.sig"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .select(*out)
         .dropDuplicates(["src", "dst"])
     )
 
