@@ -1229,18 +1229,13 @@ def _knn_graph_capped_from_sigs(
 ) -> DataFrame:
     # The 8-byte ranking sketch rides INTO the bucket join instead of
     # joining onto the candidate relation afterwards (r11): the r10
-    # shape attached ra/rb to the DISTINCT candidates — at the 100x
-    # probe that is two extra sort-merge joins over an ~860M-row
-    # relation (the static plan showed 5 SMJ / 0 broadcast; the sketch
-    # table is corpus-sized, so broadcasting it is not a scale-safe
-    # fix — the dedup.py:277 tombstone discipline). Attaching rs to the
-    # slim signature rows first costs one tiny join (corpus-row-sized)
-    # plus 8 bytes/row through the bucket-join shuffle, and hamming is
-    # computed inside the join projection — every (src,dst) duplicate
-    # carries the identical hamming, so the dropDuplicates result is
-    # unchanged and the per-source budget window reads the same
-    # ordering. Measured fresh at the 100x probe: 562.7 s -> see
-    # SCALE_100X.md r11 re-measure.
+    # shape attached ra/rb to the DISTINCT candidates — two extra
+    # sort-merge joins over an ~860M-row relation in the static plan
+    # (5 SMJ / 0 broadcast; the sketch table is corpus-sized, so a
+    # broadcast hint is not a scale-safe fix — the dedup.py tombstone
+    # discipline). See _knn_wide_candidates for the honest 100x
+    # measurement note (band-flat at probe scale, structural at real
+    # scale).
     #
     # materialized once (localCheckpoint, eager=False per ADVICE r10 —
     # no job until first materialization): the 48-plane projection and
@@ -1291,11 +1286,18 @@ def _knn_wide_candidates(
     with_hamming=True (the capped graph, r11): the caller's sigs rows
     carry an `rs` ranking-sketch column, which rides through the probe
     explode and the bucket join so the 48-bit hamming is computed IN
-    the join projection — at the 100x probe this removes two
-    sort-merge joins over the ~860M-row candidate relation that the
-    r10 shape paid to attach sketches afterwards (the sketch table is
-    corpus-sized, so broadcasting it instead was not a scale-safe
-    answer). Every duplicate of a (src, dst) pair carries the
+    the join projection, removing the two post-distinct joins the r10
+    shape used to attach sketches to the ~860M-row candidate relation
+    (static plan: SortMergeJoin x2). Honest measurement note: at the
+    100x probe the fresh re-derivation landed INSIDE the day's VM band
+    (592.7 s vs the old shape's 562.7/420.3 — SCALE_100X.md r11), i.e.
+    no measured wall-clock change at 200k vectors, consistent with AQE
+    runtime-converting the 3 MB sketch side to broadcast there. The
+    shape still matters at real scale: a 1e9-vector sketch table is
+    ~16 GB — past any broadcast threshold, so the r10 shape degrades
+    to two true corpus-candidate-scale sort-merge passes while this
+    one never has them (8 bytes/row through the existing shuffle
+    instead). Every duplicate of a (src, dst) pair carries the
     identical hamming (sketches are per-vector constants), so
     dropDuplicates returns the same relation the r10 shape ranked."""
     cols = ["vec_id", "table_id"] + (["rs"] if with_hamming else [])
