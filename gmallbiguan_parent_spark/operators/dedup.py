@@ -343,6 +343,18 @@ def prefix_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verify(sets, cand)
 
 
+def _prefix_posting_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix postings materialized once (localCheckpoint, lazy) for
+    the p99 twins: the derived-cap plan reads this relation from FOUR
+    branches (quantile sizes→hist, the token count, both sides of the
+    candidate self-join) and Spark does not reuse an uncheckpointed
+    subplan across branches — the r10 rank-sketch lesson applied to
+    the posting explode."""
+    return _prefix_posting(
+        _ordered_token_arrays(spark, sf_dir), PREFIX_NUM, PREFIX_DEN
+    ).localCheckpoint(eager=False)
+
+
 def prefix_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-only overflow report paired with prefix_jaccard_pairs_capped
     (the simhash_bucket_overflow discipline): how many prefix-token
@@ -356,14 +368,22 @@ def prefix_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _posting_pair_overflow(prefix: DataFrame, cap: int) -> DataFrame:
     """(over_tokens, max_posting, dropped_pair_slots) for a posting
-    table under a pair-emitting cap — shared by the pinned and
-    quantile-derived overflow reports. dropped_pair_slots stays in
-    INTEGER arithmetic end to end (ADVICE r10: sz*(sz-1)/2 via double
-    division loses exactness past 2^53 — i.e. once a posting list
-    exceeds ~9.5e7 docs, the boilerplate density the cap exists for)."""
+    table under a PINNED pair-emitting cap — the literal-cap entry to
+    the shared aggregation below."""
     sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
-    over = sizes.filter(F.col("sz") > F.lit(cap))
-    dropped = F.expr(f"sz * (sz - 1) div 2 - {cap * (cap - 1) // 2}")
+    return _pair_overflow_stats(sizes.withColumn("cap", F.lit(cap).cast("bigint")))
+
+
+def _pair_overflow_stats(sized: DataFrame) -> DataFrame:
+    """(over_tokens, max_posting, dropped_pair_slots) over a
+    (tok, sz, cap) relation — ONE aggregation shared by the pinned and
+    quantile-derived overflow reports so the accounting arithmetic can
+    never drift between them. dropped_pair_slots stays in INTEGER
+    arithmetic end to end (ADVICE r10: sz*(sz-1)/2 via double division
+    loses exactness past 2^53 — i.e. once a posting list exceeds
+    ~9.5e7 docs, the boilerplate density the cap exists for)."""
+    over = sized.filter(F.col("sz") > F.col("cap"))
+    dropped = F.expr("sz * (sz - 1) div 2 - cap * (cap - 1) div 2")
     return over.agg(
         F.count(F.lit(1)).alias("over_tokens"),
         F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
@@ -435,9 +455,7 @@ def prefix_jaccard_pairs_capped_p99(spark: SparkSession, sf_dir: str) -> DataFra
     are exact among kept members; the shed volume is observable via
     prefix_posting_overflow_p99."""
     sets = _shingle_sets(spark, sf_dir)
-    prefix = _prefix_posting(
-        _ordered_token_arrays(spark, sf_dir), PREFIX_NUM, PREFIX_DEN
-    )
+    prefix = _prefix_posting_ckpt(spark, sf_dir)
     cand = _prefix_candidate_join(
         _cap_postings_dyn(prefix, "tok", "doc_id", _posting_cap_quantile(prefix))
     )
@@ -451,19 +469,10 @@ def prefix_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     is self-describing: a production operator reads (cap, dropped pair
     slots) together to decide whether the shed volume warrants a
     representative-based mega-cluster pass."""
-    prefix = _prefix_posting(
-        _ordered_token_arrays(spark, sf_dir), PREFIX_NUM, PREFIX_DEN
-    )
+    prefix = _prefix_posting_ckpt(spark, sf_dir)
     cap_df = _posting_cap_quantile(prefix)
     sizes = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
-    over = sizes.crossJoin(F.broadcast(cap_df)).filter(F.col("sz") > F.col("cap"))
-    report = over.agg(
-        F.count(F.lit(1)).alias("over_tokens"),
-        F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("max_posting"),
-        F.coalesce(
-            F.sum(F.expr("sz * (sz - 1) div 2 - cap * (cap - 1) div 2")), F.lit(0)
-        ).cast("bigint").alias("dropped_pair_slots"),
-    )
+    report = _pair_overflow_stats(sizes.crossJoin(F.broadcast(cap_df)))
     return cap_df.select(F.col("cap").cast("bigint").alias("cap")).crossJoin(report)
 
 
@@ -637,12 +646,26 @@ def containment_pairs_capped_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ordinary corpus keeps near-complete output (at 1x the derived
     caps keep every true pair — SCALE.md r11)."""
     sets = _shingle_sets(spark, sf_dir)
-    a_prefix, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+    a_prefix, b_full = _containment_postings_ckpt(spark, sf_dir)
     cand = _containment_candidate_join(
         _cap_postings_dyn(a_prefix, "tok", "doc_a", _posting_cap_quantile(a_prefix)),
         _cap_postings_dyn(b_full, "tok", "doc_b", _posting_cap_quantile(b_full)),
     )
     return _containment_verify(sets, cand)
+
+
+def _containment_postings_ckpt(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Containment posting sides materialized once (lazy checkpoints)
+    for the p99 twins — each side feeds its own quantile derivation
+    (sizes→hist + count) AND the capped candidate join, and Spark does
+    not reuse an uncheckpointed subplan across branches."""
+    a_prefix, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+    return (
+        a_prefix.localCheckpoint(eager=False),
+        b_full.localCheckpoint(eager=False),
+    )
 
 
 def containment_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,9 +674,9 @@ def containment_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFr
     that side's derived cap, over-cap token count, worst list, and
     dropped posting rows (the honest per-side metric — candidate slots
     are a cross product between the two capped tables)."""
-    a_prefix, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+    a_prefix, b_full = _containment_postings_ckpt(spark, sf_dir)
 
-    def _report(postings: DataFrame, doc_col: str, side: str) -> DataFrame:
+    def _report(postings: DataFrame, side: str) -> DataFrame:
         cap_df = _posting_cap_quantile(postings)
         sizes = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
         j = sizes.crossJoin(F.broadcast(cap_df))
@@ -671,8 +694,8 @@ def containment_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFr
                     "max_posting", "dropped_posting_rows")
         )
 
-    return _report(a_prefix, "doc_a", "contained_prefix").unionAll(
-        _report(b_full, "doc_b", "container_full")
+    return _report(a_prefix, "contained_prefix").unionAll(
+        _report(b_full, "container_full")
     )
 
 

@@ -1194,10 +1194,13 @@ def _graph_meta_current(root: str) -> bool:
     from .similarity import KNN_CAND_CAP, KNN_GRAPH_K
 
     p = f"{root}/knn_graph_capped/{_GRAPH_META}"
-    if not os.path.exists(p):
+    try:
+        with open(p) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        # absent OR truncated/corrupt (a crashed writer): not current —
+        # the reader re-derives instead of erroring until manual repair
         return False
-    with open(p) as f:
-        meta = json.load(f)
     m = read_manifest(root)
     return (
         meta.get("vec_watermark") == m.get("vec_watermark")
@@ -1207,25 +1210,55 @@ def _graph_meta_current(root: str) -> bool:
 
 
 def publish_knn_graph(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the capped k-NN graph into the store (single-owner
-    maintenance path, like refresh_index/compact_index): derive from
-    the persisted signatures, overwrite-write (retry-idempotent: a
-    crashed publish leaves no meta, so readers never see it), stamp
-    the watermark+budget meta last. No-op when the published graph is
-    already current."""
+    """Materialize the capped k-NN graph into the store: derive from
+    the persisted signatures into a pid-staged directory (meta stamped
+    INSIDE the stage, so the commit marker travels with the atomic
+    rename — a crashed publish leaves either no dir or a stage the
+    next publish sweeps, never a half-published artifact), then swap
+    it in with the ensure_index takeover recipe: the rename loser
+    adopts a concurrent winner's current artifact, and a STALE
+    incumbent is moved aside before the retry so two publishers under
+    a shared SPARK_GRAFT_INDEX_DIR can never interleave writes into
+    one live directory. Content for a given (watermark, cap, k) is
+    deterministic, so whichever publisher wins, readers see the same
+    graph. No-op when the published graph is already current."""
+    import shutil
+
     from .similarity import KNN_CAND_CAP, KNN_GRAPH_K
 
     root = ensure_index(spark, sf_dir)
-    if _graph_meta_current(root):
-        return f"{root}/knn_graph_capped"
     path = f"{root}/knn_graph_capped"
-    knn_graph_capped_from_index(spark, sf_dir).write.mode("overwrite").parquet(path)
-    m = read_manifest(root)
-    with open(f"{path}/{_GRAPH_META}", "w") as f:
-        json.dump(
-            {"vec_watermark": m.get("vec_watermark"),
-             "cap": KNN_CAND_CAP, "k": KNN_GRAPH_K}, f,
-        )
+    if _graph_meta_current(root):
+        return path
+    stage = f"{path}.build.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        knn_graph_capped_from_index(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        m = read_manifest(root)
+        with open(f"{stage}/{_GRAPH_META}", "w") as f:
+            json.dump(
+                {"vec_watermark": m.get("vec_watermark"),
+                 "cap": KNN_CAND_CAP, "k": KNN_GRAPH_K}, f,
+            )
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    try:
+        os.rename(stage, path)
+    except OSError:
+        if _graph_meta_current(root):
+            shutil.rmtree(stage, ignore_errors=True)  # lost to a current winner
+        else:
+            aside = f"{path}.stale.{os.getpid()}"
+            shutil.rmtree(aside, ignore_errors=True)
+            try:
+                os.rename(path, aside)
+                os.rename(stage, path)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)
+                if not _graph_meta_current(root):
+                    raise
+            shutil.rmtree(aside, ignore_errors=True)
     return path
 
 
