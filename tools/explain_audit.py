@@ -95,11 +95,29 @@ def _global_window_sorts(plan: str) -> int:
         if "Window " not in line and "RunningWindowFunction" not in line:
             continue
         w_indent = _tree_indent(line)
+        subq_indent = None  # inside a scalar-subquery block when set
         for up in lines[i + 1:]:
             if not up.strip():
                 break
-            if _tree_indent(up) <= w_indent:
+            ind = _tree_indent(up)
+            if ind <= w_indent:
                 break  # left the window's subtree
+            # Scalar subqueries (runtime bloom filters injected by
+            # InjectRuntimeFilter, scalar aggregates) render INLINE
+            # under whatever operator references them, and their final
+            # bloom_filter_agg/aggregate legitimately runs through an
+            # Exchange SinglePartition over SKETCH bytes — that is not
+            # this window's data path. Skip the subquery block
+            # (r11: the sketch-in-join graph plan triggered exactly
+            # this false positive).
+            if subq_indent is not None:
+                if ind <= subq_indent:
+                    subq_indent = None
+                else:
+                    continue
+            if "Subquery" in up:
+                subq_indent = ind
+                continue
             if "Exchange" in up:
                 if "SinglePartition" in up:
                     hits += 1
