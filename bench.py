@@ -178,6 +178,14 @@ EXTENDED = [
     "prefix_posting_overflow",
     "containment_pairs_capped",
     "containment_posting_overflow",
+    # round-12: the PRODUCTION forms enter the per-round snapshot
+    # (VERDICT r11 #2 — until now they existed only as SCALE rows, so a
+    # regression in any of them was invisible to the round record):
+    # the quantile-derived posting caps and the published-graph read
+    # (cold = publish when stale + read; warm = no-op publish + read).
+    "prefix_jaccard_pairs_capped_p99",
+    "containment_pairs_capped_p99",
+    "knn_graph_capped_published",
 ]
 
 

@@ -1209,57 +1209,116 @@ def _graph_meta_current(root: str) -> bool:
     )
 
 
+def _sweep_orphan_graph_dirs(path: str) -> None:
+    """Remove graph build/stale staging dirs left by CRASHED publishers
+    (ADVICE r11: the old sweep removed only the CURRENT pid's stage, so
+    a crashed publisher with a different pid leaked its dirs under the
+    index root forever). Only dead pids are swept — a live concurrent
+    publisher's in-flight stage is left untouched, and a pid alive
+    under another uid (PermissionError from the probe signal) is
+    conservatively treated as live."""
+    import glob
+    import shutil
+
+    for d in glob.glob(f"{path}.build.*") + glob.glob(f"{path}.stale.*"):
+        try:
+            pid = int(d.rsplit(".", 1)[-1])
+        except ValueError:
+            shutil.rmtree(d, ignore_errors=True)  # unparseable: not ours to keep
+            continue
+        if pid == os.getpid():
+            continue  # this process's own stage is managed by the publish flow
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass
+
+
 def publish_knn_graph(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the capped k-NN graph into the store: derive from
     the persisted signatures into a pid-staged directory (meta stamped
     INSIDE the stage, so the commit marker travels with the atomic
-    rename — a crashed publish leaves either no dir or a stage the
-    next publish sweeps, never a half-published artifact), then swap
-    it in with the ensure_index takeover recipe: the rename loser
-    adopts a concurrent winner's current artifact, and a STALE
-    incumbent is moved aside before the retry so two publishers under
+    rename — a crashed publish leaves either no dir or a dead-pid
+    stage the next publish sweeps, never a half-published artifact),
+    then swap it in with the ensure_index takeover recipe: the rename
+    loser adopts a concurrent winner's current artifact, and a STALE
+    incumbent is moved aside before the retry (restored if the retry
+    fails, so a live artifact always remains) — two publishers under
     a shared SPARK_GRAFT_INDEX_DIR can never interleave writes into
-    one live directory. Content for a given (watermark, cap, k) is
-    deterministic, so whichever publisher wins, readers see the same
-    graph. No-op when the published graph is already current."""
+    one live directory. The commit watermark is read BEFORE the
+    derivation and re-checked after (ADVICE r11 TOCTOU: an ingest
+    landing mid-build must not get stamped onto a graph derived from
+    the older corpus) — on drift the build is discarded and re-run
+    once against the moved watermark. Content for a given (watermark,
+    cap, k) is deterministic, so whichever publisher wins, readers see
+    the same graph. No-op when the published graph is already
+    current."""
     import shutil
 
     from .similarity import KNN_CAND_CAP, KNN_GRAPH_K
 
     root = ensure_index(spark, sf_dir)
     path = f"{root}/knn_graph_capped"
-    if _graph_meta_current(root):
-        return path
-    stage = f"{path}.build.{os.getpid()}"
-    shutil.rmtree(stage, ignore_errors=True)
-    try:
-        knn_graph_capped_from_index(spark, sf_dir).write.mode("overwrite").parquet(stage)
-        m = read_manifest(root)
-        with open(f"{stage}/{_GRAPH_META}", "w") as f:
-            json.dump(
-                {"vec_watermark": m.get("vec_watermark"),
-                 "cap": KNN_CAND_CAP, "k": KNN_GRAPH_K}, f,
-            )
-    except BaseException:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise
-    try:
-        os.rename(stage, path)
-    except OSError:
+    _sweep_orphan_graph_dirs(path)
+    for _attempt in range(2):
         if _graph_meta_current(root):
-            shutil.rmtree(stage, ignore_errors=True)  # lost to a current winner
-        else:
-            aside = f"{path}.stale.{os.getpid()}"
-            shutil.rmtree(aside, ignore_errors=True)
-            try:
-                os.rename(path, aside)
-                os.rename(stage, path)
-            except OSError:
+            return path
+        pre_wm = read_manifest(root).get("vec_watermark")
+        stage = f"{path}.build.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            knn_graph_capped_from_index(spark, sf_dir).write.mode("overwrite").parquet(stage)
+            if read_manifest(root).get("vec_watermark") != pre_wm:
+                # ingest landed mid-build: the derived edges reflect the
+                # older corpus — discard instead of stamping stale edges
+                # current, then retry against the moved watermark
                 shutil.rmtree(stage, ignore_errors=True)
-                if not _graph_meta_current(root):
-                    raise
-            shutil.rmtree(aside, ignore_errors=True)
-    return path
+                continue
+            with open(f"{stage}/{_GRAPH_META}", "w") as f:
+                json.dump(
+                    {"vec_watermark": pre_wm,
+                     "cap": KNN_CAND_CAP, "k": KNN_GRAPH_K}, f,
+                )
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        try:
+            os.rename(stage, path)
+        except OSError:
+            if _graph_meta_current(root):
+                shutil.rmtree(stage, ignore_errors=True)  # lost to a current winner
+            else:
+                aside = f"{path}.stale.{os.getpid()}"
+                shutil.rmtree(aside, ignore_errors=True)
+                try:
+                    os.rename(path, aside)
+                except OSError:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    if not _graph_meta_current(root):
+                        raise
+                    return path
+                try:
+                    os.rename(stage, path)
+                except OSError:
+                    # restore the incumbent before raising so a live
+                    # artifact always remains (ADVICE r11), and never
+                    # leak the aside copy on the failure path
+                    shutil.rmtree(stage, ignore_errors=True)
+                    try:
+                        os.rename(aside, path)
+                    except OSError:
+                        pass  # a concurrent winner already owns path
+                    if not _graph_meta_current(root):
+                        shutil.rmtree(aside, ignore_errors=True)
+                        raise
+                shutil.rmtree(aside, ignore_errors=True)
+        return path
+    raise RuntimeError(
+        "publish_knn_graph: corpus watermark moved during both build "
+        "attempts — quiesce ingest (or rerun) before publishing"
+    )
 
 
 def knn_graph_capped_published(spark: SparkSession, sf_dir: str) -> DataFrame:

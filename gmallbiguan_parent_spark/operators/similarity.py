@@ -1902,6 +1902,26 @@ def semantic_decontaminate_band_planted(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def embedding_neardup_band_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_wide_band over the plant-augmented corpus —
+    the gate-certifiable form of the production near-dup EMIT contract
+    (VERDICT r11 #1: at gate scale no real pair sits above the 0.8
+    band, so the band row hash-matched on 0 rows — it certified the
+    schema of nothing). Same fixture as the decontamination twin
+    (_decon_planted_corpus — exact copies pair at cosine 1.0, zero-
+    prefix twins at ~0.83, both inside the band), same screen as the
+    100 TB default (shared _wide_sigs_live + _multiprobe_pairs_from
+    helpers, band emit threshold — the forms cannot drift). The
+    exact-copy plants are GUARANTEED emits: an identical vector has
+    the identical signature in every table, so the mask-0 probe hits
+    its source's home bucket and the confirm lands on cosine 1.0 ≥
+    band. On unplanted pairs the output must equal the unplanted
+    wide-band screen's (tests/test_round12_ops.py pins this), so the
+    certification reads onto embedding_neardup_wide_band directly."""
+    sigs, masks = _wide_sigs_live(_decon_planted_corpus(spark, sf_dir))
+    return _multiprobe_pairs_from(sigs, masks, NEARDUP_BAND_COSINE)
+
+
 def _sem_decon_wide_from_sigs(
     sigs: DataFrame,
     masks: list[int],
@@ -2625,6 +2645,7 @@ QUERIES = {
     "embedding_neardup_multiprobe_band": embedding_neardup_multiprobe_band,
     "embedding_neardup_multiprobe_wide": embedding_neardup_multiprobe_wide,
     "embedding_neardup_wide_band": embedding_neardup_wide_band,
+    "embedding_neardup_band_planted": embedding_neardup_band_planted,
     "knn_graph": knn_graph,
     "knn_graph_wide": knn_graph_wide,
     "knn_graph_wide_capped": knn_graph_wide_capped,
@@ -3113,10 +3134,13 @@ def _duck_srp_sigs_wide(vecs_sql: str = _DUCK_VECS_BASE) -> str:
 _DUCK_SRP_SIGS_WIDE = _duck_srp_sigs_wide()
 
 
-def _multiprobe_wide_oracle(threshold: float) -> str:
+def _multiprobe_wide_oracle(threshold: float, vecs_sql: str = _DUCK_VECS_BASE) -> str:
     """The wide-governor pair relation: radius fixed at SRP_WIDE_RADIUS,
-    table count from the injected srp_tables_for CASE."""
-    return _DUCK_SRP_SIGS_WIDE + f"""
+    table count from the injected srp_tables_for CASE. vecs_sql swaps
+    the corpus relation (default keeps every existing oracle
+    byte-identical); the planted gate variant passes the augmented
+    relation — the _sem_decon_wide_oracle discipline."""
+    return _duck_srp_sigs_wide(vecs_sql) + f"""
     , probes AS (
         SELECT vec_id, v, table_id,
                unnest(list_transform(
@@ -3518,6 +3542,9 @@ ORACLES = {
     "embedding_neardup_multiprobe_band": _multiprobe_oracle(NEARDUP_BAND_COSINE),
     "embedding_neardup_multiprobe_wide": _multiprobe_wide_oracle(NEARDUP_COSINE),
     "embedding_neardup_wide_band": _multiprobe_wide_oracle(NEARDUP_BAND_COSINE),
+    "embedding_neardup_band_planted": _multiprobe_wide_oracle(
+        NEARDUP_BAND_COSINE, _DUCK_VECS_PLANTED
+    ),
     "knn_graph": _DUCK_SRP_SIGS + f"""
     , cand AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,

@@ -91,10 +91,19 @@ _GATE_PRIORITY = (
     # family's first driver certification — the report a production
     # capped dedup acts on); knn_graph_wide rotates to the local gate
     # with its r9/r10 driver certifications (the wide-graph family
-    # keeps in-window cover via embedding_neardup_multiprobe_wide/band).
+    # keeps in-window cover via embedding_neardup_multiprobe_wide).
+    # r12 rotation per VERDICT r11 #1: embedding_neardup_band_planted
+    # rotates IN — the near-dup band emit's certification fixture (the
+    # decon-planted treatment applied to the pair screen: exact-copy +
+    # zero-prefix plants make the band row NON-empty at sf0.01, and
+    # test_round12_ops pins that unplanted pairs match
+    # embedding_neardup_wide_band exactly, so the certification reads
+    # onto the production band contract); the radius-form band
+    # embedding_neardup_multiprobe_band — the window's last 0-row
+    # hash-match — rotates to the local gate.
     "ann_ivf_topk_from_index",
     "embedding_neardup_multiprobe_wide", "prefix_posting_overflow",
-    "embedding_neardup_multiprobe_band", "semantic_decontaminate_band_planted",
+    "embedding_neardup_band_planted", "semantic_decontaminate_band_planted",
     "copurchase_triangles_p99", "stream_wide_sig_ingest",
     # LLM-pipeline: text analysis (lang_id/quality_buckets local-gated
     # to make room for the batched BPE trainer, VERDICT r8 #1)

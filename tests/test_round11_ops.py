@@ -105,17 +105,47 @@ def test_decontaminate_band_planted_flags_plants(spark):
     assert rows, "planted gate variant emitted nothing — vacuous again"
     by_id = {r.vec_id: r for r in rows}
 
-    # every exact-copy plant must be flagged at the drop point with its
-    # own source bench vector as (a) nearest and (b) cosine 1.0
+    # every exact-copy plant must be flagged at the drop point with
+    # cosine 1.0; nearest_bench equals the source ONLY when the source
+    # direction is unique among bench vectors (ADVICE r11: a cosine-1.0
+    # tie between two identical bench vectors legitimately resolves to
+    # the lower id — membership in the tied set is the contract-derived
+    # assertion, exact equality is the unique-source special case)
     copy_ids = [i for i in by_id if i >= DECON_PLANT_COPY_OFFSET
                 and i < DECON_PLANT_ZERO_OFFSET]
     assert copy_ids, "no exact-copy plant was flagged"
+
+    import math
+
+    import pyspark.sql.functions as F
+
+    from gmallbiguan_parent_spark.io import load_table_spread
+
+    def _direction(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return tuple(round(x / n, 9) for x in v) if n else tuple(v)
+
+    bench_dirs: dict[tuple, list[int]] = {}
+    for row in (
+        load_table_spread(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % 17 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ):
+        bench_dirs.setdefault(_direction(row.embedding), []).append(row.vec_id)
+
+    bench_by_id = {i: d for d, ids in bench_dirs.items() for i in ids}
     for i in copy_ids:
         r = by_id[i]
         assert r.decision == "drop"
         assert r.max_cosine == 1.0
-        assert r.nearest_bench == i - DECON_PLANT_COPY_OFFSET
-        assert (i - DECON_PLANT_COPY_OFFSET) % (17 * DECON_PLANT_EVERY) == 0
+        src = i - DECON_PLANT_COPY_OFFSET
+        assert src % (17 * DECON_PLANT_EVERY) == 0
+        tied = bench_dirs[bench_by_id[src]]
+        if len(tied) == 1:
+            assert r.nearest_bench == src
+        else:
+            assert r.nearest_bench in tied
 
     # the plant only ADDS rows: on unplanted ids the report must agree
     # with the unplanted band screen exactly

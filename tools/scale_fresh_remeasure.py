@@ -124,6 +124,9 @@ def main() -> None:
         md = f.read()
 
     def row_sub(m: re.Match) -> str:
+        # idempotent (ADVICE r11): rows match with OR without a trailing
+        # protocol column, so a rerun re-measures and updates in place
+        # instead of silently leaving 5-column rows untouched
         name = m.group(1)
         if name in fresh:
             s, b = fresh[name]
@@ -133,21 +136,23 @@ def main() -> None:
             proto = "fresh r10"
         else:
             s, b = float(m.group(2)), float(m.group(3))
-            proto = "in-session r9"
+            proto = m.group(4) or "in-session r9"
         f_ = round(b / s, 1) if s > 0 else float("nan")
         return f"| {name} | {s} | {b} | {f_}x | {proto} |"
 
     md = re.sub(
-        r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| [\d.]+x \|$",
+        r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| [\d.]+x \|(?: ([^|]+) \|)?$",
         row_sub, md, flags=re.M,
     )
     md = md.replace(
         "| query | sf0.1 s | 10x s | factor |\n|---|---|---|---|",
         "| query | sf0.1 s | 10x s | factor | protocol |\n|---|---|---|---|---|",
     )
-    md = md.replace(
-        "10 reflect the single-row-group source file serializing the small run.\n",
-        "10 reflect the single-row-group source file serializing the small run.\n"
+    _PROTO_MARKER = "**Protocol (r11, VERDICT r10 #4):**"
+    if _PROTO_MARKER in md:
+        narrative = ""
+    else:
+        narrative = (
         "\n"
         "**Protocol (r11, VERDICT r10 #4):** every row is labeled. `fresh r10` /\n"
         "`fresh r11` rows were measured ONE PROCESS PER MEASUREMENT on an idle\n"
@@ -158,10 +163,21 @@ def main() -> None:
         "seconds overstate late-session rows. Every in-session row with a\n"
         "factor >= 5x has been re-measured fresh; the remaining in-session\n"
         "rows all sat <= 4.8x, inside the band the r10/r11 fresh re-measures\n"
-        "showed to be protocol-safe.\n",
+        "showed to be protocol-safe.\n"
+        )
+    md = md.replace(
+        "10 reflect the single-row-group source file serializing the small run.\n",
+        "10 reflect the single-row-group source file serializing the small run.\n"
+        + narrative,
     )
     with open("/root/repo/SCALE.md", "w") as f:
         f.write(md)
+
+    if "## Round-11 derived posting cap at 10x" in md:
+        # rerun: the section exists — don't append a duplicate
+        # (ADVICE r11; the p99 re-measure still printed above)
+        print("# p99 section already present; skipping append", file=sys.stderr)
+        return
 
     lines = [
         "",
