@@ -1001,24 +1001,36 @@ def _srp_signature(v, table: int, bits: int):
     return sig
 
 
+_SRP_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _srp_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, table_id, sig) for every vector × SRP table, width
-    derived from the corpus count, materialized once (localCheckpoint —
-    the persisted signature table at warehouse scale). Shared by
-    embedding_neardup_pairs and knn_graph."""
-    emb = load_table_spread(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    bits = srp_bits_for(corpus.count())
-    return corpus.select(
-        "vec_id", "v",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t, bits).alias("sig"))
-            for t in range(SRP_TABLES)
-        ])).alias("b"),
-    ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    derived from the corpus count, materialized once PER (application,
+    corpus) — the _SHINGLE_SET_CACHE session-memo discipline (r12: each
+    call used to re-count the corpus and re-localCheckpoint the full
+    table, so every warm consumer paid the build again and each call
+    leaked another checkpoint into the block manager). At warehouse
+    scale this IS the persisted signature table. Shared by
+    embedding_neardup_pairs, knn_graph, and the radius multiprobes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SRP_SIGS_CACHE:
+        for k in [k for k in _SRP_SIGS_CACHE if k[0] != key[0]]:
+            del _SRP_SIGS_CACHE[k]
+        emb = load_table_spread(spark, sf_dir, "embeddings")
+        corpus = emb.select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        bits = srp_bits_for(corpus.count())
+        _SRP_SIGS_CACHE[key] = corpus.select(
+            "vec_id", "v",
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("table_id"), _srp_signature(F.col("v"), t, bits).alias("sig"))
+                for t in range(SRP_TABLES)
+            ])).alias("b"),
+        ).select("vec_id", "v", "b.table_id", "b.sig").localCheckpoint()
+    return _SRP_SIGS_CACHE[key]
 
 
 KNN_GRAPH_K = 3
@@ -1507,6 +1519,9 @@ def embedding_neardup_multiprobe_band(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_WIDE_SIGS_CACHE: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
+
+
 def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[int]]:
     """(sigs, masks) for the WIDE governor layout — srp_tables_for(bits)
     tables, hamming<=SRP_WIDE_RADIUS probe masks. Reads the persisted
@@ -1526,11 +1541,24 @@ def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[in
         from .index_store import _wide_sigs_from_store
 
         return _wide_sigs_from_store(spark, sf_dir)
-    emb = load_table_spread(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
-    )
-    return _wide_sigs_live(corpus)
+    # live path memoized per (application, corpus) — the
+    # _SHINGLE_SET_CACHE discipline (r12): six wide-layout consumers
+    # each re-counted the corpus and re-materialized the checkpoint per
+    # CALL, so bench warm passes paid the full sig build again and the
+    # session accumulated one orphan checkpoint per query run.
+    # persisted_root's own (session, corpus-signature) freshness memo
+    # guards the store-vs-live branch above; the live memo keys the same
+    # way and a corpus swap means a new sf_dir in this harness.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIDE_SIGS_CACHE:
+        for k in [k for k in _WIDE_SIGS_CACHE if k[0] != key[0]]:
+            del _WIDE_SIGS_CACHE[k]
+        emb = load_table_spread(spark, sf_dir, "embeddings")
+        corpus = emb.select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+        )
+        _WIDE_SIGS_CACHE[key] = _wide_sigs_live(corpus)
+    return _WIDE_SIGS_CACHE[key]
 
 
 def _wide_sigs_live(corpus: DataFrame) -> tuple[DataFrame, list[int]]:
