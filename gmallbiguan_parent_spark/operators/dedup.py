@@ -483,8 +483,17 @@ def prefix_jaccard_pairs_capped_p99(spark: SparkSession, sf_dir: str) -> DataFra
     prefix_posting_overflow_p99."""
     sets = _shingle_sets(spark, sf_dir)
     prefix = _prefix_posting_ckpt(spark, sf_dir)
+    # the CAPPED relation is itself checkpointed (r12): both sides of
+    # the candidate self-join read it, and without the barrier the
+    # window cap + quantile subtree executes once per side (static plan
+    # 14 exchanges, runtime ReusedExchange does not fire across the
+    # checkpoint scans — measured, not assumed). Posting-table-sized
+    # (≤ vocab × cap rows), so the materialization is bounded at any
+    # corpus scale.
     cand = _prefix_candidate_join(
-        _cap_postings_dyn(prefix, "tok", "doc_id", _posting_cap_quantile(prefix))
+        _cap_postings_dyn(
+            prefix, "tok", "doc_id", _posting_cap_quantile(prefix)
+        ).localCheckpoint(eager=False)
     )
     return _jaccard_verify(sets, cand)
 
