@@ -1166,10 +1166,21 @@ def knn_graph_capped_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch derives from the stored vectors on the fly (fixed-width,
     zero manifest change), so the capped graph needs no new artifact;
     same oracle as the in-session form."""
-    from .similarity import KNN_CAND_CAP, _knn_graph_capped_from_sigs
+    from .similarity import (
+        KNN_CAND_CAP, _knn_graph_capped_from_sigs, _knn_slim_memo,
+    )
 
     sigs, masks = _wide_sigs_from_store(spark, sf_dir)
-    return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
+    # Memo key carries the resolved root AND the manifest vec watermark:
+    # tests repoint SPARK_GRAFT_INDEX_DIR and refresh stores within one
+    # application, and a slim cached per sf_dir alone would serve
+    # signatures from the superseded store.
+    root = ensure_index(spark, sf_dir)
+    src = f"store:{root}:{read_manifest(root)['vec_watermark']}"
+    return _knn_graph_capped_from_sigs(
+        sigs, masks, KNN_CAND_CAP,
+        slim=_knn_slim_memo(spark, sf_dir, src, sigs),
+    )
 
 
 # The capped k-NN graph as a DERIVED TABLE of the store (VERDICT r10

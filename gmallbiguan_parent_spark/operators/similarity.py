@@ -1202,6 +1202,36 @@ def _rank_sketch(v):
     return sig
 
 
+_KNN_SLIM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _knn_slim_memo(
+    spark: SparkSession, sf_dir: str, source: str, sigs: DataFrame
+) -> DataFrame:
+    """The (vec_id, table_id, sig, rs) relation — signatures with the
+    48-bit ranking sketch attached — memoized per (application, corpus,
+    signature source). r12: every capped-graph call re-projected the
+    48-plane sketch and re-checkpointed the join (~1.5-2 s per call at
+    sf0.1, pure rebuild of a value that never changes within a
+    session); at warehouse scale rs is a column the persisted signature
+    artifact would simply carry. live/store stay separate memo entries
+    so the from_index twin still derives exclusively from store rows."""
+    key = (spark.sparkContext.applicationId, sf_dir, source)
+    if key not in _KNN_SLIM_CACHE:
+        for k in [k for k in _KNN_SLIM_CACHE if k[0] != key[0]]:
+            del _KNN_SLIM_CACHE[k]
+        rsk = (
+            sigs.filter(F.col("table_id") == 0)
+            .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
+        )
+        _KNN_SLIM_CACHE[key] = (
+            sigs.select("vec_id", "table_id", "sig")
+            .join(rsk, "vec_id")
+            .localCheckpoint(eager=False)
+        )
+    return _KNN_SLIM_CACHE[key]
+
+
 def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_graph_wide under a PER-SOURCE confirm budget, candidates
     ranked by a FIXED-WIDTH RANKING SKETCH — signature-distance
@@ -1233,11 +1263,14 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct candidate (~20x fewer at the 100x probe's density).
     Capped-away volume is observable via knn_graph_candidate_overflow."""
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
-    return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP)
+    return _knn_graph_capped_from_sigs(
+        sigs, masks, KNN_CAND_CAP,
+        slim=_knn_slim_memo(spark, sf_dir, "live", sigs),
+    )
 
 
 def _knn_graph_capped_from_sigs(
-    sigs: DataFrame, masks: list[int], cap: int
+    sigs: DataFrame, masks: list[int], cap: int, slim: DataFrame | None = None
 ) -> DataFrame:
     # The 8-byte ranking sketch rides INTO the bucket join instead of
     # joining onto the candidate relation afterwards (r11): the r10
@@ -1252,15 +1285,18 @@ def _knn_graph_capped_from_sigs(
     # materialized once (localCheckpoint, eager=False per ADVICE r10 —
     # no job until first materialization): the 48-plane projection and
     # the rs-attachment join feed BOTH sides of the bucket join.
-    rsk = (
-        sigs.filter(F.col("table_id") == 0)
-        .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
-    )
-    slim = (
-        sigs.select("vec_id", "table_id", "sig")
-        .join(rsk, "vec_id")
-        .localCheckpoint(eager=False)
-    )
+    # Callers with a session-stable signature source pass the memoized
+    # relation instead (_knn_slim_memo, r12).
+    if slim is None:
+        rsk = (
+            sigs.filter(F.col("table_id") == 0)
+            .select("vec_id", _rank_sketch(F.col("v")).alias("rs"))
+        )
+        slim = (
+            sigs.select("vec_id", "table_id", "sig")
+            .join(rsk, "vec_id")
+            .localCheckpoint(eager=False)
+        )
     cand = _knn_wide_candidates(slim, masks, with_hamming=True)
     capw = Window.partitionBy("src").orderBy(F.asc("hamming"), F.asc("dst"))
     capped = (
