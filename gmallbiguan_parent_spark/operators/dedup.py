@@ -1182,7 +1182,12 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit("containment").alias("method"))
     )
-    flags = ex.unionAll(mh).unionAll(sh).unionAll(ct)
+    # flags feeds the totals aggregate AND both sides of the agreement
+    # self-join; without a barrier the union subtree (including the
+    # full simhash + containment screens) replays once per consumer.
+    # Bounded at <= 4 rows per doc, so the materialization is safe at
+    # any corpus scale (r12; same discipline as the p99 cap checkpoint).
+    flags = ex.unionAll(mh).unionAll(sh).unionAll(ct).localCheckpoint(eager=False)
     tot = flags.groupBy("method").agg(F.count("*").alias("ct"))
     a, b = flags.alias("a"), flags.alias("b")
     both = (

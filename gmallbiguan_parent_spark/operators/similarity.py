@@ -1002,6 +1002,22 @@ def _srp_signature(v, table: int, bits: int):
 
 
 _SRP_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EMB_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus cardinality for width derivation, memoized per
+    (application, corpus) — the embeddings parquet is immutable within
+    a session, but the radius multiprobe re-ran the count job on every
+    call just to re-derive the same frozen signature width."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_COUNT_CACHE:
+        for k in [k for k in _EMB_COUNT_CACHE if k[0] != key[0]]:
+            del _EMB_COUNT_CACHE[k]
+        from ..io import load_table_spread
+
+        _EMB_COUNT_CACHE[key] = load_table_spread(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_CACHE[key]
 
 
 def _srp_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1038,7 @@ def _srp_signature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id"),
             F.col("embedding").cast("array<double>").alias("v"),
         )
-        bits = srp_bits_for(corpus.count())
+        bits = srp_bits_for(_emb_count(spark, sf_dir))
         _SRP_SIGS_CACHE[key] = corpus.select(
             "vec_id", "v",
             F.explode(F.array(*[
@@ -1493,9 +1509,7 @@ def embedding_neardup_multiprobe(
     holds; production screens pass NEARDUP_BAND_COSINE (the
     embedding_neardup_multiprobe_band registration) to cut the
     low-cosine tail at the source."""
-    from ..io import load_table_spread
-
-    bits = srp_bits_for(load_table_spread(spark, sf_dir, "embeddings").count())
+    bits = srp_bits_for(_emb_count(spark, sf_dir))
     masks = _srp_probe_masks(bits, srp_probe_radius_for(bits))
     return _multiprobe_pairs_from(
         _srp_signature_table(spark, sf_dir), masks, confirm_cosine
