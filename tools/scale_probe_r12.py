@@ -88,6 +88,59 @@ def build100(base: str, dst: str) -> dict:
     return {"step": "build100", "base": base, "dst": dst, "docs": n}
 
 
+VEC_COPIES = 100
+
+
+def buildvec(base: str, dst: str) -> dict:
+    """Vectors-only 100x corpus for the graph A/B (the scale_probe_100x
+    sign-flip bijection — copies preserve internal cosine structure
+    exactly and cannot near-dup across copies); docs/events copied 1x
+    so loaders resolve without paying the x200 doc build graphAB never
+    reads."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.io import TABLES, load_table
+
+    spark = _spark("buildvec")
+    shutil.rmtree(dst, ignore_errors=True)
+    emb = load_table(spark, base, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    def _sign_pattern(i: int) -> list[float]:
+        if i == 0:
+            return [1.0] * dim
+        h = hashlib.md5(f"flip:{i}".encode()).digest() * ((dim // 16) + 1)
+        return [1.0 if (h[d // 8] >> (d % 8)) & 1 else -1.0 for d in range(dim)]
+
+    copies = []
+    for i in range(VEC_COPIES):
+        pat = F.array(*[F.lit(s) for s in _sign_pattern(i)])
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), pat, lambda x, s: x * s
+                ).alias("embedding"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(64).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    for name in TABLES:
+        if name == "embeddings":
+            continue
+        load_table(spark, base, name).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+    n = spark.read.parquet(f"{dst}/embeddings.parquet").count()
+    return {"step": "buildvec", "base": base, "dst": dst, "vecs": n}
+
+
 def p99over(sf_dir: str) -> dict:
     from gmallbiguan_parent_spark.operators.dedup import prefix_posting_overflow_p99
 
@@ -216,6 +269,7 @@ def leak(sf_dir: str) -> dict:
 
 STEPS = {
     "build100": lambda a: build100(a[0], a[1]),
+    "buildvec": lambda a: buildvec(a[0], a[1]),
     "p99over": lambda a: p99over(a[0]),
     "p99pairs": lambda a: p99pairs(a[0]),
     "complete": lambda a: complete(a[0]),
