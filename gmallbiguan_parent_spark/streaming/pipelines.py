@@ -21,6 +21,7 @@ answer (asserted in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 import shutil
@@ -152,13 +153,16 @@ def stream_visitor_stats(spark: SparkSession, sf_dir: str, out_dir: str) -> None
             "event_type", "pv_ct", "uv_approx", "value_sum",
         )
     )
-    (
-        agg.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, (span_us // 600_000_000 + 1) * 8)  # windows x types
+    with _stateful_replay_parts(spark, est):
+        (
+            agg.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def stream_uv_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -173,13 +177,16 @@ def stream_uv_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .withWatermark("ts", WATERMARK)
         .dropDuplicates(["user_id", "dt"])
     )
-    (
-        firsts.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, n_users * (span_us // 86_400_000_000 + 1))
+    with _stateful_replay_parts(spark, est):
+        (
+            firsts.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def _jump_state_fn(key, pdf_iter, state: GroupState):
@@ -240,6 +247,75 @@ _STAGE_CACHE: dict[tuple[str, str, int], str] = {}
 # (session, corpus) instead of one per (session, corpus, pad): three
 # fewer max-ts scans + sentinel builds + corpus copies per bench run.
 STAGE_PAD_S = 6 * 3600 + 120
+
+
+# --- state-partition sizing for stateful bounded replays (r12) ---------
+#
+# A stateful streaming stage pins its partition count (= state store
+# instance count) at checkpoint creation from spark.sql.shuffle.partitions;
+# AQE cannot coalesce it afterwards the way it fixes the equivalent batch
+# shuffle. Measured with tools/stream_decompose_r12.py at sf0.1: each
+# HDFS-backed store instance pays a fixed per-batch open/commit floor
+# (~250 ms even for a 0-row batch), so a replay holding 1,500 user keys
+# across 32 stores spends most of its addBatch in store floors — while a
+# single store serializes the per-group Python work (interleaved A/B:
+# 32 parts ≈ 10.8/11.4 s, 4 parts ≈ 5.8/6.9 s, 1 part ≈ 12.2/12.8 s,
+# identical results). So derive the count from the corpus's own key
+# estimate — the sizing a production deploy makes when it sets
+# shuffle.partitions for a stateful job from expected keyed-state volume
+# — capped at the session's parallelism so any real corpus keeps the
+# cores-wide layout (est/512 exceeds the cap long before 1% of 100 TB).
+STATE_KEYS_PER_STORE = 512
+
+
+def _state_partitions(spark: SparkSession, est_keys: int) -> int:
+    cores = spark.sparkContext.defaultParallelism
+    return max(1, min(cores, -(-int(est_keys) // STATE_KEYS_PER_STORE)))
+
+
+@contextlib.contextmanager
+def _stateful_replay_parts(spark: SparkSession, est_keys: int):
+    """Scope spark.sql.shuffle.partitions to a stateful replay's start:
+    the stream's state partitioning is fixed from the conf at checkpoint
+    creation (each fresh bounded replay creates one), and the conf is
+    restored for whatever batch work follows."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_state_partitions(spark, est_keys)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+# per-(application, corpus) memo of the one-pass key stats every
+# stateful replay's partition derivation reads: (n_users, span_us,
+# n_rows). One tiny agg job per session per corpus.
+_EVENTS_KEY_STATS_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
+
+
+def _events_key_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EVENTS_KEY_STATS_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    for k in [k for k in _EVENTS_KEY_STATS_CACHE if k[0] != ck[0]]:
+        del _EVENTS_KEY_STATS_CACHE[k]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = (
+        F.col("ts")
+        if dict(raw.dtypes).get("ts") != "bigint"
+        else F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    row = raw.agg(
+        F.countDistinct("user_id").alias("u"),
+        (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("span"),
+        F.count("*").alias("n"),
+    ).first()
+    stats = (int(row["u"]), int(row["span"] or 0), int(row["n"]))
+    _EVENTS_KEY_STATS_CACHE[ck] = stats
+    return stats
 
 
 def _stage_events_with_sentinels(spark: SparkSession, sf_dir: str, pad_s: int | None = None) -> str:
@@ -318,13 +394,14 @@ def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    (
-        out.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+        (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def _is_new_state_fn(key, pdf_iter, state: GroupState):
@@ -367,13 +444,14 @@ def stream_is_new_repair(spark: SparkSession, sf_dir: str, out_dir: str) -> None
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    (
-        out.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+        (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def _rate_state_fn(key, pdf_iter, state: GroupState):
@@ -430,13 +508,16 @@ def stream_rate_limit_keyed(spark: SparkSession, sf_dir: str, out_dir: str) -> N
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    (
-        out.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, n_users * (span_us // 3_600_000_000 + 1))
+    with _stateful_replay_parts(spark, est):
+        (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def _trans_state_fn(key, pdf_iter, state: GroupState):
@@ -486,13 +567,14 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str, out_dir: str) -> 
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    (
-        out.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+        (
+            out.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -528,13 +610,14 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         & (F.col("act_ts") >= F.col("pay_ts") - F.expr("INTERVAL 30 MINUTES") + F.expr("INTERVAL 1 MICROSECOND")),
         "inner",
     ).select("pay_id", "pay_user", "pay_ts", "act_id", "act_ts")
-    (
-        joined.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+        (
+            joined.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def _rate_limit_admit_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
@@ -837,13 +920,14 @@ def stream_window_funnel(spark: SparkSession, sf_dir: str, out_dir: str) -> None
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    (
-        rows.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+        (
+            rows.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def stream_decontaminate_sink(
@@ -968,13 +1052,16 @@ def stream_hypertable_hour_sink(spark: SparkSession, sf_dir: str, out_dir: str) 
         .filter(F.col("n_events") > 0)
         .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
     )
-    (
-        hour.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_chk")
-        .start(f"{out_dir}/data")
-        .awaitTermination()
-    )
+    _, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, span_us // 3_600_000_000 + 1)  # non-empty hour windows
+    with _stateful_replay_parts(spark, est):
+        (
+            hour.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start(f"{out_dir}/data")
+            .awaitTermination()
+        )
 
 
 def run_stream_to_df(spark: SparkSession, sf_dir: str, runner, out_dir: str | None = None) -> DataFrame:

@@ -17,6 +17,7 @@ hash-checks STREAMING semantics, not just batch twins.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -25,7 +26,8 @@ from pyspark.sql import functions as F
 
 from ..functions import dec
 from .pipelines import (
-    WINDOW, _events_stream, _table_stream, run_stream_to_df,
+    WINDOW, _events_key_stats, _events_stream, _stateful_replay_parts,
+    _table_stream, run_stream_to_df,
     stream_cms_sketch, stream_dedup_gate, stream_jump_detect,
     stream_rate_limit_ledger, stream_transition_matrix,
 )
@@ -54,6 +56,28 @@ def _scratch(prefix: str) -> str:
 # (applicationId, sf_dir)
 _SIN_STATIC_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
+# Staged multi-file ingest SOURCES are pure functions of the corpus (a
+# repartition(n_files) copy of a deterministic table): memoized per
+# application exactly like pipelines._STAGE_CACHE, so repeated replays
+# in one session re-read ONE staging instead of re-writing it per call.
+# Only the INPUT staging is shared — every call still replays the
+# stream and re-derives its store/artifacts from the parquet input.
+_INGEST_STAGE_CACHE: dict[tuple[str, str, str, int], str] = {}
+
+
+def _staged_ingest_src(
+    spark: SparkSession, sf_dir: str, table: str, n_files: int
+) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, table, n_files)
+    hit = _INGEST_STAGE_CACHE.get(key)
+    if hit is not None and os.path.exists(f"{hit}/{table}/_SUCCESS"):
+        return hit
+    for k in [k for k in _INGEST_STAGE_CACHE if k[0] != key[0]]:
+        del _INGEST_STAGE_CACHE[k]
+    stage = _scratch(f"ing_{table}_")
+    _INGEST_STAGE_CACHE[key] = stage
+    return stage
+
 
 def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GATE-REPLAY form (complete mode → memory sink): re-emitting every
@@ -77,15 +101,18 @@ def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"vsq_{uuid.uuid4().hex[:10]}"
-    (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _scratch("chk_vsq_"))
-        .start()
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, (span_us // 600_000_000 + 1) * 8)  # windows x types
+    with _stateful_replay_parts(spark, est):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch("chk_vsq_"))
+            .start()
+            .awaitTermination()
+        )
     return spark.table(name)
 
 
@@ -98,13 +125,16 @@ def stream_uv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "dt")
     )
     out = _scratch("uvq_")
-    (
-        firsts.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out}/_chk")
-        .start(f"{out}/data")
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, n_users * (span_us // 86_400_000_000 + 1))
+    with _stateful_replay_parts(spark, est):
+        (
+            firsts.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out}/_chk")
+            .start(f"{out}/data")
+            .awaitTermination()
+        )
     return spark.read.parquet(f"{out}/data")
 
 
@@ -195,15 +225,18 @@ def stream_dim_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sdq_{uuid.uuid4().hex[:10]}"
-    (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _scratch("chk_sdq_"))
-        .start()
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, (span_us // 600_000_000 + 1) * 8)  # windows x segments
+    with _stateful_replay_parts(spark, est):
+        (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch("chk_sdq_"))
+            .start()
+            .awaitTermination()
+        )
     return spark.table(name)
 
 
@@ -237,13 +270,15 @@ def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = _scratch("usq_")
-    (
-        agg.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out}/_chk")
-        .start(f"{out}/data")
-        .awaitTermination()
-    )
+    # session-window state: ~one open session per user at any watermark
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+        (
+            agg.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out}/_chk")
+            .start(f"{out}/data")
+            .awaitTermination()
+        )
     return (
         spark.read.parquet(f"{out}/data")
         .filter(F.col("max_eid") >= 0)  # belt-and-braces: drop sentinel-only sessions
@@ -303,10 +338,11 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import load_table
     from ..pipelines.serving import GMV_MONTH
 
-    stage = _scratch("gmvinc_src_")
+    stage = _staged_ingest_src(spark, sf_dir, "orders", 4)
     acc_root = _scratch("gmvinc_acc_")
-    orders = load_table(spark, sf_dir, "orders")
-    orders.repartition(4).write.mode("overwrite").parquet(f"{stage}/orders")
+    if not os.path.exists(f"{stage}/orders/_SUCCESS"):
+        orders = load_table(spark, sf_dir, "orders")
+        orders.repartition(4).write.mode("overwrite").parquet(f"{stage}/orders")
 
     schema = spark.read.parquet(f"{stage}/orders").schema
     src = (
@@ -708,8 +744,11 @@ def _doc_index_ingest(
     from ..io import load_table
     from ..operators.dedup import _minhash_banded_from_sets, _shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    docs.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/documents")
+    if not os.path.exists(f"{stage}/documents/_SUCCESS"):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(n_files).write.mode("overwrite").parquet(
+            f"{stage}/documents"
+        )
 
     schema = spark.read.parquet(f"{stage}/documents").schema
     src = (
@@ -769,7 +808,7 @@ def stream_index_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs' oracle verbatim."""
     from ..operators.dedup import _lsh_pairs_from_tables
 
-    stage = _scratch("six_src_")
+    stage = _staged_ingest_src(spark, sf_dir, "documents", 4)
     store = _scratch("six_store_")
     _doc_index_ingest(spark, sf_dir, stage, store)
     sets = spark.read.parquet(f"{store}/shingle_sets").select("doc_id", "s")
@@ -805,7 +844,7 @@ def stream_wide_sig_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _srp_probe_masks,
     )
 
-    stage = _scratch("swide_src_")
+    stage = _staged_ingest_src(spark, sf_dir, "embeddings", 4)
     store = _scratch("swide_store_")
     bits = _wide_sig_ingest(spark, sf_dir, stage, store)
     sigs = spark.read.parquet(f"{store}/srp_sigs_wide").select(
@@ -826,15 +865,19 @@ def _wide_sig_ingest(
     IDENTICAL loop at a higher batch count. Returns the frozen bits."""
     from ..io import load_table
     from ..operators.similarity import (
-        _srp_signature, srp_bits_for, srp_tables_for,
+        _emb_count, _srp_signature, srp_bits_for, srp_tables_for,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    corpus.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/embeddings")
-    bits = srp_bits_for(corpus.count())   # frozen at ingest start
+    if not os.path.exists(f"{stage}/embeddings/_SUCCESS"):
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        corpus.repartition(n_files).write.mode("overwrite").parquet(
+            f"{stage}/embeddings"
+        )
+    # frozen at ingest start (session-memoized count of the same corpus)
+    bits = srp_bits_for(_emb_count(spark, sf_dir))
     tables = srp_tables_for(bits)
 
     schema = spark.read.parquet(f"{stage}/embeddings").schema
@@ -911,15 +954,17 @@ def stream_quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = decided.groupBy("decision").agg(F.count("*").alias("n"))
     name = f"sqg_{uuid.uuid4().hex[:10]}"
-    (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _scratch("chk_sqg_"))
-        .start()
-        .awaitTermination()
-    )
+    # state = the 3 decision keys, known a priori — no stats job needed
+    with _stateful_replay_parts(spark, 3):
+        (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch("chk_sqg_"))
+            .start()
+            .awaitTermination()
+        )
     return spark.table(name)
 
 
@@ -946,15 +991,18 @@ def stream_hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("bucket_start"), "n_events", "sum_value")
     )
     name = f"htr_{uuid.uuid4().hex[:10]}"
-    (
-        hour_stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _scratch("chk_htr_"))
-        .start()
-        .awaitTermination()
-    )
+    n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
+    est = min(n_rows, span_us // 3_600_000_000 + 1)  # non-empty hour windows
+    with _stateful_replay_parts(spark, est):
+        (
+            hour_stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _scratch("chk_htr_"))
+            .start()
+            .awaitTermination()
+        )
     hour = spark.table(name)  # driver-materialized: LocalTableScan per consumer
     day = hour.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start")).agg(
         F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")

@@ -185,3 +185,89 @@ def test_publish_graph_watermark_drift_retry(spark, tmp_path, monkeypatch):
     with open(f"{path}/{ix._GRAPH_META}") as f:
         meta = json.load(f)
     assert meta["vec_watermark"] == ix.read_manifest(root)["vec_watermark"]
+
+
+def test_state_partition_derivation(spark):
+    """Stateful replays size their state-store count from the corpus's
+    own key estimate (guide §2: scale-adaptive partitioning, never a
+    constant): ceil(est/512) clamped to [1, cores]. At production key
+    volumes the estimate exceeds cores x 512 long before 1% of any real
+    corpus, so a cluster keeps the cores-wide layout."""
+    from gmallbiguan_parent_spark.streaming.pipelines import (
+        STATE_KEYS_PER_STORE, _state_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    assert _state_partitions(spark, 0) == 1
+    assert _state_partitions(spark, 3) == 1
+    assert _state_partitions(spark, STATE_KEYS_PER_STORE) == 1
+    assert _state_partitions(spark, STATE_KEYS_PER_STORE + 1) == min(2, cores)
+    assert _state_partitions(spark, 1500) == min(3, cores)
+    # production regime: est >> cores*512 -> capped at session cores
+    assert _state_partitions(spark, 10**9) == cores
+
+
+def test_stateful_replay_parts_restores_conf(spark):
+    """The shuffle-partition override is scoped to the stream start:
+    whatever batch work follows must see the session's own value again,
+    including when the replay raises."""
+    from gmallbiguan_parent_spark.streaming.pipelines import (
+        _stateful_replay_parts,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with _stateful_replay_parts(spark, 3):
+        assert spark.conf.get(key) == "1"
+    assert spark.conf.get(key) == prev
+    try:
+        with _stateful_replay_parts(spark, 3):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == prev
+
+
+def test_events_key_stats_memo_and_values(spark):
+    """One tiny stats job per (application, corpus); the memoized tuple
+    must equal a direct recomputation of the same aggregates."""
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.streaming.pipelines import (
+        _EVENTS_KEY_STATS_CACHE, _events_key_stats,
+    )
+
+    got = _events_key_stats(spark, SF_DIR)
+    assert _events_key_stats(spark, SF_DIR) is got  # memo hit
+    ck = (spark.sparkContext.applicationId, SF_DIR)
+    assert _EVENTS_KEY_STATS_CACHE[ck] == got
+
+    from gmallbiguan_parent_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("u"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("s"),
+        F.count("*").alias("n"),
+    ).first()
+    assert got == (int(row["u"]), int(row["s"]), int(row["n"]))
+
+
+def test_staged_ingest_src_memo(spark, tmp_path, monkeypatch):
+    """The staged multi-file ingest SOURCE is reused within a session
+    only while its _SUCCESS marker exists — a failed or missing staging
+    can never be served from the memo."""
+    import os
+
+    import gmallbiguan_parent_spark.streaming.queries as sq
+
+    monkeypatch.setattr(sq, "_INGEST_STAGE_CACHE", {})
+    monkeypatch.setattr(sq, "_scratch", lambda p: str(tmp_path / f"{p}x"))
+    s1 = sq._staged_ingest_src(spark, SF_DIR, "documents", 4)
+    # no _SUCCESS yet: the memo must NOT serve the unstaged path
+    s2 = sq._staged_ingest_src(spark, SF_DIR, "documents", 4)
+    assert s2 == s1  # same scratch (deterministic stub), but re-derived
+    os.makedirs(f"{s1}/documents", exist_ok=True)
+    open(f"{s1}/documents/_SUCCESS", "w").close()
+    s3 = sq._staged_ingest_src(spark, SF_DIR, "documents", 4)
+    assert s3 == s1  # now a true memo hit on the staged copy
