@@ -687,11 +687,42 @@ def containment_pairs_capped_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps keep every true pair — SCALE.md r11)."""
     sets = _shingle_sets(spark, sf_dir)
     a_prefix, b_full = _containment_postings_ckpt(spark, sf_dir)
+    sizes_a, sizes_b = _containment_sizes_pair(b_full)
     cand = _containment_candidate_join(
-        _cap_postings_dyn(a_prefix, "tok", "doc_a", _posting_cap_quantile(a_prefix)),
-        _cap_postings_dyn(b_full, "tok", "doc_b", _posting_cap_quantile(b_full)),
+        _cap_postings_dyn(a_prefix, "tok", "doc_a", _posting_cap_from_sizes(sizes_a)),
+        _cap_postings_dyn(b_full, "tok", "doc_b", _posting_cap_from_sizes(sizes_b)),
     )
     return _containment_verify(sets, cand)
+
+
+def _containment_sizes_pair(b_full: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both containment sides' (tok, sz) posting-length relations from
+    ONE pass over the container-full postings (r12): the contained-
+    prefix postings are exactly the full postings at positions within
+    the prefix bound (p <= n - ceil(t*n) + 1, same integer arithmetic
+    as _prefix_posting), so one groupBy with a conditional count
+    replaces the two per-side sizes shuffles — at corpus scale this
+    removes a full aggregation pass over the prefix posting table.
+    Tokens that never appear inside any prefix must NOT exist in the
+    contained side's relation (they would shift its quantile), hence
+    the sz_a > 0 filter. One vocabulary-sized checkpoint feeds both
+    sides' quantile branches."""
+    num, den = CONTAIN_NUM, CONTAIN_DEN
+    in_prefix = F.col("p_b") <= (
+        F.col("n_b") - F.expr(f"({num} * n_b + {den - 1}) div {den}") + 1
+    )
+    pair = (
+        b_full.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("sz_b"),
+            F.count_if(in_prefix).alias("sz_a"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return (
+        pair.filter(F.col("sz_a") > 0).select("tok", F.col("sz_a").alias("sz")),
+        pair.select("tok", F.col("sz_b").alias("sz")),
+    )
 
 
 def _containment_postings_ckpt(
@@ -714,12 +745,14 @@ def containment_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFr
     that side's derived cap, over-cap token count, worst list, and
     dropped posting rows (the honest per-side metric — candidate slots
     are a cross product between the two capped tables)."""
-    # sides feed only their sizes aggregations — checkpoint the
-    # vocabulary-sized relation per side, not the posting explodes
-    a_prefix, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+    # sides feed only their sizes aggregations — ONE conditional-count
+    # pass over the container-full postings yields both sides' length
+    # distributions (r12, _containment_sizes_pair), replacing the two
+    # per-side sizes shuffles the r11 form paid
+    _, b_full = _containment_postings(_ordered_token_arrays(spark, sf_dir))
+    sizes_a, sizes_b = _containment_sizes_pair(b_full)
 
-    def _report(postings: DataFrame, side: str) -> DataFrame:
-        sizes = _posting_sizes_ckpt(postings)
+    def _report(sizes: DataFrame, side: str) -> DataFrame:
         cap_df = _posting_cap_from_sizes(sizes)
         j = sizes.crossJoin(F.broadcast(cap_df))
         over = j.filter(F.col("sz") > F.col("cap"))
@@ -736,8 +769,8 @@ def containment_posting_overflow_p99(spark: SparkSession, sf_dir: str) -> DataFr
                     "max_posting", "dropped_posting_rows")
         )
 
-    return _report(a_prefix, "contained_prefix").unionAll(
-        _report(b_full, "container_full")
+    return _report(sizes_a, "contained_prefix").unionAll(
+        _report(sizes_b, "container_full")
     )
 
 

@@ -271,3 +271,37 @@ def test_staged_ingest_src_memo(spark, tmp_path, monkeypatch):
     open(f"{s1}/documents/_SUCCESS", "w").close()
     s3 = sq._staged_ingest_src(spark, SF_DIR, "documents", 4)
     assert s3 == s1  # now a true memo hit on the staged copy
+
+
+def test_containment_sizes_pair_agreement(spark):
+    """The one-pass conditional-count sizes derivation must equal the
+    per-side groupBys it replaced, row for row — and therefore derive
+    the identical per-side caps."""
+    from pyspark.sql import functions as F
+
+    from gmallbiguan_parent_spark.operators.dedup import (
+        _containment_postings, _containment_sizes_pair,
+        _ordered_token_arrays, _posting_cap_from_sizes,
+        _posting_cap_quantile,
+    )
+
+    a_prefix, b_full = _containment_postings(
+        _ordered_token_arrays(spark, SF_DIR)
+    )
+    sizes_a, sizes_b = _containment_sizes_pair(b_full)
+
+    def rows(df):
+        return sorted((r["tok"], r["sz"]) for r in df.collect())
+
+    ref_a = a_prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+    ref_b = b_full.groupBy("tok").agg(F.count(F.lit(1)).alias("sz"))
+    assert rows(sizes_a) == rows(ref_a)
+    assert rows(sizes_b) == rows(ref_b)
+    assert (
+        _posting_cap_from_sizes(sizes_a).first()["cap"]
+        == _posting_cap_quantile(a_prefix).first()["cap"]
+    )
+    assert (
+        _posting_cap_from_sizes(sizes_b).first()["cap"]
+        == _posting_cap_quantile(b_full).first()["cap"]
+    )
