@@ -1220,6 +1220,15 @@ def _graph_meta_current(root: str) -> bool:
     )
 
 
+# A dead-looking pid's staging dir must sit unmodified this long before
+# the sweep may remove it: local pid liveness says nothing about a
+# publisher in another pid namespace sharing the index volume, but any
+# LIVE publisher touches its stage far more often than this (the stage
+# receives the derivation's parquet writes), so the age converts "pid
+# not found here" into "genuinely abandoned".
+_SWEEP_MIN_AGE_S = 3600
+
+
 def _sweep_orphan_graph_dirs(path: str) -> None:
     """Remove graph build/stale staging dirs left by CRASHED publishers
     (ADVICE r11: the old sweep removed only the CURRENT pid's stage, so
@@ -1227,9 +1236,15 @@ def _sweep_orphan_graph_dirs(path: str) -> None:
     index root forever). Only dead pids are swept — a live concurrent
     publisher's in-flight stage is left untouched, and a pid alive
     under another uid (PermissionError from the probe signal) is
-    conservatively treated as live."""
+    conservatively treated as live. The pid liveness probe only sees
+    THIS host's pid namespace, so a dir whose pid looks dead is still
+    left alone until it has sat unmodified for _SWEEP_MIN_AGE_S — a
+    publisher on another host (or container) sharing the index volume
+    writes continuously while alive, so an mtime this old marks a true
+    crash rather than a foreign-namespace pid collision."""
     import glob
     import shutil
+    import time
 
     for d in glob.glob(f"{path}.build.*") + glob.glob(f"{path}.stale.*"):
         try:
@@ -1242,7 +1257,12 @@ def _sweep_orphan_graph_dirs(path: str) -> None:
         try:
             os.kill(pid, 0)
         except ProcessLookupError:
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                age = time.time() - os.path.getmtime(d)
+            except OSError:
+                continue  # vanished mid-sweep: another sweeper got it
+            if age >= _SWEEP_MIN_AGE_S:
+                shutil.rmtree(d, ignore_errors=True)
         except PermissionError:
             pass
 

@@ -1234,7 +1234,14 @@ def _knn_slim_memo(
     so the from_index twin still derives exclusively from store rows."""
     key = (spark.sparkContext.applicationId, sf_dir, source)
     if key not in _KNN_SLIM_CACHE:
-        for k in [k for k in _KNN_SLIM_CACHE if k[0] != key[0]]:
+        # evict dead applications AND superseded sources of THIS corpus
+        # (each store refresh/repoint mints a new watermark-stamped key;
+        # keeping the old entry would pin one corpus-sized checkpoint
+        # per refresh cycle in the block manager forever)
+        for k in [
+            k for k in _KNN_SLIM_CACHE
+            if k[0] != key[0] or (k[1] == sf_dir and k[2] != source)
+        ]:
             del _KNN_SLIM_CACHE[k]
         rsk = (
             sigs.filter(F.col("table_id") == 0)
@@ -1281,8 +1288,22 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs, masks = _srp_wide_sigs(spark, sf_dir)
     return _knn_graph_capped_from_sigs(
         sigs, masks, KNN_CAND_CAP,
-        slim=_knn_slim_memo(spark, sf_dir, "live", sigs),
+        slim=_knn_slim_memo(spark, sf_dir, _wide_sig_source_key(spark, sf_dir), sigs),
     )
+
+
+def _wide_sig_source_key(spark: SparkSession, sf_dir: str) -> str:
+    """The slim-memo source key matching _srp_wide_sigs' branch: when
+    the sigs come from a persisted store the key carries the resolved
+    root AND the manifest vec watermark (the knn_graph_capped_from_index
+    discipline — a slim cached per sf_dir alone would serve signatures
+    from a superseded or repointed store), else the session-live tag."""
+    from .index_store import ensure_index, persisted_root, read_manifest
+
+    if persisted_root(spark, sf_dir, "vecs"):
+        root = ensure_index(spark, sf_dir)
+        return f"store:{root}:{read_manifest(root)['vec_watermark']}"
+    return "live"
 
 
 def _knn_graph_capped_from_sigs(

@@ -301,16 +301,13 @@ def _events_key_stats(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
         return hit
     for k in [k for k in _EVENTS_KEY_STATS_CACHE if k[0] != ck[0]]:
         del _EVENTS_KEY_STATS_CACHE[k]
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts = (
-        F.col("ts")
-        if dict(raw.dtypes).get("ts") != "bigint"
-        else F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    row = raw.agg(
+    from ..io import load_table
+
+    # load_table owns the events ns->us contract — re-implementing it
+    # here would let the two readers drift
+    row = load_table(spark, sf_dir, "events").agg(
         F.countDistinct("user_id").alias("u"),
-        (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("span"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span"),
         F.count("*").alias("n"),
     ).first()
     stats = (int(row["u"]), int(row["span"] or 0), int(row["n"]))

@@ -79,6 +79,27 @@ def _staged_ingest_src(
     return stage
 
 
+def _ensure_staged(
+    spark: SparkSession,
+    sf_dir: str,
+    stage: str,
+    table: str,
+    n_files: int,
+    df: DataFrame | None = None,
+) -> None:
+    """Write the repartition(n_files) staging copy of `table` under
+    `stage` unless its _SUCCESS marker already exists — the ONE
+    freshness predicate shared by every ingest call site (memoized
+    stages skip the write; a fresh or failed stage gets it), so no
+    caller can hand-roll a drifting guard."""
+    if os.path.exists(f"{stage}/{table}/_SUCCESS"):
+        return
+    from ..io import load_table
+
+    src = df if df is not None else load_table(spark, sf_dir, table)
+    src.repartition(n_files).write.mode("overwrite").parquet(f"{stage}/{table}")
+
+
 def stream_visitor_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GATE-REPLAY form (complete mode → memory sink): re-emitting every
     window makes the bounded replay equal the batch answer exactly for
@@ -335,14 +356,11 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..io import load_table
     from ..pipelines.serving import GMV_MONTH
 
     stage = _staged_ingest_src(spark, sf_dir, "orders", 4)
     acc_root = _scratch("gmvinc_acc_")
-    if not os.path.exists(f"{stage}/orders/_SUCCESS"):
-        orders = load_table(spark, sf_dir, "orders")
-        orders.repartition(4).write.mode("overwrite").parquet(f"{stage}/orders")
+    _ensure_staged(spark, sf_dir, stage, "orders", 4)
 
     schema = spark.read.parquet(f"{stage}/orders").schema
     src = (
@@ -741,14 +759,9 @@ def _doc_index_ingest(
     idempotent batch_id partitions. Factored out so the 100x ingest
     probe (tools/scale_probe_stream_ingest.py) times the IDENTICAL
     loop the gate query runs, at a higher batch count."""
-    from ..io import load_table
     from ..operators.dedup import _minhash_banded_from_sets, _shingles
 
-    if not os.path.exists(f"{stage}/documents/_SUCCESS"):
-        docs = load_table(spark, sf_dir, "documents")
-        docs.repartition(n_files).write.mode("overwrite").parquet(
-            f"{stage}/documents"
-        )
+    _ensure_staged(spark, sf_dir, stage, "documents", n_files)
 
     schema = spark.read.parquet(f"{stage}/documents").schema
     src = (
@@ -868,14 +881,12 @@ def _wide_sig_ingest(
         _emb_count, _srp_signature, srp_bits_for, srp_tables_for,
     )
 
-    if not os.path.exists(f"{stage}/embeddings/_SUCCESS"):
-        emb = load_table(spark, sf_dir, "embeddings")
-        corpus = emb.select(
+    _ensure_staged(
+        spark, sf_dir, stage, "embeddings", n_files,
+        df=load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-        corpus.repartition(n_files).write.mode("overwrite").parquet(
-            f"{stage}/embeddings"
-        )
+        ),
+    )
     # frozen at ingest start (session-memoized count of the same corpus)
     bits = srp_bits_for(_emb_count(spark, sf_dir))
     tables = srp_tables_for(bits)

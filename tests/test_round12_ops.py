@@ -123,15 +123,17 @@ def test_p99_shared_sizes_relation_agreement(spark):
     assert int(over.max_posting) == (max((s for s in sizes if s > expect), default=0))
 
 
-def test_sweep_orphan_graph_dirs(tmp_path):
+def test_sweep_orphan_graph_dirs(tmp_path, monkeypatch):
     """ADVICE r11: a crashed publisher with a different pid must not
     leak its stage/stale dirs forever — but a LIVE pid's stage (a
-    concurrent publisher mid-build) must be left untouched."""
+    concurrent publisher mid-build) must be left untouched, and a
+    dead-LOOKING pid's dir is swept only after the age floor (a
+    publisher in another pid namespace sharing the index volume looks
+    dead to the local probe while alive — its fresh stage must
+    survive)."""
     import os
 
-    from gmallbiguan_parent_spark.operators.index_store import (
-        _sweep_orphan_graph_dirs,
-    )
+    import gmallbiguan_parent_spark.operators.index_store as ix
 
     path = str(tmp_path / "knn_graph_capped")
     dead = f"{path}.build.999999999"  # above pid_max: never a live pid
@@ -140,11 +142,16 @@ def test_sweep_orphan_graph_dirs(tmp_path):
     junk = f"{path}.build.notapid"
     for d in (dead, mine, live, junk):
         os.makedirs(d)
-    _sweep_orphan_graph_dirs(path)
+    # freshly-touched dead-pid dir: may be a live foreign-namespace
+    # publisher — the sweep must retain it until the age floor passes
+    ix._sweep_orphan_graph_dirs(path)
+    assert os.path.isdir(dead)
+    assert not os.path.isdir(junk)   # unparseable: removed regardless
+    monkeypatch.setattr(ix, "_SWEEP_MIN_AGE_S", 0)
+    ix._sweep_orphan_graph_dirs(path)
     assert not os.path.isdir(dead)
     assert os.path.isdir(mine)   # own stage: managed by the publish flow
     assert os.path.isdir(live)   # live foreign publisher: untouched
-    assert not os.path.isdir(junk)
 
 
 def test_publish_graph_watermark_drift_retry(spark, tmp_path, monkeypatch):
