@@ -295,6 +295,15 @@ def _triangles_over(edges: DataFrame) -> DataFrame:
             ).otherwise(F.col("src")).alias("hi"),
         )
     )
+    # the oriented edge relation feeds THREE aliases of the wedge/close
+    # join — without a checkpoint the whole orientation subtree (degree
+    # agg + two joins, and in the capped/p99 callers the entire hub-cap
+    # derivation riding inside the edge set) replays once per alias
+    # (r13; executed plan of copurchase_triangles_p99: 118 -> 14
+    # exchanges). Bounded relation: one row per ORIENTED thresholded
+    # edge — catalog-scale by the TRI_MIN_SUPPORT argument above, so
+    # the checkpoint is safe at any corpus size.
+    o = o.localCheckpoint(eager=False)
     w1, w2, e3 = o.alias("w1"), o.alias("w2"), o.alias("e3")
     tri = (
         w1.join(w2, F.col("w1.lo") == F.col("w2.lo"))
@@ -359,11 +368,16 @@ def _hub_free(edges: DataFrame, hubs: DataFrame) -> DataFrame:
     the hub table scales with the catalog (Catalyst/AQE decides;
     sub-threshold plans unchanged, huge catalogs fall back to shuffled
     anti joins)."""
+    # lazily checkpointed: the kept set feeds the degree agg, the
+    # orientation joins AND (in the overflow report) the dropped-edge
+    # anti join — each replay would otherwise re-run the two anti joins
+    # plus the whole hub derivation (p99: the quantile-cap subtree)
+    # riding inside them. Bounded by the thresholded edge set itself.
     return edges.join(
         hubs.select(F.col("node").alias("src")), "src", "left_anti"
     ).join(
         hubs.select(F.col("node").alias("dst")), "dst", "left_anti"
-    ).select("src", "dst")
+    ).select("src", "dst").localCheckpoint(eager=False)
 
 
 def _capped_graph(spark: SparkSession, sf_dir: str):

@@ -73,6 +73,7 @@ from .similarity import (
     _ivf_cached_centroids,
     _ivf_probe_topk,
     _pq_codes_expr,
+    _rank_sketch,
     _srp_pairs_from_sigs,
     _srp_signature,
     srp_bits_for,
@@ -80,6 +81,15 @@ from .similarity import (
 )
 
 MANIFEST = "MANIFEST.json"
+
+# Artifact-layout version stamped into every manifest. Bump it whenever
+# an artifact gains/changes a COLUMN the readers depend on (a new
+# directory is already caught by the _FAMILY_ARTIFACTS dir check):
+# a store published at an older version fails _layout_current, so
+# ensure_index rebuilds/swap-upgrades it and persisted_root serves live
+# until then — readers can never select a column an old store lacks.
+#   v2 (r13): srp_sigs_wide carries the 48-bit ranking sketch `rs`.
+_LAYOUT_VERSION = 2
 
 
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -96,6 +106,35 @@ def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
     w.parquet(path)
 
 
+# Driver threads used to OVERLAP independent artifact jobs inside one
+# build/refresh (guide §2.6 — actions are only sequential because the
+# driver calls them sequentially; while one write's stage tails off,
+# the next job's tasks back-fill the freed cores). 1 = the old fully
+# sequential build. Parallelism never changes WHAT is written: jobs
+# are split strictly along data-dependency lines (bands wait on the
+# shingle checkpoint, pq_codes on the cell assignment), each artifact
+# still lands via its own idempotent overwrite, and the manifest —
+# the commit point — is written after every job has joined.
+_BUILD_THREADS = max(1, int(os.environ.get("SPARK_GRAFT_BUILD_THREADS", "3")))
+
+
+def _run_jobs(jobs) -> None:
+    """Run independent artifact thunks, overlapping them on driver
+    threads when _BUILD_THREADS > 1; first failure propagates after all
+    submitted jobs finish (the pool join), so a raising build never
+    leaves a thread still writing into a root the caller is deleting."""
+    if _BUILD_THREADS == 1 or len(jobs) == 1:
+        for j in jobs:
+            j()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(_BUILD_THREADS, len(jobs))) as pool:
+        futs = [pool.submit(j) for j in jobs]
+    for f in futs:
+        f.result()
+
+
 def _doc_artifacts(spark: SparkSession, docs: DataFrame, root: str, ingest: int) -> None:
     """Per-document artifacts (each row independent of the rest of the
     corpus, so a refresh's delta rows are byte-identical to a full
@@ -103,17 +142,21 @@ def _doc_artifacts(spark: SparkSession, docs: DataFrame, root: str, ingest: int)
     computed FROM THE DELTA ITSELF (one shingling pass shared by sets
     and bands via the checkpoint; fingerprints per-row), never by
     joining a corpus-scale table: the refresh cost is delta-sized, and
-    no session memo that predates the delta can silently drop rows."""
+    no session memo that predates the delta can silently drop rows.
+    The eager shingle checkpoint materializes first; the three writes
+    that follow are mutually independent and overlap (_run_jobs)."""
     sets = docs.select("doc_id", _shingles(F.col("text")).alias("s")).localCheckpoint()
-    _write(sets, f"{root}/shingle_sets/ingest={ingest}")
-    _write(
-        _minhash_banded_from_sets(sets),
-        f"{root}/minhash_bands/ingest={ingest}",
-        partition_by=["band_id"],
-    )
     from .dedup import _simhash_fp_from_docs
 
-    _write(_simhash_fp_from_docs(docs), f"{root}/simhash_fp/ingest={ingest}")
+    _run_jobs([
+        lambda: _write(sets, f"{root}/shingle_sets/ingest={ingest}"),
+        lambda: _write(
+            _minhash_banded_from_sets(sets),
+            f"{root}/minhash_bands/ingest={ingest}",
+            partition_by=["band_id"],
+        ),
+        lambda: _write(_simhash_fp_from_docs(docs), f"{root}/simhash_fp/ingest={ingest}"),
+    ])
 
 
 def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
@@ -126,18 +169,21 @@ def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
         F.col("embedding").cast("array<double>").alias("c_emb"),
     ).filter(F.col("corpus_id") >= N_QUERIES)
     assigned = _assign_cells(corpus, centroids).localCheckpoint()
-    _write(assigned, f"{root}/ivf_cells/ingest={ingest}", partition_by=["cell"])
-    # PQ code words: PQ_M small ints per vector — the compressed form a
-    # real index persists (reconstruction happens at read time via the
-    # manifest codebooks); co-partitioned with the cells so an IVF-PQ
-    # probe prunes both tables to one partition
-    _write(
-        assigned.select(
-            "corpus_id", _pq_codes_expr(pq_books).alias("codes"), "cell"
-        ),
-        f"{root}/pq_codes/ingest={ingest}",
-        partition_by=["cell"],
-    )
+
+    def _cells_then_codes() -> None:
+        _write(assigned, f"{root}/ivf_cells/ingest={ingest}", partition_by=["cell"])
+        # PQ code words: PQ_M small ints per vector — the compressed form a
+        # real index persists (reconstruction happens at read time via the
+        # manifest codebooks); co-partitioned with the cells so an IVF-PQ
+        # probe prunes both tables to one partition
+        _write(
+            assigned.select(
+                "corpus_id", _pq_codes_expr(pq_books).alias("codes"), "cell"
+            ),
+            f"{root}/pq_codes/ingest={ingest}",
+            partition_by=["cell"],
+        )
+
     v = vecs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     sigs = v.select(
         "vec_id", "v",
@@ -149,14 +195,20 @@ def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
             for t in range(SRP_TABLES)
         ])).alias("b"),
     ).select("vec_id", "v", "b.table_id", "b.sig")
-    _write(sigs, f"{root}/srp_sigs/ingest={ingest}", partition_by=["table_id"])
     # the wide-governor layout (r9): srp_tables_for(width) tables probed
     # at hamming<=1 — ~3x less probe/candidate work at equal recall
     # (SCALE_100X.md). Table count is a pure function of the FROZEN
     # width, so refresh reproduces it without a new manifest parameter.
+    # r13 (layout v2): each row also carries `rs`, the 48-bit RANKING
+    # sketch the capped k-NN graph orders candidates by — computed once
+    # per vector BEFORE the table explode (fixed width, deterministic
+    # planes: refresh reproduces it without a manifest parameter), so
+    # the capped graph's slim relation becomes a plain store read
+    # instead of a per-session 48-plane recompute + localCheckpoint
+    # (executor-loss-safe: recompute = re-read, VERDICT r12 #5).
     wide = srp_tables_for(srp_bits)
     sigs_w = v.select(
-        "vec_id", "v",
+        "vec_id", "v", _rank_sketch(F.col("v")).alias("rs"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(t).alias("table_id"),
@@ -164,8 +216,14 @@ def _vec_artifacts(vecs: DataFrame, root: str, ingest: int, centroids,
             )
             for t in range(wide)
         ])).alias("b"),
-    ).select("vec_id", "v", "b.table_id", "b.sig")
-    _write(sigs_w, f"{root}/srp_sigs_wide/ingest={ingest}", partition_by=["table_id"])
+    ).select("vec_id", "v", "rs", "b.table_id", "b.sig")
+    # three independent chains — the IVF pair, the base signature table,
+    # the wide signature table — overlap on driver threads (_run_jobs)
+    _run_jobs([
+        _cells_then_codes,
+        lambda: _write(sigs, f"{root}/srp_sigs/ingest={ingest}", partition_by=["table_id"]),
+        lambda: _write(sigs_w, f"{root}/srp_sigs_wide/ingest={ingest}", partition_by=["table_id"]),
+    ])
 
 
 def _scope_pred(scope, col: str):
@@ -256,7 +314,17 @@ def build_index(
     if srp_bits is None:
         srp_bits = srp_bits_for(n_vecs)
 
-    if "vecs" in families:
+    # The three family jobs are mutually independent (distinct corpora /
+    # distinct artifact dirs) — overlap them on driver threads
+    # (_run_jobs, guide §2.6). Each job resolves its own trainings
+    # before its writes; the manifest below is assembled only after
+    # every job has joined.
+    trained: dict[str, object] = {
+        "centroids": centroids, "pq_books": pq_books, "bpe_rules": bpe_rules,
+    }
+
+    def _vecs_job() -> None:
+        centroids, pq_books = trained["centroids"], trained["pq_books"]
         corpus = vecs.select(
             F.col("vec_id").alias("corpus_id"),
             F.col("embedding").cast("array<double>").alias("c_emb"),
@@ -290,11 +358,11 @@ def build_index(
                 pq_books = _pq_codebooks_spec(
                     sorted((int(r.corpus_id), [float(x) for x in r.c_emb]) for r in rows)
                 )
+        trained["centroids"], trained["pq_books"] = centroids, pq_books
         _vec_artifacts(vecs, root, vec_wm, centroids, srp_bits, pq_books)
-    else:
-        centroids, pq_books = [], []
 
-    if "bpe" in families:
+    def _bpe_job() -> None:
+        bpe_rules = trained["bpe_rules"]
         if bpe_rules is None:
             from .text import _bpe_train, _bpe_train_on, _bpe_vocab_from_docs
 
@@ -311,19 +379,32 @@ def build_index(
             from .text import _bpe_apply_rules, _bpe_vocab_from_docs
 
             bpe_vocab = _bpe_apply_rules(_bpe_vocab_from_docs(docs), bpe_rules)
+        trained["bpe_rules"] = bpe_rules
         # the trained tokenizer's APPLY table: token -> merged symbol
         # sequence (wct is training-internal and not part of the artifact)
         _write(
             bpe_vocab.select("tok", "syms"), f"{root}/bpe_vocab/ingest={doc_wm}"
         )
-    else:
-        bpe_rules = []
 
+    jobs = []
+    if "vecs" in families:
+        jobs.append(_vecs_job)
+    else:
+        trained["centroids"], trained["pq_books"] = [], []
+    if "bpe" in families:
+        jobs.append(_bpe_job)
+    else:
+        trained["bpe_rules"] = []
     if "docs" in families:
-        _doc_artifacts(spark, docs, root, doc_wm)
+        jobs.append(lambda: _doc_artifacts(spark, docs, root, doc_wm))
+    _run_jobs(jobs)
+    centroids, pq_books, bpe_rules = (
+        trained["centroids"], trained["pq_books"], trained["bpe_rules"]
+    )
 
     manifest = {
         "sf_dir": sf_dir,
+        "layout": _LAYOUT_VERSION,
         "families": list(families),
         "doc_watermark": doc_wm,
         "vec_watermark": vec_wm,
@@ -516,6 +597,9 @@ def _layout_current(root: str) -> bool:
     try:
         m = read_manifest(root)
     except Exception:
+        return False
+    # pre-v2 manifests carry no layout key — default 1, never current
+    if m.get("layout", 1) != _LAYOUT_VERSION:
         return False
     fams = set(m.get("families", ("docs", "vecs", "bpe")))
     return all(
@@ -1136,17 +1220,44 @@ def _wide_sigs_from_store(spark: SparkSession, sf_dir: str):
     return sigs, _srp_probe_masks(read_manifest(root)["srp_bits"], SRP_WIDE_RADIUS)
 
 
+def _slim_wide_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table_id, sig, rs) straight off the persisted layout-v2
+    wide artifact — the capped graph's slim relation as a plain
+    watermark-filtered read (VERDICT r12 #5): no 48-plane recompute, no
+    localCheckpoint to lose with an executor (recompute = re-read)."""
+    root = ensure_index(spark, sf_dir)
+    return _read_artifact(spark, root, "srp_sigs_wide").select(
+        "vec_id", "table_id", "sig", "rs"
+    )
+
+
+def _store_source_tag(spark: SparkSession, sf_dir: str) -> str:
+    """The memo source tag of the persisted wide sigs — resolved root +
+    manifest vec watermark, so a repointed SPARK_GRAFT_INDEX_DIR or a
+    refreshed store mints a fresh key (the _knn_slim_memo discipline)."""
+    root = ensure_index(spark, sf_dir)
+    return f"store:{root}:{read_manifest(root)['vec_watermark']}"
+
+
 def embedding_neardup_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_neardup_multiprobe_wide over the PERSISTED wide
     signature layout: the production serving shape of the r9 governor —
     build srp_tables_for(width) tables once, every query thereafter is
     a partition-pruned read + the hamming<=1 probe join. Same helper
     (_multiprobe_pairs_from), same oracle as the in-session wide form —
-    the proof the persisted layout carries identical information."""
-    from .similarity import NEARDUP_COSINE, _multiprobe_pairs_from
+    the proof the persisted layout carries identical information. The
+    confirmed-pair memo is shared with the in-session wide consumers
+    under the same store tag (they read the same sigs when the store
+    is live — _srp_wide_sigs_tagged)."""
+    from .similarity import (
+        NEARDUP_COSINE, _mp_confirmed_memo, _multiprobe_pairs_from,
+    )
 
     sigs, masks = _wide_sigs_from_store(spark, sf_dir)
-    return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
+    conf = _mp_confirmed_memo(
+        spark, sf_dir, f"wide:{_store_source_tag(spark, sf_dir)}", sigs, masks
+    )
+    return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE, confirmed=conf)
 
 
 def knn_graph_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,32 +1265,28 @@ def knn_graph_wide_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as a store read: partition-pruned srp_sigs_wide scan +
     the shared undirected probe/confirm + mirror/rank plan
     (_knn_graph_from_sigs), same oracle as the in-session form."""
-    from .similarity import _knn_graph_from_sigs
+    from .similarity import _knn_graph_from_sigs, _mp_confirmed_memo
 
     sigs, masks = _wide_sigs_from_store(spark, sf_dir)
-    return _knn_graph_from_sigs(sigs, masks)
+    conf = _mp_confirmed_memo(
+        spark, sf_dir, f"wide:{_store_source_tag(spark, sf_dir)}", sigs, masks
+    )
+    return _knn_graph_from_sigs(sigs, masks, confirmed=conf)
 
 
 def knn_graph_capped_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_graph_wide_capped over the persisted wide signature layout:
-    the r10 sketch-ranked confirm budget as a store read — the ranking
-    sketch derives from the stored vectors on the fly (fixed-width,
-    zero manifest change), so the capped graph needs no new artifact;
-    same oracle as the in-session form."""
-    from .similarity import (
-        KNN_CAND_CAP, _knn_graph_capped_from_sigs, _knn_slim_memo,
-    )
+    the r10 sketch-ranked confirm budget as a store read — since layout
+    v2 the store carries the ranking sketch as the `rs` column, so the
+    slim relation is _slim_wide_from_store's plain read (no per-session
+    recompute, no lineage truncation to lose with an executor); same
+    oracle as the in-session form."""
+    from .similarity import KNN_CAND_CAP, _knn_graph_capped_from_sigs
 
     sigs, masks = _wide_sigs_from_store(spark, sf_dir)
-    # Memo key carries the resolved root AND the manifest vec watermark:
-    # tests repoint SPARK_GRAFT_INDEX_DIR and refresh stores within one
-    # application, and a slim cached per sf_dir alone would serve
-    # signatures from the superseded store.
-    root = ensure_index(spark, sf_dir)
-    src = f"store:{root}:{read_manifest(root)['vec_watermark']}"
     return _knn_graph_capped_from_sigs(
         sigs, masks, KNN_CAND_CAP,
-        slim=_knn_slim_memo(spark, sf_dir, src, sigs),
+        slim=_slim_wide_from_store(spark, sf_dir),
     )
 
 
@@ -1229,6 +1336,24 @@ def _graph_meta_current(root: str) -> bool:
 _SWEEP_MIN_AGE_S = 3600
 
 
+def _tree_max_mtime(d: str) -> float:
+    """Most recent mtime anywhere under d (dirs AND files). The
+    top-level dir mtime alone is NOT a liveness signal for a Spark
+    write in flight: task output lands under <d>/_temporary/... and
+    only job start and final commit touch the top level, so a foreign
+    publisher whose derivation runs longer than the sweep age would
+    look abandoned by the top-level mtime while its task files are
+    seconds old (ADVICE r12)."""
+    newest = os.path.getmtime(d)
+    for sub, dirs, files in os.walk(d):
+        for name in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(sub, name)))
+            except OSError:
+                continue  # entry vanished mid-walk (task commit/cleanup)
+    return newest
+
+
 def _sweep_orphan_graph_dirs(path: str) -> None:
     """Remove graph build/stale staging dirs left by CRASHED publishers
     (ADVICE r11: the old sweep removed only the CURRENT pid's stage, so
@@ -1238,10 +1363,13 @@ def _sweep_orphan_graph_dirs(path: str) -> None:
     under another uid (PermissionError from the probe signal) is
     conservatively treated as live. The pid liveness probe only sees
     THIS host's pid namespace, so a dir whose pid looks dead is still
-    left alone until it has sat unmodified for _SWEEP_MIN_AGE_S — a
-    publisher on another host (or container) sharing the index volume
-    writes continuously while alive, so an mtime this old marks a true
-    crash rather than a foreign-namespace pid collision."""
+    left alone until its WHOLE TREE has sat unmodified for
+    _SWEEP_MIN_AGE_S (max mtime over the tree — in-flight Spark writes
+    touch _temporary/ task files continuously while the top-level dir
+    mtime stays at job start, ADVICE r12) — a publisher on another host
+    (or container) sharing the index volume writes continuously while
+    alive, so a tree this old marks a true crash rather than a
+    foreign-namespace pid collision."""
     import glob
     import shutil
     import time
@@ -1258,7 +1386,7 @@ def _sweep_orphan_graph_dirs(path: str) -> None:
             os.kill(pid, 0)
         except ProcessLookupError:
             try:
-                age = time.time() - os.path.getmtime(d)
+                age = time.time() - _tree_max_mtime(d)
             except OSError:
                 continue  # vanished mid-sweep: another sweeper got it
             if age >= _SWEEP_MIN_AGE_S:

@@ -217,13 +217,40 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Terms use the symmetric PSI form (q - p) * ln(q / p), rounded into
     DECIMAL so the sum is order-independent; empty buckets on either
-    side are excluded (documented PSI practice) via the term filter."""
+    side are excluded (documented PSI practice) via the term filter.
+
+    r13 (guide §2.3 — aggregate once): both windows' bucket counts come
+    from ONE conditional aggregation over the orders scan instead of a
+    groupBy per window, and the <=PSI_BUCKETS-row result is lazily
+    checkpointed so the totals/detail/total-sum consumers in _psi_detail
+    replay a 10-row relation, not the corpus aggregation (the detail
+    subtree appears under the total-sum AND the final projection).
+    Per-window relations derive from the combined row exactly as the
+    per-window groupBys did — a window's bucket exists iff its count is
+    nonzero, and each window total is the sum of its counts either way —
+    so _psi_detail (shared with the streaming ledger twin, which keeps
+    the per-side helpers) sees identical inputs; oracle unchanged."""
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.filter(F.col("o_orderdate") < PSI_SPLIT_DATE)
-    cur = orders.filter(F.col("o_orderdate") >= PSI_SPLIT_DATE)
     cuts = _psi_cuts(ref)
-    r = _psi_bucket_counts(ref, cuts).select("bucket", F.col("ct").alias("ref_ct"))
-    c = _psi_bucket_counts(cur, cuts).select("bucket", F.col("ct").alias("cur_ct"))
+    b = F.lit(1)
+    for p in range(1, PSI_BUCKETS):
+        b = b + F.when(F.col("o_totalprice") > F.col(f"c{p}"), 1).otherwise(0)
+    counts = (
+        orders.crossJoin(F.broadcast(cuts))
+        .select(
+            b.alias("bucket"),
+            (F.col("o_orderdate") < PSI_SPLIT_DATE).alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("is_ref")).alias("ref_ct"),
+            F.count_if(~F.col("is_ref")).alias("cur_ct"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    r = counts.filter(F.col("ref_ct") > 0).select("bucket", "ref_ct")
+    c = counts.filter(F.col("cur_ct") > 0).select("bucket", "cur_ct")
     return _psi_detail(r, c)
 
 
@@ -269,6 +296,10 @@ def _psi_detail(r: DataFrame, c: DataFrame) -> DataFrame:
             F.round(q, 9).alias("q"),
             term.alias("term"),
         )
+        # <= PSI_BUCKETS rows, consumed by the total sum AND the final
+        # projection — without the checkpoint both windows' count
+        # subtrees replay once per consumer (r13, guide §2.4)
+        .localCheckpoint(eager=False)
     )
     total = detail.agg(F.sum("term").cast("double").alias("psi"))
     return (
@@ -293,7 +324,15 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-observed cells contribute their expected mass — dropping them
     would understate chi2 while dof still assumed the whole grid."""
     cust = load_table(spark, sf_dir, "customer")
-    seen = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("obs"))
+    # the grid-bounded intermediates (<= |segments| x |nations| rows)
+    # are each consumed by several branches below — lazily checkpointed
+    # so the customer aggregation runs ONCE per call instead of once per
+    # consumer branch (r13, guide §2.4: executed plan 28 -> ~8 exchanges)
+    seen = (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
     grid = (
         seen.select("c_mktsegment").distinct()
         .crossJoin(seen.select("c_nationkey").distinct())
@@ -301,6 +340,7 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         grid.join(seen, ["c_mktsegment", "c_nationkey"], "left")
         .select("c_mktsegment", "c_nationkey", F.coalesce("obs", F.lit(0)).alias("obs"))
+        .localCheckpoint(eager=False)
     )
     rt = obs.groupBy("c_mktsegment").agg(F.sum("obs").alias("row_tot"))
     ct = obs.groupBy("c_nationkey").agg(F.sum("obs").alias("col_tot"))

@@ -1110,55 +1110,38 @@ def knn_graph_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct edge for a single cosine; the per-source top-K window runs
     over ~bucket-sized candidate sets. Shuffles: the probe join + the
     src window — same count as the base form."""
-    sigs, masks = _srp_wide_sigs(spark, sf_dir)
-    return _knn_graph_from_sigs(sigs, masks)
+    sigs, masks, source = _srp_wide_sigs_tagged(spark, sf_dir)
+    return _knn_graph_from_sigs(
+        sigs, masks,
+        confirmed=_mp_confirmed_memo(spark, sf_dir, f"wide:{source}", sigs, masks),
+    )
 
 
-def _knn_graph_from_sigs(sigs: DataFrame, masks: list[int]) -> DataFrame:
+def _knn_graph_from_sigs(
+    sigs: DataFrame, masks: list[int], confirmed: DataFrame | None = None
+) -> DataFrame:
     """The probe/confirm/rank plan shared by knn_graph_wide and its
     persisted-index twin — one body, so the in-session and read-back
     forms cannot drift.
 
     The edge relation is symmetric, so the heavy stages run UNDIRECTED
-    (src < dst): the probe join emits each candidate pair once, the
+    (vec_a < vec_b): the probe join emits each candidate pair once, the
     distinct dedups half the rows, and each cosine is evaluated ONCE
     per pair instead of once per direction — measured 2x less
-    candidate-join/confirm work at the 100x probe. Only the final
+    candidate-join/confirm work at the 100x probe. That undirected
+    confirmed relation is EXACTLY _mp_confirmed_pairs (r13 — the graph
+    and the multiprobe screens ran the identical probe/distinct/confirm
+    stages as separate plans; now one shared body, and callers with a
+    session-stable source pass the memoized relation). Only the final
     (cheap) projection mirrors each confirmed pair into both
     orientations before the per-source window."""
-    slim = sigs.select("vec_id", "table_id", "sig")
-    probes = slim.select(
-        "vec_id", "table_id",
-        F.explode(
-            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("probe_sig"),
-    )
-    a, b = probes.alias("a"), slim.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.probe_sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("lo"), F.col("b.vec_id").alias("hi"))
-        .dropDuplicates(["lo", "hi"])
-    )
-    vecs = sigs.filter(F.col("table_id") == 0).select("vec_id", "v")
-    va, vb = vecs.alias("va"), vecs.alias("vb")
-    cosine = F.round(
-        _dot(F.col("va.v"), F.col("vb.v")) / (_norm(F.col("va.v")) * _norm(F.col("vb.v"))), 6
-    )
-    confirmed = (
-        cand.join(va, cand.lo == F.col("va.vec_id"))
-        .join(vb, cand.hi == F.col("vb.vec_id"))
-        .select("lo", "hi", cosine.alias("cosine"))
-    )
+    if confirmed is None:
+        confirmed = _mp_confirmed_pairs(sigs, masks)
     scored = confirmed.select(
         F.explode(
             F.array(
-                F.struct(F.col("lo").alias("src"), F.col("hi").alias("dst")),
-                F.struct(F.col("hi").alias("src"), F.col("lo").alias("dst")),
+                F.struct(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+                F.struct(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")),
             )
         ).alias("e"),
         "cosine",
@@ -1229,18 +1212,25 @@ def _knn_slim_memo(
     signature source). r12: every capped-graph call re-projected the
     48-plane sketch and re-checkpointed the join (~1.5-2 s per call at
     sf0.1, pure rebuild of a value that never changes within a
-    session); at warehouse scale rs is a column the persisted signature
-    artifact would simply carry. live/store stay separate memo entries
-    so the from_index twin still derives exclusively from store rows."""
+    session); since r13 the persisted signature artifact carries rs as
+    a column and the store path reads it directly (index_store.
+    _slim_wide_from_store), so this memo serves the LIVE branch.
+    live and store entries coexist (ADVICE r12: a session alternating
+    a live-branch call with a from_index twin must not thrash the
+    corpus-sized checkpoint); only SUPERSEDED store keys of the same
+    corpus are evicted — each store refresh/repoint mints a new
+    watermark-stamped key, and keeping the old entry would pin one
+    corpus-sized checkpoint per refresh cycle in the block manager
+    forever."""
     key = (spark.sparkContext.applicationId, sf_dir, source)
     if key not in _KNN_SLIM_CACHE:
-        # evict dead applications AND superseded sources of THIS corpus
-        # (each store refresh/repoint mints a new watermark-stamped key;
-        # keeping the old entry would pin one corpus-sized checkpoint
-        # per refresh cycle in the block manager forever)
         for k in [
             k for k in _KNN_SLIM_CACHE
-            if k[0] != key[0] or (k[1] == sf_dir and k[2] != source)
+            if k[0] != key[0]
+            or (
+                k[1] == sf_dir and k[2] != source
+                and k[2].startswith("store:") and source.startswith("store:")
+            )
         ]:
             del _KNN_SLIM_CACHE[k]
         rsk = (
@@ -1285,25 +1275,18 @@ def knn_graph_wide_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vector table for cosines: N x cap confirms instead of one per
     distinct candidate (~20x fewer at the 100x probe's density).
     Capped-away volume is observable via knn_graph_candidate_overflow."""
-    sigs, masks = _srp_wide_sigs(spark, sf_dir)
-    return _knn_graph_capped_from_sigs(
-        sigs, masks, KNN_CAND_CAP,
-        slim=_knn_slim_memo(spark, sf_dir, _wide_sig_source_key(spark, sf_dir), sigs),
-    )
+    sigs, masks, source = _srp_wide_sigs_tagged(spark, sf_dir)
+    if source == "live":
+        slim = _knn_slim_memo(spark, sf_dir, source, sigs)
+    else:
+        # store-backed: the persisted srp_sigs_wide artifact carries rs
+        # as a column (r13), so slim is a plain watermark-filtered read
+        # — executor-loss-safe (recompute = re-read, no localCheckpoint
+        # lineage truncation) and nothing to memoize
+        from .index_store import _slim_wide_from_store
 
-
-def _wide_sig_source_key(spark: SparkSession, sf_dir: str) -> str:
-    """The slim-memo source key matching _srp_wide_sigs' branch: when
-    the sigs come from a persisted store the key carries the resolved
-    root AND the manifest vec watermark (the knn_graph_capped_from_index
-    discipline — a slim cached per sf_dir alone would serve signatures
-    from a superseded or repointed store), else the session-live tag."""
-    from .index_store import ensure_index, persisted_root, read_manifest
-
-    if persisted_root(spark, sf_dir, "vecs"):
-        root = ensure_index(spark, sf_dir)
-        return f"store:{root}:{read_manifest(root)['vec_watermark']}"
-    return "live"
+        slim = _slim_wide_from_store(spark, sf_dir)
+    return _knn_graph_capped_from_sigs(sigs, masks, KNN_CAND_CAP, slim=slim)
 
 
 def _knn_graph_capped_from_sigs(
@@ -1416,11 +1399,24 @@ def knn_graph_candidate_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the simhash_bucket_overflow discipline): how many source vectors
     exceeded the confirm budget, the worst candidate list, and the
     number of confirm slots the cap dropped — the recall accounting a
-    capped run ships instead of the unbounded confirm."""
-    sigs, masks = _srp_wide_sigs(spark, sf_dir)
+    capped run ships instead of the unbounded confirm.
+
+    Counts derive from the session-memoized UNDIRECTED confirmed-pair
+    relation mirrored into both orientations (r13): hamming<=r is
+    symmetric, so (x, y) is a directed candidate iff the undirected
+    pair {x, y} is — the mirror reproduces _knn_wide_candidates'
+    relation row-for-row (pinned by
+    tests/test_round13_ops.py::test_overflow_counts_match_directed_candidates)
+    without re-running the probe join per call."""
+    sigs, masks, source = _srp_wide_sigs_tagged(spark, sf_dir)
+    conf = _mp_confirmed_memo(spark, sf_dir, f"wide:{source}", sigs, masks)
     cap = F.lit(KNN_CAND_CAP)
-    sizes = _knn_wide_candidates(sigs, masks).groupBy("src").agg(
-        F.count(F.lit(1)).alias("n_cand")
+    sizes = (
+        conf.select(
+            F.explode(F.array(F.col("vec_a"), F.col("vec_b"))).alias("src")
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
     )
     over = sizes.filter(F.col("n_cand") > cap)
     return over.agg(
@@ -1529,23 +1525,32 @@ def embedding_neardup_multiprobe(
     keeps the exploration floor so the single-probe oracle relation
     holds; production screens pass NEARDUP_BAND_COSINE (the
     embedding_neardup_multiprobe_band registration) to cut the
-    low-cosine tail at the source."""
+    low-cosine tail at the source. Both emit forms filter ONE
+    session-memoized confirmed-pair relation (_mp_confirmed_memo, r13 —
+    the 92-key probe explosion + distinct + confirm used to rebuild per
+    call; the sigs behind it are the session-stable
+    _srp_signature_table)."""
     bits = srp_bits_for(_emb_count(spark, sf_dir))
     masks = _srp_probe_masks(bits, srp_probe_radius_for(bits))
+    sigs = _srp_signature_table(spark, sf_dir)
     return _multiprobe_pairs_from(
-        _srp_signature_table(spark, sf_dir), masks, confirm_cosine
+        sigs, masks, confirm_cosine,
+        confirmed=_mp_confirmed_memo(spark, sf_dir, "radius:live", sigs, masks),
     )
 
 
-def _multiprobe_pairs_from(
-    sigs: DataFrame, masks: list[int], confirm_cosine: float
-) -> DataFrame:
-    """The slim-key probe/candidate/confirm plan shared by every
-    multiprobe form (radius, band, wide) so they can never drift: the
-    probe explosion carries only (vec_id, table_id, probe_sig), the
-    bucket join emits bare id pairs, dropDuplicates collapses per-table
-    repeats BEFORE any vector math, and the vector table joins back
-    once per DISTINCT candidate for a single cosine evaluation."""
+def _mp_confirmed_pairs(sigs: DataFrame, masks: list[int]) -> DataFrame:
+    """(vec_a < vec_b, cosine) for every DISTINCT multiprobe candidate
+    pair — the slim-key probe/candidate/confirm core shared by every
+    multiprobe form (radius, band, wide) AND the undirected half of the
+    wide k-NN graph, so they can never drift: the probe explosion
+    carries only (vec_id, table_id, probe_sig), the bucket join emits
+    bare id pairs, dropDuplicates collapses per-table repeats BEFORE
+    any vector math, and the vector table joins back once per DISTINCT
+    candidate for a single cosine evaluation. No threshold here — emit
+    thresholds/top-K windows are the CONSUMERS' business, which is what
+    lets one session-memoized relation (_mp_confirmed_memo) feed the
+    floor form, the band form and the graph ranking."""
     slim = sigs.select("vec_id", "table_id", "sig")
     probes = slim.select(
         "vec_id", "table_id",
@@ -1573,8 +1578,65 @@ def _multiprobe_pairs_from(
         cand.join(va, cand.vec_a == va.vec_id)
         .join(vb, cand.vec_b == vb.vec_id)
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= confirm_cosine)
     )
+
+
+# session memo of the confirmed multiprobe pair relation, keyed on
+# (applicationId, corpus, layout:source) — r13: the probe join +
+# distinct + double vector join ran once PER CALL although the relation
+# is a pure function of (sigs, masks), both frozen within a session for
+# a session-stable source; with 2 radius consumers, 3+ wide consumers
+# and the overflow report each paying it per call, the rebuild was the
+# SRP family's largest remaining warm cost (guide §2.4). At warehouse
+# scale this relation is the near-dup PAIR TABLE a deployment
+# materializes once per corpus watermark (the knn_graph_capped
+# published-artifact argument, one level down).
+_MP_CONF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _mp_confirmed_memo(
+    spark: SparkSession, sf_dir: str, tag: str, sigs: DataFrame, masks: list[int]
+) -> DataFrame:
+    """_mp_confirmed_pairs memoized per (application, corpus, tag).
+    tag = '<layout>:<source>' — layout separates the radius form's
+    (4-table, hamming<=r) relation from the wide form's; source is the
+    _srp_wide_sigs_tagged provenance so a store refresh/repoint mints a
+    fresh key. Callers with per-run signature sources (the streaming
+    ingest twins, the planted fixtures' augmented corpus — which has
+    its own stable tag) must pass a tag that matches the sigs actually
+    handed in. live and one store entry coexist (the _KNN_SLIM_CACHE
+    policy); superseded store keys of the same corpus are evicted."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key not in _MP_CONF_CACHE:
+        for k in [
+            k for k in _MP_CONF_CACHE
+            if k[0] != key[0]
+            or (
+                k[1] == sf_dir and k[2] != tag
+                and ":store:" in k[2] and ":store:" in tag
+                and k[2].split(":", 1)[0] == tag.split(":", 1)[0]
+            )
+        ]:
+            del _MP_CONF_CACHE[k]
+        _MP_CONF_CACHE[key] = _mp_confirmed_pairs(sigs, masks).localCheckpoint(
+            eager=False
+        )
+    return _MP_CONF_CACHE[key]
+
+
+def _multiprobe_pairs_from(
+    sigs: DataFrame,
+    masks: list[int],
+    confirm_cosine: float,
+    confirmed: DataFrame | None = None,
+) -> DataFrame:
+    """Threshold emit over the shared confirmed-pair relation (see
+    _mp_confirmed_pairs). Callers with a session-stable signature
+    source pass the memoized relation via `confirmed`; per-run sources
+    (streaming ingest) take the derive-in-place default."""
+    if confirmed is None:
+        confirmed = _mp_confirmed_pairs(sigs, masks)
+    return confirmed.filter(F.col("cosine") >= confirm_cosine)
 
 
 def embedding_neardup_multiprobe_band(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,24 +1656,47 @@ _WIDE_SIGS_CACHE: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
 
 
 def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[int]]:
-    """(sigs, masks) for the WIDE governor layout — srp_tables_for(bits)
-    tables, hamming<=SRP_WIDE_RADIUS probe masks. Reads the persisted
-    partitionBy(table_id) `srp_sigs_wide` artifact when the index store
-    carries it (warm environment; width frozen in the manifest), else
-    derives live and localCheckpoints. ONE provider shared by every
-    wide-layout consumer (embedding_neardup_multiprobe_wide,
-    knn_graph_wide, semantic_decontaminate_wide) so the layout and the
-    probe masks can never drift between screens."""
+    """(sigs, masks) for the WIDE governor layout — see
+    _srp_wide_sigs_tagged for the branch logic; consumers that don't
+    key a memo on the signature source use this two-tuple form."""
+    sigs, masks, _source = _srp_wide_sigs_tagged(spark, sf_dir)
+    return sigs, masks
+
+
+def _srp_wide_sigs_tagged(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int], str]:
+    """(sigs, masks, source) for the WIDE governor layout —
+    srp_tables_for(bits) tables, hamming<=SRP_WIDE_RADIUS probe masks.
+    Reads the persisted partitionBy(table_id) `srp_sigs_wide` artifact
+    when the index store carries it (warm environment; width frozen in
+    the manifest), else derives live and localCheckpoints. ONE provider
+    shared by every wide-layout consumer
+    (embedding_neardup_multiprobe_wide, knn_graph_wide,
+    semantic_decontaminate_wide) so the layout and the probe masks can
+    never drift between screens.
+
+    `source` describes the sigs ACTUALLY RETURNED —
+    `store:{root}:{vec_watermark}` or `live` — derived from the SAME
+    persisted_root decision that picked the branch (ADVICE r12: a
+    second independent persisted_root call could flip between the sig
+    resolution and the memo-key derivation, caching store-derived rows
+    under the live key), so source-keyed memos always describe the
+    relation they hold."""
     from ..io import load_table_spread
     from .index_store import persisted_root
 
     if persisted_root(spark, sf_dir, "vecs"):
         # warm environment: persisted_root runs through ensure_index,
-        # whose layout guard rebuilds any pre-r9 store — a non-None
-        # root always carries the wide artifact
-        from .index_store import _wide_sigs_from_store
+        # whose layout guard rebuilds any pre-r13 store — a non-None
+        # root always carries the current wide artifact
+        from .index_store import (
+            _wide_sigs_from_store, ensure_index, read_manifest,
+        )
 
-        return _wide_sigs_from_store(spark, sf_dir)
+        sigs, masks = _wide_sigs_from_store(spark, sf_dir)
+        root = ensure_index(spark, sf_dir)
+        return sigs, masks, f"store:{root}:{read_manifest(root)['vec_watermark']}"
     # live path memoized per (application, corpus) — the
     # _SHINGLE_SET_CACHE discipline (r12): six wide-layout consumers
     # each re-counted the corpus and re-materialized the checkpoint per
@@ -1629,7 +1714,8 @@ def _srp_wide_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[in
             F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
         )
         _WIDE_SIGS_CACHE[key] = _wide_sigs_live(corpus)
-    return _WIDE_SIGS_CACHE[key]
+    sigs, masks = _WIDE_SIGS_CACHE[key]
+    return sigs, masks, "live"
 
 
 def _wide_sigs_live(corpus: DataFrame) -> tuple[DataFrame, list[int]]:
@@ -1668,8 +1754,11 @@ def embedding_neardup_multiprobe_wide(spark: SparkSession, sf_dir: str) -> DataF
     set at the exploration floor) legitimately differs from the radius
     form's — the oracle replays these exact tables and masks, and the
     planted-twin test pins the design-point contract."""
-    sigs, masks = _srp_wide_sigs(spark, sf_dir)
-    return _multiprobe_pairs_from(sigs, masks, NEARDUP_COSINE)
+    sigs, masks, source = _srp_wide_sigs_tagged(spark, sf_dir)
+    return _multiprobe_pairs_from(
+        sigs, masks, NEARDUP_COSINE,
+        confirmed=_mp_confirmed_memo(spark, sf_dir, f"wide:{source}", sigs, masks),
+    )
 
 
 def embedding_neardup_wide_band(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,9 +1769,14 @@ def embedding_neardup_wide_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, not wall time, so it costs nothing to stack on the cheaper
     layout). Same candidates as embedding_neardup_multiprobe_wide,
     emitted at NEARDUP_BAND_COSINE; every governed-recall pair still
-    lands (planted-twin tables in SCALE_100X.md)."""
-    sigs, masks = _srp_wide_sigs(spark, sf_dir)
-    return _multiprobe_pairs_from(sigs, masks, NEARDUP_BAND_COSINE)
+    lands (planted-twin tables in SCALE_100X.md). Shares the
+    session-memoized confirmed-pair relation with the floor form and
+    the wide graph (_mp_confirmed_memo)."""
+    sigs, masks, source = _srp_wide_sigs_tagged(spark, sf_dir)
+    return _multiprobe_pairs_from(
+        sigs, masks, NEARDUP_BAND_COSINE,
+        confirmed=_mp_confirmed_memo(spark, sf_dir, f"wide:{source}", sigs, masks),
+    )
 
 
 MMR_LAMBDA = "0.7"   # relevance weight — EXACT decimal strings, never
@@ -1982,6 +2076,29 @@ def _decon_planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(copies).unionByName(zeroed)
 
 
+# session memo of the plant-augmented wide sigs shared by BOTH planted
+# gate fixtures (near-dup band + decontamination band), keyed on
+# (applicationId, corpus): each call used to re-count the augmented
+# corpus and re-localCheckpoint its signature table — one full rebuild
+# plus one leaked block-manager checkpoint per gate replay (r13; the
+# plants are a pure derivation of the immutable corpus, so the
+# _WIDE_SIGS_CACHE discipline applies verbatim).
+_PLANTED_WIDE_CACHE: dict[tuple[str, str], tuple[DataFrame, list[int]]] = {}
+
+
+def _planted_wide_sigs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PLANTED_WIDE_CACHE:
+        for k in [k for k in _PLANTED_WIDE_CACHE if k[0] != key[0]]:
+            del _PLANTED_WIDE_CACHE[k]
+        _PLANTED_WIDE_CACHE[key] = _wide_sigs_live(
+            _decon_planted_corpus(spark, sf_dir)
+        )
+    return _PLANTED_WIDE_CACHE[key]
+
+
 def semantic_decontaminate_band_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_decontaminate_band over the plant-augmented corpus —
     the gate-certifiable form of the production decontamination
@@ -1993,7 +2110,7 @@ def semantic_decontaminate_band_planted(spark: SparkSession, sf_dir: str) -> Dat
     unplanted ids the output must equal the unplanted screen's
     (tests/test_round11_ops.py pins this), so the certification reads
     onto semantic_decontaminate_band directly."""
-    sigs, masks = _wide_sigs_live(_decon_planted_corpus(spark, sf_dir))
+    sigs, masks = _planted_wide_sigs(spark, sf_dir)
     return _sem_decon_wide_from_sigs(
         sigs, masks,
         review_cosine=SEM_DECON_BAND_REVIEW,
@@ -2017,8 +2134,13 @@ def embedding_neardup_band_planted(spark: SparkSession, sf_dir: str) -> DataFram
     band. On unplanted pairs the output must equal the unplanted
     wide-band screen's (tests/test_round12_ops.py pins this), so the
     certification reads onto embedding_neardup_wide_band directly."""
-    sigs, masks = _wide_sigs_live(_decon_planted_corpus(spark, sf_dir))
-    return _multiprobe_pairs_from(sigs, masks, NEARDUP_BAND_COSINE)
+    sigs, masks = _planted_wide_sigs(spark, sf_dir)
+    return _multiprobe_pairs_from(
+        sigs, masks, NEARDUP_BAND_COSINE,
+        confirmed=_mp_confirmed_memo(
+            spark, sf_dir, "wide-planted:live", sigs, masks
+        ),
+    )
 
 
 def _sem_decon_wide_from_sigs(

@@ -179,7 +179,8 @@ def stream_uv_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     )
     n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
     est = min(n_rows, n_users * (span_us // 86_400_000_000 + 1))
-    with _stateful_replay_parts(spark, est):
+    with _stateful_replay_parts(spark, est), \
+            _no_trailing_empty_batch(spark):  # dropDuplicates emits on arrival
         (
             firsts.writeStream.outputMode("append")
             .trigger(availableNow=True)
@@ -288,6 +289,39 @@ def _stateful_replay_parts(spark: SparkSession, est_keys: int):
         spark.conf.set(key, prev)
 
 
+@contextlib.contextmanager
+def _no_trailing_empty_batch(spark: SparkSession):
+    """Scope spark.sql.streaming.noDataMicroBatches.enabled=false to a
+    bounded replay whose FINAL output is provably complete after the
+    last DATA batch (r13, guide §2.4 — measured ~0.6-1.3 s of pure
+    store-open/commit floor per replay for a batch that reads zero
+    rows and emits zero rows):
+
+    - inline sentinel flush (jump detect, window funnel): every user
+      receives a sentinel row IN the data batch, the state fn decides
+      and REMOVES the key's state inline, so after the last data batch
+      no state exists for an event-time timeout to fire on;
+    - emit-on-arrival operators (dropDuplicates, inner time-bounded
+      stream-stream joins): rows are emitted in the batch that reads
+      them — the trailing no-data batch only evicts expired state, it
+      can never add an output row.
+
+    NOT for append-mode windowed/session aggregates (visitor stats,
+    hypertable hour, user sessions): those EMIT in the batch after the
+    watermark passes a window's end — the trailing no-data batch IS
+    the emission of every sentinel-closed window, and disabling it
+    drops the entire result (oracle-verified both ways). Each call
+    site records which leg justifies it; the scoped oracle gate
+    hash-checks the replay output either way."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 # per-(application, corpus) memo of the one-pass key stats every
 # stateful replay's partition derivation reads: (n_users, span_us,
 # n_rows). One tiny agg job per session per corpus.
@@ -376,7 +410,11 @@ def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     passing candidate_ts + JUMP_TIMEOUT_S. End-of-stream pending events
     are flushed by per-user sentinels (see _stage_events_with_sentinels),
     so a bounded replay emits a decision for EVERY event and equals the
-    batch user_jump answer exactly."""
+    batch user_jump answer exactly. The sentinel flush is INLINE (the
+    state fn decides the pending event and removes the key's state in
+    the data batch itself), so no state survives the last data batch
+    and the trailing no-data micro-batch is skipped
+    (_no_trailing_empty_batch)."""
     stage = _stage_events_with_sentinels(spark, sf_dir)
     ev = _events_stream(spark, stage, glob="*.parquet")
     out = (
@@ -391,7 +429,8 @@ def stream_jump_detect(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]), \
+            _no_trailing_empty_batch(spark):  # inline sentinel flush
         (
             out.writeStream.outputMode("append")
             .trigger(availableNow=True)
@@ -607,7 +646,8 @@ def stream_payment_wide(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         & (F.col("act_ts") >= F.col("pay_ts") - F.expr("INTERVAL 30 MINUTES") + F.expr("INTERVAL 1 MICROSECOND")),
         "inner",
     ).select("pay_id", "pay_user", "pay_ts", "act_id", "act_ts")
-    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]), \
+            _no_trailing_empty_batch(spark):  # inner join emits on arrival
         (
             joined.writeStream.outputMode("append")
             .trigger(availableNow=True)
@@ -917,7 +957,8 @@ def stream_window_funnel(spark: SparkSession, sf_dir: str, out_dir: str) -> None
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]):
+    with _stateful_replay_parts(spark, _events_key_stats(spark, sf_dir)[0]), \
+            _no_trailing_empty_batch(spark):  # inline sentinel flush
         (
             rows.writeStream.outputMode("append")
             .trigger(availableNow=True)

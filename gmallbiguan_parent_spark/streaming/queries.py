@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 
 from ..functions import dec
 from .pipelines import (
-    WINDOW, _events_key_stats, _events_stream, _stateful_replay_parts,
-    _table_stream, run_stream_to_df,
+    WINDOW, _events_key_stats, _events_stream, _no_trailing_empty_batch,
+    _stateful_replay_parts, _table_stream, run_stream_to_df,
     stream_cms_sketch, stream_dedup_gate, stream_jump_detect,
     stream_rate_limit_ledger, stream_transition_matrix,
 )
@@ -62,13 +62,17 @@ _SIN_STATIC_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]]
 # in one session re-read ONE staging instead of re-writing it per call.
 # Only the INPUT staging is shared — every call still replays the
 # stream and re-derives its store/artifacts from the parquet input.
-_INGEST_STAGE_CACHE: dict[tuple[str, str, str, int], str] = {}
+# Keyed on the staged PROJECTION too (ADVICE r12: the embeddings
+# staging holds a (vec_id, v) cast projection — a future call site
+# staging the raw table under the same (table, n_files) must get its
+# own stage, never the mismatched schema).
+_INGEST_STAGE_CACHE: dict[tuple[str, str, str, int, str], str] = {}
 
 
 def _staged_ingest_src(
-    spark: SparkSession, sf_dir: str, table: str, n_files: int
+    spark: SparkSession, sf_dir: str, table: str, n_files: int, proj: str = "raw"
 ) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir, table, n_files)
+    key = (spark.sparkContext.applicationId, sf_dir, table, n_files, proj)
     hit = _INGEST_STAGE_CACHE.get(key)
     if hit is not None and os.path.exists(f"{hit}/{table}/_SUCCESS"):
         return hit
@@ -91,7 +95,10 @@ def _ensure_staged(
     `stage` unless its _SUCCESS marker already exists — the ONE
     freshness predicate shared by every ingest call site (memoized
     stages skip the write; a fresh or failed stage gets it), so no
-    caller can hand-roll a drifting guard."""
+    caller can hand-roll a drifting guard. Callers staging a
+    PROJECTION (the df override) must pass a matching `proj` tag to
+    _staged_ingest_src so differently-projected stagings of one table
+    can never share a stage."""
     if os.path.exists(f"{stage}/{table}/_SUCCESS"):
         return
     from ..io import load_table
@@ -148,7 +155,8 @@ def stream_uv_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("uvq_")
     n_users, span_us, n_rows = _events_key_stats(spark, sf_dir)
     est = min(n_rows, n_users * (span_us // 86_400_000_000 + 1))
-    with _stateful_replay_parts(spark, est):
+    with _stateful_replay_parts(spark, est), \
+            _no_trailing_empty_batch(spark):  # dropDuplicates emits on arrival
         (
             firsts.writeStream.outputMode("append")
             .trigger(availableNow=True)
@@ -339,6 +347,15 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator equals batch gmv_daily to the last bit — that batch SQL
     is the oracle.
 
+    TWO staged files → two micro-batches (r13, VERDICT r12 #1): the
+    semantics this query certifies are the CROSS-BATCH merge (batch N
+    unions the prior snapshot and re-aggregates) and the at-least-once
+    snapshot skip — both fully exercised by the minimum multi-batch
+    replay; the old 4-file fan-out bought two more ~0.5 s trigger
+    rounds that certified nothing extra (per-batch trigger timings in
+    plans/r13/stream_triggers_before.jsonl). The multi-batch assert
+    below is unchanged.
+
     Scale: each micro-batch shuffles only its delta (one day-keyed agg);
     the merge touches the day-grain accumulator (rows = days, not
     orders). On a real deployment the swap is a transactional MERGE
@@ -358,9 +375,9 @@ def stream_gmv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipelines.serving import GMV_MONTH
 
-    stage = _staged_ingest_src(spark, sf_dir, "orders", 4)
+    stage = _staged_ingest_src(spark, sf_dir, "orders", 2)
     acc_root = _scratch("gmvinc_acc_")
-    _ensure_staged(spark, sf_dir, stage, "orders", 4)
+    _ensure_staged(spark, sf_dir, stage, "orders", 2)
 
     schema = spark.read.parquet(f"{stage}/orders").schema
     src = (
@@ -857,7 +874,7 @@ def stream_wide_sig_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _srp_probe_masks,
     )
 
-    stage = _staged_ingest_src(spark, sf_dir, "embeddings", 4)
+    stage = _staged_ingest_src(spark, sf_dir, "embeddings", 4, proj="vec_id_v")
     store = _scratch("swide_store_")
     bits = _wide_sig_ingest(spark, sf_dir, stage, store)
     sigs = spark.read.parquet(f"{store}/srp_sigs_wide").select(

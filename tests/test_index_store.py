@@ -24,7 +24,7 @@ ARTIFACTS = [
     ("ivf_cells", ["corpus_id", "c_emb", "c_norm", "cell"]),
     ("pq_codes", ["corpus_id", "codes", "cell"]),
     ("srp_sigs", ["vec_id", "table_id", "sig"]),
-    ("srp_sigs_wide", ["vec_id", "table_id", "sig"]),
+    ("srp_sigs_wide", ["vec_id", "table_id", "sig", "rs"]),
     ("bpe_vocab", ["tok", "syms"]),
 ]
 
