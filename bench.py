@@ -245,6 +245,26 @@ def main() -> None:
         warm_total += dt
         print(f"# warm {name}: {dt}s", file=sys.stderr)
 
+    # Min-of-3 warm (ADDITION, r13 — VERDICT r12 #2): the single warm
+    # reading still carries one-shot VM noise comparable to the
+    # per-query fixed cost at this SF, which is why the driver's
+    # 8-vs-32-core ratio on COLD times read as noise (18/26 ratios <=
+    # 1.05 — the scaling probe measured the codegen/VM floor, not the
+    # engine). min over three warm runs is the noise-robust engine
+    # time: compare queries_warm_min across the driver's two core
+    # counts for a scaling signal. queries/queries_warm keep their
+    # exact prior semantics; this is a new key.
+    warm_min: dict[str, float] = dict(warm)
+    for _rep in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if dt < warm_min[name]:
+                warm_min[name] = dt
+    print(f"# warm_min: {json.dumps(warm_min)}", file=sys.stderr)
+
     # Extended set: round-4 additions, reported under their own key so
     # the headline total stays comparable with BENCH_r01..r03.
     # Warm pass included: it strips codegen compile and scan-cache
@@ -286,7 +306,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_warm": warm,
+        "queries_warm_min": warm_min,
         "value_warm": round(warm_total, 3),
+        "value_warm_min": round(sum(warm_min.values()), 3),
         "calib_jvm_sec": calib_jvm,
         "calib_python_worker_sec": calib_py,
         "sf": float(sf),
